@@ -1,0 +1,68 @@
+"""CrawlConfig — the one typed settings object (SURVEY.md §2.10).
+
+Mirrors the Scrapy settings cascade the reference project relies on
+([S:scrapy/settings/default_settings.py]): concurrency caps, download delay,
+depth limit, close-spider limits — plus our engine's own knobs (shard counts,
+wave caps, checkpoint dir).
+
+Politeness semantics are *virtual-time* (wave-indexed), identical in the
+engine and in the reference-semantics simulator (pipelines/simulator.py), so
+crawl ordering and the final URL-seen set are bit-reproducible [B:north_rule]:
+
+- each wave, a host may emit at most ``per_domain_cap`` URLs
+  (CONCURRENT_REQUESTS_PER_DOMAIN=8 default [S:default_settings.py]);
+- a host whose effective crawl delay is ``d`` (max of config delay and the
+  robots.txt ``Crawl-delay``) may only emit on waves where
+  ``wave_idx >= last_emit_wave + ceil(d / wave_period)``;
+- robots ``Disallow`` rules gate enqueue ([S:downloadermiddlewares/robotstxt.py]).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    # politeness ([S:scrapy/settings/default_settings.py])
+    per_domain_cap: int = 8          # CONCURRENT_REQUESTS_PER_DOMAIN
+    download_delay: float = 0.0      # DOWNLOAD_DELAY (seconds, virtual)
+    wave_period: float = 1.0         # seconds of virtual time one wave represents
+    obey_robots: bool = True         # ROBOTSTXT_OBEY
+
+    # spider-middleware filters ([S:scrapy/spidermiddlewares/*])
+    depth_limit: int = 0             # DEPTH_LIMIT, 0 = unlimited
+    depth_priority: int = 0          # DEPTH_PRIORITY: priority += depth * this
+    url_length_limit: int = 2083     # URLLENGTH_LIMIT
+    allowed_domains: tuple[str, ...] = ()  # empty = allow all (offsite filter off)
+
+    # close-spider limits ([S:scrapy/extensions/closespider.py])
+    max_pages: int = 0               # CLOSESPIDER_PAGECOUNT, 0 = unlimited
+    max_items: int = 0               # CLOSESPIDER_ITEMCOUNT
+    max_waves: int = 0               # engine-only safety valve
+
+    # engine layout
+    n_filter_shards: int = 4         # URL-seen shards, key = url_hash % n
+    n_frontier_shards: int = 4       # frontier shards, key = hash64(host) % n
+    bloom_bits_per_key: int = 10
+    bloom_capacity: int = 1_000_000  # per shard; sized for test scale — at 1e10
+                                     # URLs total, shards scale out (SURVEY §2.3 F1)
+    checkpoint_dir: str | None = None
+    checkpoint_every: int = 1        # checkpoint every k waves (when dir set)
+
+    def waves_per_emit(self, crawl_delay: float) -> int:
+        """Host with effective delay d emits at most once per this many waves."""
+        d = max(self.download_delay, crawl_delay)
+        if d <= 0:
+            return 1
+        return max(1, math.ceil(d / self.wave_period))
+
+
+@dataclass(frozen=True)
+class Seed:
+    url: str
+    priority: int = 0
+
+
+DEFAULT_CONFIG = CrawlConfig()

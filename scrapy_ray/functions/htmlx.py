@@ -1,0 +1,90 @@
+"""HTML text + field extraction kernels (SURVEY.md §2.2 M1–M4).
+
+The reference parses HTML with lxml through parsel Selectors
+([S:parsel Selector], [S:scrapy/http/response/text.py .css/.xpath]); lxml is
+not available in this environment, so extraction is compiled-regex over the
+deterministic page templates (FIXTURES.md §1.2). Every function here is a pure
+function of the HTML bytes — that is THE per-row invariant: byte-identical
+extracted text per url [B:input_hint]. The corpus generator, the
+reference-semantics simulator, and the Ray engine all call these same
+kernels, so golden files pin all three.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+_HEAD = re.compile(rb"<head>.*?</head>", re.S)
+_SCRIPT = re.compile(rb"<(script|style)\b.*?</\1>", re.S)
+_TAG = re.compile(rb"<[^>]+>")
+_WS = re.compile(r"\s+")
+
+
+def visible_text(html: bytes) -> str:
+    """Visible text of a page: drop <head>/<script>/<style>, strip tags,
+    unescape entities, collapse whitespace. Deterministic, byte-stable."""
+    body = _SCRIPT.sub(b" ", _HEAD.sub(b" ", html))
+    txt = _TAG.sub(b" ", body).decode("utf-8", errors="replace")
+    return _WS.sub(" ", _html.unescape(txt)).strip()
+
+
+# --- template field extractors (listing + detail pages, FIXTURES.md §1.2) ---
+
+_CARD = re.compile(
+    rb'<div class="card"><h2 class="name"><a class="detail" href="([^"]+)">([^<]*)</a></h2>'
+    rb'<span class="rating">([^<]*)</span><span class="price">([^<]*)</span></div>'
+)
+_NEXT = re.compile(rb'<a class="next" href="([^"]+)">')
+_H1_NAME = re.compile(rb'<h1 class="name">([^<]*)</h1>')
+_ADDRESS = re.compile(rb'<p class="address">([^<]*)</p>')
+_RATING = re.compile(rb'<span class="rating">([^<]*)</span>')
+_PRICE = re.compile(rb'<span class="price">([^<]*)</span>')
+_REVIEW_COUNT = re.compile(rb'<span class="review-count">(\d+) reviews</span>')
+_REVIEW_LI = re.compile(rb"<li>([^<]*)</li>")
+_RELATED = re.compile(rb'<a class="related-link" href="([^"]+)">')
+_ANY_HREF = re.compile(rb'<a\b[^>]*\bhref="([^"]+)"')
+
+
+def _u(b: bytes) -> str:
+    return _html.unescape(b.decode("utf-8", errors="replace"))
+
+
+def extract_listing(html: bytes) -> dict:
+    """Listing page -> item cards + detail links + next link (M2 + M4)."""
+    cards = [
+        {"detail_href": _u(m[0]), "name": _u(m[1]), "rating": _u(m[2]), "price": _u(m[3])}
+        for m in _CARD.findall(html)
+    ]
+    nxt = _NEXT.search(html)
+    return {"cards": cards, "next_href": _u(nxt.group(1)) if nxt else None}
+
+
+def extract_detail(html: bytes) -> dict:
+    """Detail page -> full item fields (M3) + related links."""
+    name = _H1_NAME.search(html)
+    addr = _ADDRESS.search(html)
+    rating = _RATING.search(html)
+    price = _PRICE.search(html)
+    rc = _REVIEW_COUNT.search(html)
+    return {
+        "name": _u(name.group(1)) if name else None,
+        "address": _u(addr.group(1)) if addr else None,
+        "rating": _u(rating.group(1)) if rating else None,
+        "price": _u(price.group(1)) if price else None,
+        "review_count": int(rc.group(1)) if rc else 0,
+        "reviews": [_u(m) for m in _REVIEW_LI.findall(html)],
+        "related_hrefs": [_u(m) for m in _RELATED.findall(html)],
+    }
+
+
+def extract_links(html: bytes) -> list[str]:
+    """All <a href> on a page, document order, per-page unique
+    ([S:scrapy/linkextractors/lxmlhtml.py LxmlLinkExtractor unique=True])."""
+    seen: set[bytes] = set()
+    out: list[str] = []
+    for m in _ANY_HREF.findall(html):
+        if m not in seen:
+            seen.add(m)
+            out.append(_u(m))
+    return out

@@ -1,0 +1,278 @@
+"""The wave-loop crawl engine (SURVEY.md §3.1) — Scrapy's engine loop
+([S:scrapy/core/engine.py]) re-expressed as bounded Ray Data waves.
+
+Each wave:
+
+1. ``frontier.next_wave(w)`` — every shard emits its politeness-budgeted
+   batch; driver k-way merges by (priority desc, seq asc). This merged order
+   IS the crawl-ordering contract the goldens check [B:north_rule].
+2. ``fetch_wave`` — partition-pruned broadcast join of the wave against the
+   Parquet pages corpus (stages/fetch.py). The fetched wave (bounded size:
+   #hosts x per_domain_cap pages) is materialized once and feeds both the
+   item and the link pass.
+3. items: ``map_batches(extract_items_batch)`` -> per-wave partitioned
+   Parquet sink (resumable layout — one directory per wave).
+4. links: ``map_batches(extract_links_batch)`` -> canonical
+   (parent_seq, link_idx) sort -> vectorized M7/M8/M9 filters -> batched
+   anti-join against the URL-seen shards -> seq assignment -> pushed to the
+   frontier shards (hash(host) routing).
+5. every ``checkpoint_every`` waves: each shard checkpoints its queue /
+   Bloom segment / clocks atomically, and the driver writes a manifest with
+   per-wave lineage + metrics — a killed run resumes at the last complete
+   wave exactly [B:north_rule].
+
+Library code: no ray.init() here — the caller owns the session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from scrapy_ray import schemas
+from scrapy_ray.config import CrawlConfig
+from scrapy_ray.functions.hashing import hash64
+from scrapy_ray.functions.urlnorm import canonicalize_urls, hosts_of
+from scrapy_ray.sources.readers import read_robots, read_seeds
+from scrapy_ray.stages.extract import classify_callback, extract_items_batch, status_ok_mask
+from scrapy_ray.stages.fetch import fetch_wave
+from scrapy_ray.stages.links import extract_links_batch, filter_links
+from scrapy_ray.state.frontier import ShardedFrontier
+from scrapy_ray.state.urlseen import ShardedUrlSeen
+
+
+@dataclass
+class CrawlResult:
+    items: pa.Table
+    crawl_order: pa.Table          # (seq, wave, url) in fetch-schedule order
+    url_seen: pa.Table             # (url_hash, url)
+    metrics: dict = field(default_factory=dict)
+
+
+def _links_to_frontier(links: pa.Table, next_seq: int) -> pa.Table:
+    n = len(links)
+    return pa.table(
+        {
+            "url": links["url"],
+            "host": links["host"],
+            "url_hash": links["url_hash"],
+            "depth": links["depth"],
+            "priority": links["priority"],
+            "seq": pa.array(np.arange(next_seq, next_seq + n, dtype=np.int64)),
+            "parent_url": links["parent_url"],
+            "callback": links["callback"],
+            "dont_filter": pa.array(np.zeros(n, dtype=bool)),
+        },
+        schema=schemas.FRONTIER,
+    )
+
+
+def seeds_to_links(seeds: list[dict]) -> pa.Table:
+    """Seed list -> candidate-link table (depth 0, canonical order = list
+    order). Seeds flow through the same dedup path as discovered links —
+    a deliberate, documented simplification of Scrapy's dont_filter=True on
+    start_requests ([S:scrapy/spiders/__init__.py]): it keeps the URL-seen
+    set exactly equal to "everything ever scheduled"."""
+    urls = canonicalize_urls([s["url"] for s in seeds])
+    n = len(urls)
+    return pa.table(
+        {
+            "url": pa.array(urls, type=pa.string()),
+            "host": pa.array(hosts_of(urls), type=pa.string()),
+            "url_hash": pa.array(hash64(urls) if urls else [], type=pa.uint64()),
+            "depth": pa.array(np.zeros(n, dtype=np.int32)),
+            "priority": pa.array([int(s.get("priority", 0)) for s in seeds], type=pa.int32()),
+            "parent_url": pa.array([""] * n, type=pa.string()),
+            "parent_seq": pa.array(np.full(n, -1, dtype=np.int64)),
+            "link_idx": pa.array(np.arange(n, dtype=np.int32)),
+            "callback": pa.array(classify_callback(urls), type=pa.string()),
+        },
+        schema=schemas.LINKS,
+    )
+
+
+class CrawlEngine:
+    def __init__(self, corpus_root: str, cfg: CrawlConfig, n_buckets: int | None = None):
+        self.root = corpus_root
+        self.cfg = cfg
+        if n_buckets is None:
+            with open(os.path.join(corpus_root, "meta.json")) as fh:
+                n_buckets = json.load(fh)["spec"]["n_buckets"]
+        self.n_buckets = int(n_buckets)
+        self.ckpt = cfg.checkpoint_dir
+        robots = read_robots(corpus_root) if cfg.obey_robots else None
+        self.urlseen = ShardedUrlSeen(cfg.n_filter_shards, cfg.bloom_capacity,
+                                      cfg.bloom_bits_per_key)
+        self.frontier = ShardedFrontier(cfg, robots)
+        # driver-side run state (persisted in the manifest)
+        self.wave_idx = 0
+        self.next_seq = 0
+        self.pages_fetched = 0
+        self.items_count = 0
+        self.lineage: list[dict] = []
+        self._mem_items: list[pa.Table] = []
+        self._mem_order: list[pa.Table] = []
+
+    # --- checkpoint plumbing (SURVEY §4.2) ---
+    def _manifest_path(self) -> str:
+        return os.path.join(self.ckpt, "manifest.json")
+
+    def _save_manifest(self) -> None:
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"wave_idx": self.wave_idx, "next_seq": self.next_seq,
+                       "pages_fetched": self.pages_fetched, "items_count": self.items_count,
+                       "lineage": self.lineage}, fh)
+        os.replace(tmp, self._manifest_path())
+
+    def checkpoint(self) -> None:
+        if not self.ckpt:
+            return
+        os.makedirs(self.ckpt, exist_ok=True)
+        self.urlseen.checkpoint(self.ckpt)
+        self.frontier.checkpoint(self.ckpt)
+        self._save_manifest()
+
+    def try_resume(self) -> bool:
+        """Reload shard state + manifest; True if a checkpoint was found."""
+        if not self.ckpt or not os.path.exists(self._manifest_path()):
+            return False
+        with open(self._manifest_path()) as fh:
+            m = json.load(fh)
+        self.urlseen.restore(self.ckpt)
+        self.frontier.restore(self.ckpt)
+        self.wave_idx = m["wave_idx"]
+        self.next_seq = m["next_seq"]
+        self.pages_fetched = m["pages_fetched"]
+        self.items_count = m["items_count"]
+        self.lineage = m["lineage"]
+        # drop sink partitions from any wave newer than the manifest (a crash
+        # between sink write and checkpoint): lineage lists completed waves.
+        done = {e["wave"] for e in self.lineage}
+        for sub in ("items", "order"):
+            d = os.path.join(self.ckpt, sub)
+            if os.path.isdir(d):
+                for part in os.listdir(d):
+                    if int(part.split("=")[1]) not in done:
+                        import shutil
+                        shutil.rmtree(os.path.join(d, part))
+        return True
+
+    def seed(self, seeds: list[dict] | None = None) -> None:
+        cand = seeds_to_links(seeds if seeds is not None else read_seeds(self.root))
+        fresh = self.urlseen.filter_new(cand)
+        rows = _links_to_frontier(fresh, self.next_seq)
+        self.next_seq += len(rows)
+        self.frontier.push(rows)
+
+    def _sink(self, wave: int, items: pa.Table, order: pa.Table) -> dict:
+        entry = {"wave": wave, "n_scheduled": len(order), "n_items": len(items)}
+        if self.ckpt:
+            for sub, t in (("items", items), ("order", order)):
+                d = os.path.join(self.ckpt, sub, f"wave={wave}")
+                os.makedirs(d, exist_ok=True)
+                pq.write_table(t, os.path.join(d, "part.parquet"))
+        else:
+            self._mem_items.append(items)
+            self._mem_order.append(order)
+        return entry
+
+    def run_wave(self) -> bool:
+        """One wave; False when the crawl is finished."""
+        cfg = self.cfg
+        if (cfg.max_pages and self.pages_fetched >= cfg.max_pages) or \
+           (cfg.max_items and self.items_count >= cfg.max_items) or \
+           (cfg.max_waves and self.wave_idx >= cfg.max_waves):
+            return False
+        wave = self.frontier.next_wave(self.wave_idx)
+        if len(wave) == 0:
+            nxt = self.frontier.earliest_ready_wave()
+            if nxt is None:
+                return False          # frontier empty -> idle shutdown
+            self.wave_idx = max(self.wave_idx + 1, nxt)
+            return True
+        order = pa.table({
+            "seq": wave["seq"],
+            "wave": pa.array(np.full(len(wave), self.wave_idx, dtype=np.int32)),
+            "url": wave["url"],
+        }, schema=schemas.CRAWL_ORDER)
+
+        fetched = fetch_wave(self.root, wave, self.n_buckets).materialize()
+        fetched_t = pa.concat_tables(
+            [b for b in fetched.iter_batches(batch_size=None, batch_format="pyarrow")]
+        ) if fetched.count() else None
+
+        if fetched_t is not None and len(fetched_t):
+            self.pages_fetched += len(fetched_t)
+            ok = fetched_t.filter(pa.array(status_ok_mask(fetched_t)))  # M10
+            items = extract_items_batch(ok)
+            links = extract_links_batch(ok)
+        else:
+            items = schemas.ITEMS.empty_table()
+            links = schemas.LINKS.empty_table()
+        self.items_count += len(items)
+
+        if len(links):
+            links = links.sort_by([("parent_seq", "ascending"), ("link_idx", "ascending")])
+            links = filter_links(links, cfg)                     # M7/M8/M9
+            fresh = self.urlseen.filter_new(links)               # F1 anti-join
+            rows = _links_to_frontier(fresh, self.next_seq)
+            self.next_seq += len(rows)
+            self.frontier.push(rows)                             # robots gate + heaps
+            n_new = len(rows)
+        else:
+            n_new = 0
+
+        entry = self._sink(self.wave_idx, items, order)
+        entry.update({"n_fetched": len(fetched_t) if fetched_t is not None else 0,
+                      "n_new_links": n_new})
+        self.lineage.append(entry)
+        self.wave_idx += 1
+        if self.ckpt and (self.wave_idx % max(1, cfg.checkpoint_every) == 0):
+            self.checkpoint()
+        return True
+
+    def _collect(self, sub: str, schema: pa.Schema, mem: list[pa.Table]) -> pa.Table:
+        if not self.ckpt:
+            return pa.concat_tables(mem) if mem else schema.empty_table()
+        d = os.path.join(self.ckpt, sub)
+        if not os.path.isdir(d):
+            return schema.empty_table()
+        parts = sorted(os.listdir(d), key=lambda p: int(p.split("=")[1]))
+        ts = [pq.read_table(os.path.join(d, p, "part.parquet")) for p in parts]
+        return pa.concat_tables(ts) if ts else schema.empty_table()
+
+    def result(self) -> CrawlResult:
+        items = self._collect("items", schemas.ITEMS, self._mem_items)
+        order = self._collect("order", schemas.CRAWL_ORDER, self._mem_order)
+        seen = self.urlseen.seen_table()
+        fstats = self.frontier.stats()
+        metrics = {
+            "waves": len(self.lineage),
+            "pages_fetched": self.pages_fetched,
+            "items": self.items_count,
+            "scheduled": int(len(order)),
+            "url_seen": int(len(seen)),
+            "robots_denied": sum(s["robots_denied"] for s in fstats),
+            "frontier_remaining": sum(s["queued"] for s in fstats),
+        }
+        return CrawlResult(items=items, crawl_order=order, url_seen=seen, metrics=metrics)
+
+
+def run_crawl(corpus_root: str, cfg: CrawlConfig | None = None,
+              seeds: list[dict] | None = None, resume: bool = False) -> CrawlResult:
+    """Convenience one-shot crawl (the ``scrapy crawl`` equivalent, §3.1)."""
+    cfg = cfg or CrawlConfig()
+    eng = CrawlEngine(corpus_root, cfg)
+    if not (resume and eng.try_resume()):
+        eng.seed(seeds)
+    while eng.run_wave():
+        pass
+    eng.checkpoint()
+    return eng.result()

@@ -1,0 +1,213 @@
+"""Reference-semantics crawl simulator (SURVEY.md §5.2.2) — golden truth.
+
+A deliberately boring, single-process, single-data-structure reimplementation
+of the scheduler semantics the distributed engine must reproduce: priority
+desc + FIFO-seq tiebreak ([S:scrapy/pqueues.py ScrapyPriorityQueue]),
+fingerprint dedup at schedule time ([S:scrapy/dupefilters.py RFPDupeFilter]),
+per-host politeness budget in virtual wave time ([S:scrapy/core/downloader
+Slot] -> config.CrawlConfig semantics), robots gating
+([S:scrapy/downloadermiddlewares/robotstxt.py]).
+
+It shares only the *leaf* kernels with the engine (canonicalize, hash,
+extract, robots parse — all pure functions pinned by their own unit goldens)
+and none of the distributed machinery: no shards, no actors, no Arrow buses.
+If the engine's cross-shard merge, politeness clocks, or anti-join ordering
+drift, `tests/test_crawl_e2e.py` catches it against this.
+"""
+
+from __future__ import annotations
+
+import heapq
+from collections import defaultdict
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from scrapy_ray import schemas
+from scrapy_ray.config import CrawlConfig
+from scrapy_ray.functions.hashing import hash64_one
+from scrapy_ray.functions.htmlx import extract_detail, extract_links, visible_text
+from scrapy_ray.functions.textnorm import parse_price, parse_rating
+from scrapy_ray.functions.urlnorm import canonicalize_url, host_of, urljoin_many
+from scrapy_ray.sources.corpus import corpus_paths
+from scrapy_ray.stages.extract import _KIND
+from scrapy_ray.state.frontier import _NEVER, _path_of
+from scrapy_ray.state.robots import ALLOW_ALL, parse_robots
+
+
+@dataclass
+class SimResult:
+    items: pa.Table
+    crawl_order: pa.Table
+    url_seen: pa.Table
+    metrics: dict = field(default_factory=dict)
+
+
+def simulate_crawl(corpus_root: str, cfg: CrawlConfig | None = None,
+                   seeds: list[dict] | None = None) -> SimResult:
+    cfg = cfg or CrawlConfig()
+    paths = corpus_paths(corpus_root)
+    pages = pa.concat_tables([pq.read_table(p) for p in paths["pages"]])
+    page_of = {u: i for i, u in enumerate(pages["url"].to_pylist())}
+    htmls = pages["html"].to_pylist()
+    statuses = pages["status"].to_pylist()
+    robots = {}
+    if cfg.obey_robots:
+        rt = pq.read_table(paths["robots"])
+        robots = {h: parse_robots(b) for h, b in zip(rt["host"].to_pylist(), rt["body"].to_pylist())}
+    if seeds is None:
+        seeds = pq.read_table(paths["seeds"]).to_pylist()
+
+    seen: dict[int, str] = {}
+    queues: dict[str, list] = defaultdict(list)
+    last_emit: dict[str, int] = {}
+    next_seq = 0
+    n_robots_denied = 0
+
+    def rules(host):
+        return robots.get(host, ALLOW_ALL)
+
+    def delay(host):
+        return max(cfg.download_delay, rules(host).crawl_delay)
+
+    def prefilter(cands: list[dict]) -> list[dict]:
+        out = []
+        for c in cands:
+            if len(c["url"]) > cfg.url_length_limit:       # M8
+                continue
+            if cfg.allowed_domains:                        # M7
+                hh = c["host"]
+                if not any(hh == d or hh.endswith("." + d) for d in cfg.allowed_domains):
+                    continue
+            if cfg.depth_limit and c["depth"] > cfg.depth_limit:  # M9
+                continue
+            if cfg.depth_priority:
+                c = dict(c, priority=c["priority"] + c["depth"] * cfg.depth_priority)
+            out.append(c)
+        return out
+
+    # Dedup records URLs *before* the robots gate but *after* M7/M8/M9 —
+    # mirror of the engine's ordering (filter_links -> urlseen.filter_new ->
+    # frontier.push): seq is assigned to every dedup survivor (robots-denied
+    # rows consume a seq but never enqueue, exactly as in the engine).
+    def schedule2(cands: list[dict], filters: bool = True) -> None:
+        nonlocal next_seq, n_robots_denied
+        fresh = []
+        for c in (prefilter(cands) if filters else cands):
+            h = hash64_one(c["url"])
+            if h in seen:
+                continue
+            seen[h] = c["url"]
+            fresh.append(c)
+        for c in fresh:
+            c = dict(c, seq=next_seq)
+            next_seq += 1
+            host = c["host"]
+            if cfg.obey_robots and not rules(host).is_allowed(_path_of(c["url"])):
+                n_robots_denied += 1
+                continue
+            heapq.heappush(queues[host], (-c["priority"], c["seq"], c))
+
+    # seed
+    seed_cands = []
+    for i, s in enumerate(seeds):
+        u = canonicalize_url(s["url"])
+        seed_cands.append({"url": u, "host": host_of(u), "depth": 0,
+                           "priority": int(s.get("priority", 0))})
+    schedule2(seed_cands, filters=False)  # engine seeds skip M7/M8/M9 too
+
+    order_rows: list[tuple[int, int, str]] = []
+    items_cols: dict[str, list] = {k: [] for k in schemas.ITEMS.names}
+    pages_fetched = 0
+    items_count = 0
+    wave_idx = 0
+
+    while True:
+        if (cfg.max_pages and pages_fetched >= cfg.max_pages) or \
+           (cfg.max_items and items_count >= cfg.max_items) or \
+           (cfg.max_waves and wave_idx >= cfg.max_waves):
+            break
+        # emit wave
+        emitted: list[dict] = []
+        for host in list(queues):
+            q = queues[host]
+            if not q:
+                del queues[host]
+                continue
+            d = delay(host)
+            ready = last_emit.get(host, _NEVER) + cfg.waves_per_emit(d)
+            if wave_idx < ready:
+                continue
+            cap = 1 if d > 0 else cfg.per_domain_cap
+            for _ in range(min(cap, len(q))):
+                emitted.append(heapq.heappop(q)[2])
+            last_emit[host] = wave_idx
+            if not q:
+                del queues[host]
+        if not emitted:
+            ready_waves = [last_emit.get(h, _NEVER) + cfg.waves_per_emit(delay(h))
+                           for h, q in queues.items() if q]
+            if not ready_waves:
+                break
+            wave_idx = max(wave_idx + 1, min(ready_waves))
+            continue
+
+        emitted.sort(key=lambda c: (-c["priority"], c["seq"]))
+        for c in emitted:
+            order_rows.append((c["seq"], wave_idx, c["url"]))
+
+        # fetch + parse in seq order (canonical link order = parent seq asc,
+        # document order — matches engine's (parent_seq, link_idx) sort)
+        cands: list[dict] = []
+        for c in sorted(emitted, key=lambda c: c["seq"]):
+            i = page_of.get(c["url"])
+            if i is None:
+                continue                     # dangling link -> fetch miss
+            pages_fetched += 1
+            if not (200 <= statuses[i] < 300):   # M10
+                continue
+            html = htmls[i]
+            m = _KIND.match(c["url"])
+            kind = m.group(1) if m else ""
+            if kind in ("hotel", "restaurant"):
+                d = extract_detail(html)
+                if d["name"] is not None:
+                    items_count += 1
+                    items_cols["url"].append(c["url"])
+                    items_cols["item_type"].append(kind)
+                    items_cols["name"].append(d["name"])
+                    items_cols["address"].append(d["address"])
+                    items_cols["rating"].append(parse_rating(d["rating"]))
+                    items_cols["price"].append(d["price"])
+                    items_cols["price_value"].append(parse_price(d["price"]))
+                    items_cols["review_count"].append(d["review_count"])
+                    items_cols["reviews"].append(d["reviews"])
+                    items_cols["extracted_text"].append(visible_text(html))
+            for u in urljoin_many(c["url"], extract_links(html)):
+                cu = canonicalize_url(u)
+                cands.append({"url": cu, "host": host_of(cu),
+                              "depth": c["depth"] + 1, "priority": 0})
+        schedule2(cands)
+        wave_idx += 1
+
+    order_rows_s = order_rows  # already in emission order per wave
+    order = pa.table(
+        {"seq": [r[0] for r in order_rows_s],
+         "wave": pa.array([r[1] for r in order_rows_s], type=pa.int32()),
+         "url": [r[2] for r in order_rows_s]},
+        schema=schemas.CRAWL_ORDER,
+    )
+    seen_t = pa.table(
+        {"url_hash": pa.array(list(seen.keys()), type=pa.uint64()),
+         "url": pa.array(list(seen.values()), type=pa.string())},
+        schema=schemas.URL_SEEN,
+    )
+    return SimResult(
+        items=pa.table(items_cols, schema=schemas.ITEMS),
+        crawl_order=order,
+        url_seen=seen_t,
+        metrics={"pages_fetched": pages_fetched, "items": items_count,
+                 "scheduled": len(order_rows), "url_seen": len(seen),
+                 "robots_denied": n_robots_denied, "waves": wave_idx},
+    )

@@ -1,0 +1,34 @@
+"""Readers over the corpus layout (SURVEY.md §2.1 S1–S4).
+
+``read_pages`` prunes at the read: columns are explicit and bucket files can
+be restricted, so a 2-column transform never loads html bytes it doesn't use.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyarrow.parquet as pq
+import ray.data
+
+from scrapy_ray.sources.corpus import corpus_paths
+
+
+def read_pages(root: str, columns: Sequence[str] | None = None,
+               buckets: Sequence[int] | None = None, **kwargs) -> ray.data.Dataset:
+    paths = corpus_paths(root)["pages"]
+    if buckets is not None:
+        keep = {int(b) for b in buckets}
+        paths = [p for p in paths if int(p.split("bucket=")[1].split("/")[0]) in keep]
+    return ray.data.read_parquet(paths, columns=list(columns) if columns else None, **kwargs)
+
+
+def read_seeds(root: str) -> list[dict]:
+    """Seed list is tiny ([S:Spider.start_urls]) — read driver-side."""
+    return pq.read_table(corpus_paths(root)["seeds"]).to_pylist()
+
+
+def read_robots(root: str) -> dict[str, str]:
+    """host -> robots.txt body; small per-host table, broadcast to frontier shards."""
+    t = pq.read_table(corpus_paths(root)["robots"])
+    return dict(zip(t["host"].to_pylist(), t["body"].to_pylist()))

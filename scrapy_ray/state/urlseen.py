@@ -1,0 +1,149 @@
+"""Partitioned URL-seen filter = the distributed dupefilter (SURVEY.md §2.3 F1,
+§2.4 J4, §2.7 D1/D2).
+
+The reference keeps one in-process set of request fingerprints
+([S:scrapy/dupefilters.py RFPDupeFilter]); that cannot hold 10^10 URLs in one
+heap, so here it is an actor pool sharded by ``url_hash % n_shards``. Each
+shard holds:
+
+- a **Bloom segment** (state/bloom.py) — the memory-bounded scale path;
+- an **exact set** (hash -> url) — authoritative at test scale, provides the
+  byte-exact final URL-seen set the goldens compare [B:north_rule], and
+  doubles as the Bloom's false-positive backstop while it fits.
+
+``check_and_add`` is a batched RPC: the candidate anti-join is one message per
+shard per wave, not one per URL. First occurrence within a batch wins (the
+batch arrives in canonical (parent_seq, link_idx) order, so "first" is
+deterministic).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+from scrapy_ray.state.bloom import BloomFilter
+
+
+class UrlSeenShard:
+    """One partition of the URL-seen filter. Plain class; wrapped with
+    ``ray.remote`` by ShardedUrlSeen (keeps it unit-testable without Ray)."""
+
+    def __init__(self, shard_id: int, capacity: int = 1_000_000, bits_per_key: int = 10,
+                 exact: bool = True):
+        self.shard_id = shard_id
+        self.bloom = BloomFilter(capacity, bits_per_key)
+        self.exact: dict[int, str] | None = {} if exact else None
+        self.n_seen = 0
+        self.n_filtered = 0
+
+    def check_and_add(self, hashes: np.ndarray, urls: list[str] | None) -> np.ndarray:
+        """Returns a bool mask: True = first sighting (keep). Adds as it goes,
+        so duplicates *within* the batch are filtered too."""
+        n = len(hashes)
+        out = np.zeros(n, dtype=bool)
+        maybe_seen = self.bloom.contains_many(hashes)
+        if self.exact is not None:
+            ex = self.exact
+            for i in range(n):
+                h = int(hashes[i])
+                if h not in ex:
+                    ex[h] = urls[i] if urls is not None else ""
+                    out[i] = True
+        else:
+            # Bloom-only path (scale mode): a fresh batch-local set catches
+            # within-batch dups that the Bloom hasn't absorbed yet.
+            batch_new: set[int] = set()
+            for i in range(n):
+                h = int(hashes[i])
+                if not maybe_seen[i] and h not in batch_new:
+                    batch_new.add(h)
+                    out[i] = True
+        self.bloom.add_many(hashes[out])
+        self.n_seen += int(out.sum())
+        self.n_filtered += n - int(out.sum())
+        return out
+
+    def seen_table(self) -> pa.Table:
+        """(url_hash, url) of everything seen — the golden URL-seen set."""
+        if self.exact is None:
+            raise RuntimeError("exact set disabled on this shard")
+        ks = np.fromiter(self.exact.keys(), dtype=np.uint64, count=len(self.exact))
+        return pa.table({"url_hash": pa.array(ks, type=pa.uint64()),
+                         "url": pa.array(list(self.exact.values()), type=pa.string())})
+
+    def stats(self) -> dict:
+        return {"shard": self.shard_id, "n_seen": self.n_seen, "n_filtered": self.n_filtered,
+                "bloom_fill": self.bloom.fill_ratio()}
+
+    # --- checkpoint (SURVEY §4.2): atomic per-shard segment ---
+    def checkpoint(self, dirpath: str) -> None:
+        os.makedirs(dirpath, exist_ok=True)
+        tmp = os.path.join(dirpath, f"urlseen_{self.shard_id}.tmp")
+        final = os.path.join(dirpath, f"urlseen_{self.shard_id}.parquet")
+        pq.write_table(self.seen_table(), tmp)
+        os.replace(tmp, final)
+        btmp = os.path.join(dirpath, f"bloom_{self.shard_id}.tmp")
+        with open(btmp, "wb") as fh:
+            fh.write(self.bloom.to_bytes())
+        os.replace(btmp, os.path.join(dirpath, f"bloom_{self.shard_id}.bin"))
+
+    def restore(self, dirpath: str) -> None:
+        t = pq.read_table(os.path.join(dirpath, f"urlseen_{self.shard_id}.parquet"))
+        self.exact = dict(zip((int(h) for h in t["url_hash"].to_pylist()), t["url"].to_pylist()))
+        with open(os.path.join(dirpath, f"bloom_{self.shard_id}.bin"), "rb") as fh:
+            self.bloom = BloomFilter.from_bytes(fh.read())
+        self.n_seen = len(self.exact)
+
+
+class ShardedUrlSeen:
+    """Driver-side client over the shard actor pool."""
+
+    def __init__(self, n_shards: int, capacity: int = 1_000_000, bits_per_key: int = 10,
+                 exact: bool = True):
+        self.n_shards = n_shards
+        actor = ray.remote(UrlSeenShard)
+        self.shards = [
+            actor.options(num_cpus=0.25, max_restarts=0).remote(i, capacity, bits_per_key, exact)
+            for i in range(n_shards)
+        ]
+
+    def filter_new(self, links: pa.Table) -> pa.Table:
+        """Anti-join the candidate links against all shards (batched,
+        parallel); preserves input order; honors ``dont_filter`` (D2)."""
+        n = len(links)
+        if n == 0:
+            return links
+        hashes = links["url_hash"].to_numpy(zero_copy_only=False)
+        urls = links["url"].to_pylist()
+        shard_of = (hashes % np.uint64(self.n_shards)).astype(np.int64)
+        mask = np.zeros(n, dtype=bool)
+        futs, idxs = [], []
+        for s in range(self.n_shards):
+            idx = np.nonzero(shard_of == s)[0]
+            if len(idx) == 0:
+                continue
+            futs.append(self.shards[s].check_and_add.remote(
+                hashes[idx], [urls[i] for i in idx]))
+            idxs.append(idx)
+        for idx, res in zip(idxs, ray.get(futs)):
+            mask[idx] = res
+        if "dont_filter" in links.column_names:
+            mask |= np.asarray(links["dont_filter"].to_pylist(), dtype=bool)
+        return links.filter(pa.array(mask))
+
+    def seen_table(self) -> pa.Table:
+        return pa.concat_tables(ray.get([s.seen_table.remote() for s in self.shards]))
+
+    def stats(self) -> list[dict]:
+        return ray.get([s.stats.remote() for s in self.shards])
+
+    def checkpoint(self, dirpath: str) -> None:
+        ray.get([s.checkpoint.remote(dirpath) for s in self.shards])
+
+    def restore(self, dirpath: str) -> None:
+        ray.get([s.restore.remote(dirpath) for s in self.shards])
