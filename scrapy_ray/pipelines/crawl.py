@@ -40,9 +40,10 @@ from scrapy_ray.config import CrawlConfig
 from scrapy_ray.functions.hashing import hash64
 from scrapy_ray.functions.urlnorm import canonicalize_urls, hosts_of
 from scrapy_ray.sources.readers import read_robots, read_seeds
-from scrapy_ray.stages.extract import classify_callback, extract_items_batch, status_ok_mask
-from scrapy_ray.stages.fetch import fetch_wave
-from scrapy_ray.stages.links import extract_links_batch, filter_links
+from scrapy_ray.stages.extract import classify_callback
+from scrapy_ray.stages.fetch import fetch_parse_wave
+from scrapy_ray.stages.links import filter_links
+from scrapy_ray.stages.parse import split_items, split_links
 from scrapy_ray.state.frontier import ShardedFrontier
 from scrapy_ray.state.urlseen import ShardedUrlSeen
 
@@ -203,19 +204,14 @@ class CrawlEngine:
             "url": wave["url"],
         }, schema=schemas.CRAWL_ORDER)
 
-        fetched = fetch_wave(self.root, wave, self.n_buckets).materialize()
-        fetched_t = pa.concat_tables(
-            [b for b in fetched.iter_batches(batch_size=None, batch_format="pyarrow")]
-        ) if fetched.count() else None
+        # ONE distributed pass per wave: partition-pruned fetch-join + fused
+        # parse (items + canonicalized/hashed links) — html never leaves the
+        # tasks (stages/fetch.py fetch_parse_wave, stages/parse.py).
+        parsed = fetch_parse_wave(self.root, wave, self.n_buckets)
 
-        if fetched_t is not None and len(fetched_t):
-            self.pages_fetched += len(fetched_t)
-            ok = fetched_t.filter(pa.array(status_ok_mask(fetched_t)))  # M10
-            items = extract_items_batch(ok)
-            links = extract_links_batch(ok)
-        else:
-            items = schemas.ITEMS.empty_table()
-            links = schemas.LINKS.empty_table()
+        self.pages_fetched += len(parsed)
+        items = split_items(parsed)
+        links = split_links(parsed)
         self.items_count += len(items)
 
         if len(links):
@@ -230,8 +226,7 @@ class CrawlEngine:
             n_new = 0
 
         entry = self._sink(self.wave_idx, items, order)
-        entry.update({"n_fetched": len(fetched_t) if fetched_t is not None else 0,
-                      "n_new_links": n_new})
+        entry.update({"n_fetched": len(parsed), "n_new_links": n_new})
         self.lineage.append(entry)
         self.wave_idx += 1
         if self.ckpt and (self.wave_idx % max(1, cfg.checkpoint_every) == 0):

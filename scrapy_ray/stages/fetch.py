@@ -48,6 +48,55 @@ def _empty_fetched(page_schema: pa.Schema) -> pa.Table:
     return s.empty_table()
 
 
+@ray.remote
+def _fetch_parse_bucket(path: str, urls: list[str], carry: dict) -> pa.Table:
+    """Read one corpus bucket with an ``url IN (...)`` parquet filter
+    (row-group pruning — bucket files are written sorted by url), attach the
+    frontier carry columns, and run the fused parse in-task. Returns the
+    parsed table (no html leaves the task)."""
+    import pyarrow.parquet as pq
+
+    from scrapy_ray.stages.parse import parse_page_batch
+
+    t = pq.read_table(path, filters=pc.field("url").isin(urls),
+                      columns=["url", "html", "status"])
+    if len(t) == 0:
+        from scrapy_ray.stages.parse import PARSED_SCHEMA
+        return PARSED_SCHEMA.empty_table()
+    rows = [carry[u] for u in t["url"].to_pylist()]
+    t = t.append_column("depth", pa.array([r[0] for r in rows], type=pa.int32()))
+    t = t.append_column("priority", pa.array([r[1] for r in rows], type=pa.int32()))
+    t = t.append_column("seq", pa.array([r[2] for r in rows], type=pa.int64()))
+    return parse_page_batch(t)
+
+
+def fetch_parse_wave(corpus_root: str, wave: pa.Table, n_buckets: int) -> pa.Table:
+    """Wave-loop fast path (SURVEY §7.4.3): the per-wave fetch-join is a
+    repeated *small indexed lookup*, for which per-wave ``read_parquet``
+    Dataset construction costs seconds (fragment sampling). Raw Ray tasks —
+    one per needed bucket — express it with ~ms overhead; this is the
+    documented drop-to-raw-Ray exception. Whole-corpus scans still use the
+    Dataset path (``fetch_wave`` / sources.readers)."""
+    from scrapy_ray.sources.corpus import corpus_paths
+    from scrapy_ray.stages.parse import PARSED_SCHEMA
+
+    paths = corpus_paths(corpus_root)["pages"]
+    hashes = wave["url_hash"].to_numpy(zero_copy_only=False)
+    bucket_of = (hashes % np.uint64(n_buckets)).astype(np.int64)
+    urls = wave["url"].to_pylist()
+    depths = wave["depth"].to_pylist()
+    pris = wave["priority"].to_pylist()
+    seqs = wave["seq"].to_pylist()
+    futs = []
+    for b in np.unique(bucket_of):
+        idx = np.nonzero(bucket_of == b)[0]
+        b_urls = [urls[i] for i in idx]
+        carry = {urls[i]: (depths[i], pris[i], seqs[i]) for i in idx}
+        futs.append(_fetch_parse_bucket.remote(paths[int(b)], b_urls, carry))
+    parts = [p for p in ray.get(futs) if len(p)]
+    return pa.concat_tables(parts) if parts else PARSED_SCHEMA.empty_table()
+
+
 def fetch_wave(corpus_root: str, wave: pa.Table, n_buckets: int) -> ray.data.Dataset:
     """wave (FRONTIER rows) -> Dataset of fetched pages + carry-through cols.
 

@@ -1,0 +1,135 @@
+"""Fused parse stage: one distributed ``map_batches`` pass per fetched wave
+(SURVEY.md §3.1 step 3–4).
+
+Input: fetched page batches with frontier carry-through columns
+(url, html, status, depth, priority, seq, callback). Output: ONE row per
+fetched page with
+
+- item columns (nullable; detail pages yield exactly one item [B:north_star]);
+- link list-columns ``link_url/link_host/link_hash`` sharing offsets —
+  already absolutized + canonicalized + hashed *inside the task*, so the
+  driver only flattens offsets (numpy) and never touches html bytes.
+
+This keeps all heavy work (regex extraction, canonicalization, hashing,
+visible-text) distributed and lets the wave loop consume a single Dataset
+execution per wave.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from scrapy_ray import schemas
+from scrapy_ray.functions.hashing import hash64
+from scrapy_ray.functions.htmlx import extract_detail, extract_links, visible_text
+from scrapy_ray.functions.textnorm import parse_price, parse_rating
+from scrapy_ray.functions.urlnorm import canonicalize_urls, hosts_of, urljoin_many
+from scrapy_ray.stages.extract import _KIND
+
+PARSED_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("seq", pa.int64()),
+        ("depth", pa.int32()),
+        ("status_ok", pa.bool_()),
+        ("item_ok", pa.bool_()),
+        ("item_type", pa.string()),
+        ("name", pa.string()),
+        ("address", pa.string()),
+        ("rating", pa.float64()),
+        ("price", pa.string()),
+        ("price_value", pa.float64()),
+        ("review_count", pa.int64()),
+        ("reviews", pa.list_(pa.string())),
+        ("extracted_text", pa.string()),
+        ("link_url", pa.list_(pa.string())),
+        ("link_host", pa.list_(pa.string())),
+        ("link_hash", pa.list_(pa.uint64())),
+    ]
+)
+
+
+def parse_page_batch(t: pa.Table) -> pa.Table:
+    n = len(t)
+    urls = t["url"].to_pylist()
+    htmls = t["html"].to_pylist()
+    seqs = t["seq"].to_pylist()
+    depths = t["depth"].to_pylist()
+    status = t["status"].to_pylist() if "status" in t.column_names else [200] * n
+
+    cols: dict[str, list] = {k: [] for k in PARSED_SCHEMA.names}
+    for url, html, seq, depth, st in zip(urls, htmls, seqs, depths, status):
+        ok = 200 <= st < 300
+        m = _KIND.match(url)
+        kind = m.group(1) if m else ""
+        item_ok = False
+        d = None
+        if ok and kind in ("hotel", "restaurant"):
+            d = extract_detail(html)
+            item_ok = d["name"] is not None
+        cols["url"].append(url)
+        cols["seq"].append(seq)
+        cols["depth"].append(depth)
+        cols["status_ok"].append(ok)
+        cols["item_ok"].append(item_ok)
+        cols["item_type"].append(kind if item_ok else None)
+        cols["name"].append(d["name"] if item_ok else None)
+        cols["address"].append(d["address"] if item_ok else None)
+        cols["rating"].append(parse_rating(d["rating"]) if item_ok else None)
+        cols["price"].append(d["price"] if item_ok else None)
+        cols["price_value"].append(parse_price(d["price"]) if item_ok else None)
+        cols["review_count"].append(d["review_count"] if item_ok else None)
+        cols["reviews"].append(d["reviews"] if item_ok else None)
+        cols["extracted_text"].append(visible_text(html) if item_ok else None)
+        links = canonicalize_urls(urljoin_many(url, extract_links(html))) if ok else []
+        cols["link_url"].append(links)
+        cols["link_host"].append(list(hosts_of(links)) if links else [])
+        cols["link_hash"].append(hash64(links).tolist() if links else [])
+    return pa.table(cols, schema=PARSED_SCHEMA)
+
+
+def split_items(parsed: pa.Table) -> pa.Table:
+    """Parsed page rows -> ITEMS table."""
+    hit = parsed.filter(parsed["item_ok"])
+    return pa.table(
+        {name: hit[name] for name in
+         ("url", "item_type", "name", "address", "rating", "price",
+          "price_value", "review_count", "reviews", "extracted_text")},
+        schema=schemas.ITEMS,
+    )
+
+
+def split_links(parsed: pa.Table) -> pa.Table:
+    """Parsed page rows -> flattened LINKS table in canonical
+    (parent_seq, link_idx) order (pages arrive in any order; caller sorts)."""
+    lu = parsed["link_url"].combine_chunks()
+    if len(lu) == 0 or len(pc.list_flatten(lu)) == 0:
+        return schemas.LINKS.empty_table()
+    parent = pc.list_parent_indices(lu).to_numpy(zero_copy_only=False)
+    flat_url = pc.list_flatten(lu)
+    flat_host = pc.list_flatten(parsed["link_host"].combine_chunks())
+    flat_hash = pc.list_flatten(parsed["link_hash"].combine_chunks())
+    lengths = pc.list_value_length(lu).to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    link_idx = (np.arange(len(flat_url), dtype=np.int64) - starts[parent]).astype(np.int32)
+    parent_seq = parsed["seq"].to_numpy(zero_copy_only=False)[parent]
+    parent_depth = parsed["depth"].to_numpy(zero_copy_only=False)[parent]
+    parent_url = pc.take(parsed["url"], pa.array(parent))
+    from scrapy_ray.stages.extract import classify_callback
+
+    return pa.table(
+        {
+            "url": flat_url,
+            "host": flat_host,
+            "url_hash": flat_hash,
+            "depth": pa.array((parent_depth + 1).astype(np.int32)),
+            "priority": pa.array(np.zeros(len(flat_url), dtype=np.int32)),
+            "parent_url": parent_url,
+            "parent_seq": pa.array(parent_seq),
+            "link_idx": pa.array(link_idx),
+            "callback": pa.array(classify_callback(flat_url.to_pylist()), type=pa.string()),
+        },
+        schema=schemas.LINKS,
+    )

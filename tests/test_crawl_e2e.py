@@ -1,0 +1,89 @@
+"""End-to-end: distributed engine vs reference-semantics simulator vs
+checked-in goldens — crawl ordering, final URL-seen set, byte-identical
+items (SURVEY.md §5.2.1/2/4/5, [B:north_rule])."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from scrapy_ray.config import CrawlConfig
+from scrapy_ray.pipelines.crawl import CrawlEngine, run_crawl
+from scrapy_ray.pipelines.simulator import simulate_crawl
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+
+
+def _assert_equal(a, b):
+    """a, b: objects with .crawl_order / .url_seen / .items."""
+    assert a.crawl_order.to_pydict() == b.crawl_order.to_pydict(), "crawl ordering differs"
+    sa = set(zip(a.url_seen["url_hash"].to_pylist(), a.url_seen["url"].to_pylist()))
+    sb = set(zip(b.url_seen["url_hash"].to_pylist(), b.url_seen["url"].to_pylist()))
+    assert sa == sb, "URL-seen set differs"
+    ia = a.items.sort_by("url")
+    ib = b.items.sort_by("url")
+    assert ia.equals(ib), "items differ (byte-identical check)"
+
+
+def test_engine_matches_simulator_default(ray_session, e2e_corpus):
+    cfg = CrawlConfig(n_filter_shards=3, n_frontier_shards=3)
+    sim = simulate_crawl(e2e_corpus, cfg)
+    eng = run_crawl(e2e_corpus, cfg)
+    assert sim.metrics["pages_fetched"] == eng.metrics["pages_fetched"]
+    assert sim.metrics["robots_denied"] == eng.metrics["robots_denied"]
+    assert eng.metrics["robots_denied"] > 0, "corpus must exercise robots Disallow"
+    _assert_equal(sim, eng)
+
+
+def test_engine_matches_simulator_politeness_and_depth(ray_session, e2e_corpus):
+    """Variant config: global download delay + depth limit + depth-priority +
+    offsite allowlist — exercises M7/M9, politeness clocks, priority adjust."""
+    cfg = CrawlConfig(n_filter_shards=2, n_frontier_shards=4, download_delay=1.0,
+                      depth_limit=3, depth_priority=-1,
+                      allowed_domains=("example.com",), max_pages=200)
+    sim = simulate_crawl(e2e_corpus, cfg)
+    eng = run_crawl(e2e_corpus, cfg)
+    _assert_equal(sim, eng)
+
+
+def test_engine_deterministic_across_runs(ray_session, e2e_corpus):
+    cfg = CrawlConfig(n_filter_shards=3, n_frontier_shards=2, max_pages=150)
+    a = run_crawl(e2e_corpus, cfg)
+    b = run_crawl(e2e_corpus, cfg)
+    _assert_equal(a, b)
+
+
+def test_resume_equals_uninterrupted(ray_session, e2e_corpus, tmp_path):
+    """Kill after wave k (checkpointed), resume in a fresh engine -> final
+    items + URL-seen + ordering identical to an uninterrupted run."""
+    base = CrawlConfig(n_filter_shards=2, n_frontier_shards=2)
+    full = run_crawl(e2e_corpus, base)
+
+    ck = str(tmp_path / "ckpt")
+    cfg1 = CrawlConfig(n_filter_shards=2, n_frontier_shards=2,
+                       checkpoint_dir=ck, checkpoint_every=1, max_waves=6)
+    partial = run_crawl(e2e_corpus, cfg1)
+    assert partial.metrics["waves"] <= 6 < full.metrics["waves"]
+
+    cfg2 = CrawlConfig(n_filter_shards=2, n_frontier_shards=2,
+                       checkpoint_dir=ck, checkpoint_every=1)
+    resumed = run_crawl(e2e_corpus, cfg2, resume=True)
+    _assert_equal(full, resumed)
+
+
+def test_engine_matches_goldens(ray_session, e2e_corpus):
+    """Pin against checked-in simulator goldens (regenerate:
+    scripts/gen_goldens.py) — catches sim+engine drifting together."""
+    order_p = os.path.join(GOLDEN_DIR, "crawl_order.parquet")
+    if not os.path.exists(order_p):
+        pytest.skip("goldens not generated")
+    cfg = CrawlConfig(n_filter_shards=3, n_frontier_shards=3)
+    eng = run_crawl(e2e_corpus, cfg)
+    assert eng.crawl_order.to_pydict() == pq.read_table(order_p).to_pydict()
+    seen_g = pq.read_table(os.path.join(GOLDEN_DIR, "url_seen.parquet"))
+    assert set(eng.url_seen["url"].to_pylist()) == set(seen_g["url"].to_pylist())
+    items_g = pq.read_table(os.path.join(GOLDEN_DIR, "items.parquet"))
+    assert eng.items.sort_by("url").equals(items_g.sort_by("url"))

@@ -1,0 +1,118 @@
+"""Unit tests for the scalar-function layer (SURVEY.md §2.8) + the golden
+extraction fixtures (byte-identical invariant [B:input_hint])."""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import numpy as np
+import pytest
+
+from scrapy_ray.functions.hashing import hash64, hash64_one
+from scrapy_ray.functions.htmlx import extract_detail, extract_links, extract_listing, visible_text
+from scrapy_ray.functions.textnorm import normalize_ws, parse_price, parse_rating
+from scrapy_ray.functions.urlnorm import canonicalize_url, host_of, urljoin_many
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "goldens", "extraction.json")
+
+
+def test_canonicalize():
+    assert canonicalize_url("HTTPS://Example.COM:443/a?b=2&a=1#frag") == "https://example.com/a?a=1&b=2"
+    assert canonicalize_url("http://example.com:80/x") == "http://example.com/x"
+    assert canonicalize_url("https://h0.example.com") == "https://h0.example.com/"
+    assert canonicalize_url("https://h0.example.com/p/q") == "https://h0.example.com/p/q"
+    # query param sorting is by (key, value)
+    assert canonicalize_url("http://h/x?b=1&a=2&a=1") == "http://h/x?a=1&a=2&b=1"
+    # idempotent
+    u = "https://h000.example.com/listing/00000"
+    assert canonicalize_url(canonicalize_url(u)) == canonicalize_url(u)
+
+
+def test_host_of():
+    assert host_of("https://H0.Example.com/x") == "h0.example.com"
+    assert host_of("https://h0.example.com:8443/x") == "h0.example.com"
+    assert host_of("not a url") == ""
+
+
+def test_urljoin():
+    assert urljoin_many("https://h/listing/00001", ["/hotel/2", "x", "https://other/y"]) == [
+        "https://h/hotel/2", "https://h/listing/x", "https://other/y"]
+
+
+def test_hash64_consistency():
+    urls = [f"https://h{i}.example.com/p/{i}" for i in range(100)]
+    vec = hash64(urls)
+    assert vec.dtype == np.uint64
+    assert [int(v) for v in vec] == [hash64_one(u) for u in urls]
+    assert len(set(int(v) for v in vec)) == 100
+
+
+def test_textnorm():
+    assert normalize_ws("  a\t b\n\nc ") == "a b c"
+    assert parse_price("$1,234.50") == 1234.50
+    assert parse_price("1.234 đ") == 1234.0
+    assert parse_price("99") == 99.0
+    assert math.isnan(parse_price(None))
+    assert math.isnan(parse_price("free"))
+    assert parse_rating("4.5") == 4.5
+    assert parse_rating("4.5/5") == 4.5
+    assert math.isnan(parse_rating(""))
+
+
+def test_visible_text():
+    html = (b"<!DOCTYPE html>\n<html><head><title>T</title></head><body>"
+            b"<h1>A &amp; B</h1> <script>var x=1;</script><p>c\n d</p></body></html>")
+    assert visible_text(html) == "A & B c d"
+
+
+def test_extract_roundtrip_synthetic():
+    from scrapy_ray.sources.corpus import detail_fields, render_detail, render_listing
+
+    f = detail_fields(3, "h003.example.com", 17)
+    html = render_detail("h003.example.com", f, ["/hotel/00001"])
+    d = extract_detail(html)
+    assert d["name"] == f["name"]
+    assert d["address"] == f["address"]
+    assert d["rating"] == f["rating"]
+    assert d["price"] == f["price"]
+    assert d["review_count"] == f["review_count"]
+    assert d["reviews"] == f["reviews"]
+    assert d["related_hrefs"] == ["/hotel/00001"]
+
+    cards = [{"detail_href": "/hotel/00001", "name": "Café & Bistro Hotel 001",
+              "rating": "4.2", "price": "$55"}]
+    lhtml = render_listing("h003.example.com", 0, cards, "/listing/00001")
+    li = extract_listing(lhtml)
+    assert li["cards"][0]["name"] == "Café & Bistro Hotel 001"
+    assert li["next_href"] == "/listing/00001"
+    links = extract_links(lhtml)
+    assert links == ["/hotel/00001", "/listing/00001"]
+
+
+@pytest.mark.skipif(not os.path.exists(GOLDEN), reason="goldens not generated")
+def test_extraction_goldens(e2e_corpus):
+    """Byte-identical extracted text + item fields vs checked-in goldens
+    [B:input_hint]. Regenerate with scripts/gen_goldens.py."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    from scrapy_ray.sources.corpus import corpus_paths
+
+    with open(GOLDEN) as fh:
+        goldens = json.load(fh)
+    full = pa.concat_tables([pq.read_table(p) for p in corpus_paths(e2e_corpus)["pages"]])
+    by_url = {u: i for i, u in enumerate(full["url"].to_pylist())}
+    for g in goldens:
+        i = by_url[g["url"]]
+        html = full["html"][i].as_py()
+        assert visible_text(html) == g["extracted_text"], g["url"]
+        assert full["text"][i].as_py() == g["extracted_text"]
+        if g["kind"] == "detail":
+            d = extract_detail(html)
+            for k in ("name", "address", "rating", "price", "review_count", "reviews"):
+                assert d[k] == g["item"][k], (g["url"], k)
+        else:
+            li = extract_listing(html)
+            assert [c["name"] for c in li["cards"]] == g["card_names"]
