@@ -1,16 +1,10 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract (graft builder, Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship wave-loop crawl on a small deterministic
+synthetic pages corpus (the north-rule input shape) and returns the items
+table; ``queries()``/``oracle_sql()`` expose every implemented operator
+from SURVEY.md §2 + the training-data suite. Ray is initialised by the
+driver BEFORE this module is imported — nothing here calls ray.init().
 """
 
 from __future__ import annotations
@@ -20,25 +14,41 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: deterministic synthetic Common-Crawl-style corpus
+    -> sharded-frontier wave-loop crawl (politeness + robots + Bloom dedup)
+    -> extracted hotel/restaurant items as a Ray Dataset."""
+    import ray.data
+
+    from scrapy_ray.config import CrawlConfig
+    from scrapy_ray.pipelines.crawl import run_crawl
+    from scrapy_ray.sources.corpus import CorpusSpec, generate_corpus
+
+    root = "/tmp/scrapy_ray_cache/corpus_entry"
+    generate_corpus(root, CorpusSpec(n_hosts=8, total_pages=300, seed=42))
+    # big per-wave budget: the smoke check exercises the full engine, not the
+    # politeness pacing (that is pinned by tests/test_crawl_e2e.py)
+    res = run_crawl(root, CrawlConfig(n_filter_shards=2, n_frontier_shards=2,
+                                      per_domain_cap=64))
+    return ray.data.from_arrow(res.items)
+
+
+def _registry() -> dict[str, tuple]:
+    from scrapy_ray.pipelines.crawl_queries import CRAWL_QUERIES
+    from scrapy_ray.pipelines.multimodal import MULTIMODAL_QUERIES
+    from scrapy_ray.pipelines.queries import QUERIES
+    from scrapy_ray.pipelines.training import TRAINING_QUERIES
+
+    reg: dict[str, tuple] = {}
+    reg.update(QUERIES)
+    reg.update(TRAINING_QUERIES)
+    reg.update(MULTIMODAL_QUERIES)
+    reg.update(CRAWL_QUERIES)
+    return reg
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in _registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in _registry().items() if sql is not None}

@@ -1,0 +1,70 @@
+"""Crawl-engine pipelines exposed as driver queries (rows-only: the frontier
+/ dedup / politeness semantics are not SQL-expressible — they are verified
+against the reference-semantics simulator + goldens instead, SURVEY.md §5.2).
+
+The synthetic corpus is generated deterministically per scale into /tmp and
+cached (north-rule input shape: url, warc_ts, html, text, lang)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from scrapy_ray.config import CrawlConfig
+from scrapy_ray.sources.corpus import CorpusSpec, generate_corpus
+
+_Q_SPEC = CorpusSpec(n_hosts=12, total_pages=400, seed=42)
+_Q_ROOT = "/tmp/scrapy_ray_cache/corpus_queries"
+_CFG = CrawlConfig(n_filter_shards=2, n_frontier_shards=2)
+
+_cache: dict[str, object] = {}
+
+
+def _crawl_result():
+    """One cached crawl per process (the three queries expose its tables)."""
+    if "res" not in _cache:
+        from scrapy_ray.pipelines.crawl import run_crawl
+
+        generate_corpus(_Q_ROOT, _Q_SPEC)
+        _cache["res"] = run_crawl(_Q_ROOT, _CFG)
+    return _cache["res"]
+
+
+def q_crawl_items(sf_dir: str) -> pa.Table:
+    """Full wave-loop crawl -> extracted hotel/restaurant items table
+    [B:north_star]. sf_dir is unused (pages corpus is the north-rule input,
+    synthesized deterministically)."""
+    return _crawl_result().items
+
+
+def q_crawl_order(sf_dir: str) -> pa.Table:
+    """Deterministic crawl-ordering log (priority desc, seq asc per wave)."""
+    return _crawl_result().crawl_order
+
+
+def q_crawl_url_seen(sf_dir: str) -> pa.Table:
+    """Final URL-seen set from the partitioned Bloom+exact filter shards."""
+    return _crawl_result().url_seen.sort_by("url")
+
+
+def q_extract_items_corpus(sf_dir: str) -> pa.Table:
+    """The minimum slice (SURVEY §7.0): full-corpus Dataset scan ->
+    map_batches(extract) -> items, no frontier. Pure Ray Data pipeline."""
+    import ray.data
+
+    from scrapy_ray.sources.corpus import corpus_paths
+    from scrapy_ray.stages.extract import extract_items_batch
+
+    generate_corpus(_Q_ROOT, _Q_SPEC)
+    ds = ray.data.read_parquet(corpus_paths(_Q_ROOT)["pages"],
+                               columns=["url", "html", "status"])
+    out = ds.map_batches(extract_items_batch, batch_format="pyarrow")
+    t = pa.concat_tables(list(out.iter_batches(batch_size=None, batch_format="pyarrow")))
+    return t.sort_by("url")
+
+
+CRAWL_QUERIES = {
+    "crawl_items": (q_crawl_items, None),
+    "crawl_order": (q_crawl_order, None),
+    "crawl_url_seen": (q_crawl_url_seen, None),
+    "extract_items_corpus": (q_extract_items_corpus, None),
+}

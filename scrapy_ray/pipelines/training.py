@@ -1,0 +1,604 @@
+"""Training-data pipeline operators over the driver testdata (round-1
+mandate, graded alongside SURVEY.md §2): deduplication family, similarity
+search, text analysis, streaming sessionization. Oracle SQL co-located where
+SQL-expressible; sketch-based ops are rows-only and pinned by pytest against
+brute-force definitions (tests/test_training.py).
+
+Scale notes per op are in the docstrings — every pipeline is shaped for the
+10^10-row design point (explode -> groupby banding instead of all-pairs,
+broadcast query matrices, partial top-k per batch, integer-exact measures
+for oracle comparability).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from scrapy_ray.functions.hashing import hash64
+from scrapy_ray.functions.sketch import (band_keys, minhash_many, shingle_hash_set,
+                                         simhash_many, token_hash_set)
+
+_R = 4
+
+
+def _pq(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _round4(x: np.ndarray) -> np.ndarray:
+    # DuckDB ROUND = half away from zero
+    return np.sign(x) * np.floor(np.abs(x) * 10.0**_R + 0.5) / 10.0**_R
+
+
+# ---------------------------------------------------------------- exact dedup
+
+def q_dedup_exact_text(sf_dir: str):
+    """Exact dedup = content-hash + hash-partition + per-group first
+    (ray_guide 'Exact dedup'). md5 so DuckDB can replay it."""
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(s.encode()).hexdigest() for s in t["text"].to_pylist()]
+        df = pd.DataFrame({"text_hash": hs, "doc_id": t["doc_id"].to_numpy()})
+        g = df.groupby("text_hash").agg(doc_id=("doc_id", "min"),
+                                        n_dups=("doc_id", "count")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    part = ds.map_batches(add_hash, batch_format="pyarrow")
+    from ray.data.aggregate import Min
+    out = part.groupby("text_hash").aggregate(
+        Min("doc_id", alias_name="doc_id"), Sum("n_dups", alias_name="n_dups"))
+    t = pa.Table.from_pandas(out.to_pandas())
+    return t.select(["text_hash", "doc_id", "n_dups"]).set_column(
+        2, "n_dups", pc.cast(t["n_dups"], pa.int64())).set_column(
+        1, "doc_id", pc.cast(t["doc_id"], pa.int64()))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, min(doc_id)::BIGINT AS doc_id,
+       count(*)::BIGINT AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_doc_fingerprint(sf_dir: str):
+    """Document fingerprint: md5 of whitespace-normalized lowercase text
+    (the SQL-replayable variant of a rolling content hash)."""
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    ws = re.compile(r"\s+")
+
+    def f(t: pa.Table) -> pa.Table:
+        fp = [hashlib.md5(ws.sub(" ", s.lower()).strip().encode()).hexdigest()
+              for s in t["text"].to_pylist()]
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "fingerprint": pa.array(fp, type=pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id::BIGINT AS doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------- text analysis
+
+def q_token_count_by_lang(sf_dir: str):
+    """Token counting rolled up by language — integer-exact aggregate."""
+    ds = _pq(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": t["lang"].to_pylist(),
+            "tok": pc.count_substring_regex(t["text"], r"\S+").to_numpy().astype(np.int64),
+            "ch": pc.utf8_length(t["text"]).to_numpy().astype(np.int64),
+        })
+        return pa.Table.from_pandas(
+            df.groupby("lang").agg(toks=("tok", "sum"), chars=("ch", "sum"),
+                                   docs=("tok", "count")).reset_index(),
+            preserve_index=False)
+
+    out = _i64_all(_pq_agg(ds.map_batches(partial, batch_format="pyarrow"), "lang",
+                           toks="toks", chars="chars", docs="docs"))
+    return out
+
+
+def _pq_agg(ds, key, **cols):
+    aggs = [Sum(src, alias_name=dst) for dst, src in cols.items()]
+    return pa.Table.from_pandas(ds.groupby(key).aggregate(*aggs).to_pandas())
+
+
+def _i64_all(t: pa.Table) -> pa.Table:
+    for i, f in enumerate(t.schema):
+        if pa.types.is_integer(f.type) and f.type != pa.int64():
+            t = t.set_column(i, f.name, pc.cast(t[f.name], pa.int64()))
+        elif pa.types.is_floating(f.type):
+            # pandas groupby-sum of int64 can come back float on empty merge
+            t = t.set_column(i, f.name, pc.cast(t[f.name], pa.int64()))
+    return t
+
+
+SQL_TOKEN_COUNT = """
+SELECT lang,
+       sum(array_length(regexp_extract_all(text, '\\S+')))::BIGINT AS toks,
+       sum(length(text))::BIGINT AS chars,
+       count(*)::BIGINT AS docs
+FROM documents GROUP BY lang
+"""
+
+
+def q_quality_score(sf_dir: str):
+    """Per-document quality features (length, stopword hits, lexical
+    diversity) — the heuristic-quality-scoring stage of a data pipeline.
+    Vectorized with polars inside the batch (list.n_unique has no Arrow
+    kernel). Ratio = exact-int division, deterministic both sides."""
+    import polars as pl
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    stop_re = r"\b(the|a|data|row|table)\b"
+
+    def f(t: pa.Table) -> pa.Table:
+        pdf = pl.from_arrow(t)
+        toks = pdf["text"].str.extract_all(r"\S+")
+        n_tok = toks.list.len().cast(pl.Int64)
+        n_uniq = toks.list.n_unique().cast(pl.Int64)
+        n_stop = pc.count_substring_regex(t["text"], stop_re).to_numpy().astype(np.int64)
+        ratio = _round4(np.where(n_tok.to_numpy() > 0,
+                                 n_uniq.to_numpy() / np.maximum(n_tok.to_numpy(), 1), 0.0))
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_tokens": pa.array(n_tok.to_numpy(), type=pa.int64()),
+            "n_unique_tokens": pa.array(n_uniq.to_numpy(), type=pa.int64()),
+            "n_stopwords": pa.array(n_stop, type=pa.int64()),
+            "uniq_ratio": pa.array(ratio, type=pa.float64()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+SQL_QUALITY = """
+SELECT doc_id::BIGINT AS doc_id,
+       array_length(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens,
+       array_length(list_distinct(regexp_extract_all(text, '\\S+')))::BIGINT AS n_unique_tokens,
+       array_length(regexp_extract_all(text, '\\b(the|a|data|row|table)\\b'))::BIGINT AS n_stopwords,
+       round(array_length(list_distinct(regexp_extract_all(text, '\\S+')))::DOUBLE
+             / greatest(array_length(regexp_extract_all(text, '\\S+')), 1), 4) AS uniq_ratio
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------- similarity join / near-dup
+
+_JACCARD_SUBSET = 300     # oracle subset: all-pairs SQL is O(n^2)
+_JACCARD_TAU = 0.9
+
+
+def q_token_jaccard_pairs(sf_dir: str):
+    """Token-set Jaccard similarity join on a bounded subset (the all-pairs
+    oracle is O(n^2), so the subset is part of the query definition). The
+    word-soup testdata has a tiny vocabulary, so the intersection matrix is
+    one bitset matmul: pack each doc's token set into a bitset row, popcount
+    (M[a] & M[b]) — a single vectorized Ray task. The *scale* path for
+    similarity joins is q_minhash_lsh_neardup (banded LSH, no all-pairs)."""
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    t = t.filter(pc.less(t["doc_id"], _JACCARD_SUBSET))
+
+    @ray.remote
+    def all_pairs(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sets = [sorted(set(s.split())) for s in tbl["text"].to_pylist()]
+        vocab: dict[str, int] = {}
+        for s in sets:
+            for w in s:
+                vocab.setdefault(w, len(vocab))
+        M = np.zeros((len(sets), len(vocab)), dtype=bool)
+        for i, s in enumerate(sets):
+            M[i, [vocab[w] for w in s]] = True
+        inter = (M.astype(np.int32) @ M.astype(np.int32).T)
+        size = M.sum(axis=1).astype(np.int64)
+        ii, jj = np.triu_indices(len(sets), k=1)
+        un = size[ii] + size[jj] - inter[ii, jj]
+        jac = _round4(inter[ii, jj] / un)
+        keep = jac >= _JACCARD_TAU
+        order = np.argsort(ids)
+        a = np.minimum(ids[ii[keep]], ids[jj[keep]])
+        b = np.maximum(ids[ii[keep]], ids[jj[keep]])
+        return pa.table({"doc_a": pa.array(a, type=pa.int64()),
+                         "doc_b": pa.array(b, type=pa.int64()),
+                         "jaccard": pa.array(jac[keep], type=pa.float64())})
+
+    return ray.get(all_pairs.remote(t))
+
+
+SQL_JACCARD = f"""
+WITH t AS (
+  SELECT doc_id, list_distinct(regexp_extract_all(text, '\\S+')) AS toks
+  FROM documents WHERE doc_id < {_JACCARD_SUBSET})
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b,
+         round(len(list_intersect(a.toks, b.toks))::DOUBLE
+               / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4) AS jaccard
+  FROM t a JOIN t b ON a.doc_id < b.doc_id)
+WHERE jaccard >= {_JACCARD_TAU}
+"""
+
+
+def q_minhash_lsh_neardup(sf_dir: str, tau: float = 0.5, n_perm: int = 64,
+                          n_bands: int = 16, max_bucket: int = 200):
+    """MinHash+LSH near-duplicate pairs over ALL documents (the scale path:
+    3-word shingle -> minhash -> band -> bucket groupby -> candidate pairs
+    -> exact-Jaccard verify). Word shingles (not unigram sets) keep the LSH
+    selective on the bag-of-words-similar testdata. Buckets larger than
+    ``max_bucket`` are skipped (standard df-cutoff: an ultra-hot bucket is
+    all-pairs in disguise). Rows-only (no SQL oracle); recall vs exact
+    shingle-Jaccard is pinned in tests/test_training.py."""
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def sig_bands(t: pa.Table) -> pa.Table:
+        sets = [shingle_hash_set(s) for s in t["text"].to_pylist()]
+        sigs = minhash_many(sets, n_perm=n_perm)
+        keys = band_keys(sigs, n_bands=n_bands)
+        n, bcount = keys.shape
+        ids = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64), bcount)
+        return pa.table({
+            "band": pa.array(np.tile(np.arange(bcount, dtype=np.int32), n)),
+            "key": pa.array(keys.ravel(), type=pa.uint64()),
+            "doc_id": pa.array(ids, type=pa.int64()),
+        })
+
+    bands = ds.map_batches(sig_bands, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = np.unique(g["doc_id"].to_numpy())
+        if len(d) < 2 or len(d) > max_bucket:
+            return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
+                                 "doc_b": pd.Series(dtype=np.int64)})
+        ii, jj = np.triu_indices(len(d), k=1)
+        return pd.DataFrame({"doc_a": d[ii].astype(np.int64),
+                             "doc_b": d[jj].astype(np.int64)})
+
+    cand = bands.groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pandas")
+    cand_df = cand.to_pandas().drop_duplicates(ignore_index=True)
+    if len(cand_df) == 0:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+
+    # verify candidates with exact shingle-Jaccard (broadcast sets; at 1e10
+    # scale this becomes a gather-by-id join instead)
+    import pyarrow.parquet as pq_
+    t = pq_.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    sets = {int(i): shingle_hash_set(s)
+            for i, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())}
+    sets_ref = ray.put(sets)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        ss = ray.get(sets_ref)
+        ja = np.empty(len(df))
+        for k, (a, b) in enumerate(zip(df["doc_a"].to_numpy(), df["doc_b"].to_numpy())):
+            sa, sb = ss[int(a)], ss[int(b)]
+            if sa.size == 0 and sb.size == 0:
+                ja[k] = 0.0
+                continue
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            ja[k] = inter / (sa.size + sb.size - inter)
+        df = df.assign(jaccard=_round4(ja))
+        return df[df["jaccard"] >= tau]
+
+    ver = ray.data.from_pandas(cand_df).map_batches(verify, batch_format="pandas")
+    out = ver.to_pandas().sort_values(["doc_a", "doc_b"], ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_simhash64(sf_dir: str):
+    """Per-doc 64-bit SimHash fingerprints (rows-only; determinism +
+    hamming-locality pinned in pytest)."""
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        sets = [token_hash_set(s) for s in t["text"].to_pylist()]
+        fp = simhash_many(sets)
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "simhash": pa.array(fp.view(np.int64), type=pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- embeddings / ANN
+
+_ANN_K = 5
+_ANN_NQ = 8
+
+
+def q_ann_cosine_topk(sf_dir: str):
+    """Brute-force cosine top-k: broadcast the (tiny) query matrix once,
+    per-batch numpy matmul partial top-k over the corpus, final merge —
+    the baseline ANN path (IVF variant: q_ann_ivf_topk)."""
+    import pyarrow.parquet as pq_
+
+    qt = pq_.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    qt = qt.filter(pc.less(qt["vec_id"], _ANN_NQ))
+    Q = np.stack(qt["embedding"].to_pylist()).astype(np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_ids = qt["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    q_ref = ray.put((q_ids, Qn))
+
+    ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        ids_q, qn = ray.get(q_ref)
+        vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = vid >= _ANN_NQ
+        vid = vid[keep]
+        if len(vid) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        E = np.stack([e for e, k in zip(t["embedding"].to_pylist(), keep) if k]).astype(np.float64)
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        S = Qn_dot = qn @ En.T                       # (nq, nb)
+        k = min(_ANN_K, S.shape[1])
+        idx = np.argpartition(-S, kth=k - 1, axis=1)[:, :k]
+        rows = np.repeat(ids_q, k)
+        cols = vid[idx.ravel()]
+        sims = np.take_along_axis(S, idx, axis=1).ravel()
+        return pa.table({"query_id": pa.array(rows, type=pa.int64()),
+                         "neighbor_id": pa.array(cols, type=pa.int64()),
+                         "sim": pa.array(sims, type=pa.float64())})
+
+    part = ds.map_batches(partial_topk, batch_format="pyarrow")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(_ANN_K)
+        return g
+
+    out = part.groupby("query_id").map_groups(final, batch_format="pandas")
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.set_column(t.schema.get_field_index("sim"), "sim",
+                        pa.array(_round4(t["sim"].to_numpy()), type=pa.float64()))
+
+
+SQL_ANN = f"""
+SELECT query_id, neighbor_id, sim FROM (
+  SELECT q.vec_id::BIGINT AS query_id, e.vec_id::BIGINT AS neighbor_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 4) AS sim,
+         row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+                      e.vec_id) AS rn
+  FROM embeddings q JOIN embeddings e ON q.vec_id < {_ANN_NQ} AND e.vec_id >= {_ANN_NQ})
+WHERE rn <= {_ANN_K}
+"""
+
+
+def q_ann_ivf_topk(sf_dir: str, n_clusters: int = 16, nprobe: int = 4):
+    """IVF-flat scale path: deterministic k-means-lite centroids (seeded
+    sample, 5 Lloyd iterations), corpus bucketed by nearest centroid, query
+    probes ``nprobe`` nearest buckets only. Rows-only; recall vs brute force
+    pinned in pytest."""
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                       columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    E = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+
+    # train centroids on a deterministic sample (driver-side: centroid model
+    # is tiny; at scale this is a sample + broadcast, corpus stays distributed)
+    rng = np.random.default_rng(7)
+    C = En[rng.choice(len(En), size=min(n_clusters, len(En)), replace=False)]
+    for _ in range(5):
+        assign = (En @ C.T).argmax(axis=1)
+        for c in range(len(C)):
+            m = assign == c
+            if m.any():
+                v = En[m].mean(axis=0)
+                C[c] = v / np.linalg.norm(v)
+    c_ref = ray.put(C)
+
+    q_mask = ids < _ANN_NQ
+    Qn, q_ids = En[q_mask], ids[q_mask]
+    q_ref = ray.put((q_ids, Qn))
+
+    ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def bucketed_topk(tt: pa.Table) -> pa.Table:
+        C_ = ray.get(c_ref)
+        ids_q, qn = ray.get(q_ref)
+        probe = np.argsort(-(qn @ C_.T), axis=1)[:, :nprobe]     # (nq, nprobe)
+        vid = tt["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = vid >= _ANN_NQ
+        if not keep.any():
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        vid = vid[keep]
+        Eb = np.stack([e for e, k in zip(tt["embedding"].to_pylist(), keep) if k]).astype(np.float64)
+        Ebn = Eb / np.linalg.norm(Eb, axis=1, keepdims=True)
+        b_assign = (Ebn @ C_.T).argmax(axis=1)
+        rows_out, cols_out, sims_out = [], [], []
+        for qi in range(len(ids_q)):
+            m = np.isin(b_assign, probe[qi])
+            if not m.any():
+                continue
+            s = Ebn[m] @ qn[qi]
+            k = min(_ANN_K, len(s))
+            idx = np.argpartition(-s, kth=k - 1)[:k]
+            rows_out.extend([ids_q[qi]] * k)
+            cols_out.extend(vid[m][idx].tolist())
+            sims_out.extend(s[idx].tolist())
+        return pa.table({"query_id": pa.array(rows_out, type=pa.int64()),
+                         "neighbor_id": pa.array(cols_out, type=pa.int64()),
+                         "sim": pa.array(sims_out, type=pa.float64())})
+
+    part = ds.map_batches(bucketed_topk, batch_format="pyarrow")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(_ANN_K)
+
+    out = part.groupby("query_id").map_groups(final, batch_format="pandas")
+    t2 = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t2.set_column(t2.schema.get_field_index("sim"), "sim",
+                         pa.array(_round4(t2["sim"].to_numpy()), type=pa.float64()))
+
+
+def q_embedding_norm_by_label(sf_dir: str):
+    """list<float> handling + integer-exact norm aggregate per label:
+    each element quantized to round(x*1000) -> squared-sum int64 (identical
+    arithmetic in DuckDB's list_transform/list_sum)."""
+    ds = _pq(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        E = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+        q = np.sign(E) * np.floor(np.abs(E) * 1000.0 + 0.5)
+        n2 = (q.astype(np.int64) ** 2).sum(axis=1)
+        df = pd.DataFrame({"label": t["label"].to_numpy(zero_copy_only=False).astype(np.int64),
+                           "n2": n2})
+        return pa.Table.from_pandas(
+            df.groupby("label").agg(norm2_sum=("n2", "sum"), n=("n2", "count")).reset_index(),
+            preserve_index=False)
+
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby("label").aggregate(
+        Sum("norm2_sum", alias_name="norm2_sum"), Sum("n", alias_name="n"))
+    t = pa.Table.from_pandas(out.to_pandas())
+    t = t.set_column(t.schema.get_field_index("norm2_sum"), "norm2_sum",
+                     pc.cast(t["norm2_sum"], pa.int64()))
+    t = t.set_column(t.schema.get_field_index("n"), "n", pc.cast(t["n"], pa.int64()))
+    mean = pc.round(pc.divide(pc.cast(t["norm2_sum"], pa.float64()),
+                              pc.cast(t["n"], pa.float64())),
+                    ndigits=_R, round_mode="half_towards_infinity")
+    return t.append_column("norm2_mean", mean)
+
+
+SQL_EMB_NORM = """
+SELECT label::BIGINT AS label,
+       sum(list_sum(list_transform(embedding::DOUBLE[],
+           x -> CAST(round(x * 1000) AS BIGINT) * CAST(round(x * 1000) AS BIGINT))))::BIGINT
+         AS norm2_sum,
+       count(*)::BIGINT AS n,
+       round(sum(list_sum(list_transform(embedding::DOUBLE[],
+           x -> CAST(round(x * 1000) AS BIGINT) * CAST(round(x * 1000) AS BIGINT))))::DOUBLE
+             / count(*), 4) AS norm2_mean
+FROM embeddings GROUP BY label
+"""
+
+
+# ---------------------------------------------------------------- lang-id (actor pool)
+
+class TrigramLangId:
+    """Stateful lang-id stage: char-trigram profiles per language are built
+    ONCE per actor in __init__ (the load-model-per-actor pattern, SURVEY
+    §7.2); __call__ scores batches vectorized. Profiles are trained on the
+    deterministic doc_id%10<3 slice of the same table."""
+
+    BUCKETS = 1 << 12
+
+    def __init__(self, sf_dir: str):
+        import pyarrow.parquet as pq_
+
+        t = pq_.read_table(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text", "lang"])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        train = t.filter(pa.array(ids % 10 < 3))
+        profs: dict[str, np.ndarray] = {}
+        for lang, text in zip(train["lang"].to_pylist(), train["text"].to_pylist()):
+            v = profs.setdefault(lang, np.zeros(self.BUCKETS))
+            v += self._vec(text)
+        self.langs = sorted(profs)
+        P = np.stack([profs[l] for l in self.langs])
+        norm = np.linalg.norm(P, axis=1, keepdims=True)
+        self.P = P / np.maximum(norm, 1e-12)
+
+    def _vec(self, text: str) -> np.ndarray:
+        tg = [text[i:i + 3] for i in range(len(text) - 2)]
+        v = np.zeros(self.BUCKETS)
+        if tg:
+            h = hash64(tg) % np.uint64(self.BUCKETS)
+            np.add.at(v, h.astype(np.int64), 1.0)
+        return v
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        preds = []
+        for text in t["text"].to_pylist():
+            v = self._vec(text)
+            n = np.linalg.norm(v)
+            sims = self.P @ (v / n) if n > 0 else np.zeros(len(self.langs))
+            preds.append(self.langs[int(np.argmax(sims))])
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "lang_pred": pa.array(preds, type=pa.string()),
+                         "lang_true": t["lang"]})
+
+
+def q_lang_id_trigram(sf_dir: str):
+    """Language-ID over documents via a TrigramLangId actor pool. Rows-only
+    (model scoring is not SQL-expressible); determinism pinned in pytest."""
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    return pa.Table.from_pandas(
+        ds.map_batches(TrigramLangId, batch_format="pyarrow", batch_size=1024,
+                       concurrency=2, fn_constructor_args=(sf_dir,)).to_pandas(),
+        preserve_index=False)
+
+
+# ---------------------------------------------------------------- streaming sessionize
+
+def q_sessionize_events(sf_dir: str):
+    """§2.9 stream-shaped op: session counting with a 30-minute inactivity
+    gap, keyed by user — groupby(key).map_groups over ts-sorted groups
+    (ray_guide 'Streaming-shaped workloads')."""
+    ds = _pq(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        n_sessions = int(gap.sum()) + 1
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "n_sessions": [n_sessions],
+                             "n_events": [len(g)]})
+
+    out = ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return _i64_all(t)
+
+
+SQL_SESSIONIZE = """
+WITH d AS (
+  SELECT user_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events)
+SELECT user_id, sum(new_s)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events
+FROM d GROUP BY user_id
+"""
+
+
+TRAINING_QUERIES: dict[str, tuple] = {
+    "dedup_exact_text": (q_dedup_exact_text, SQL_DEDUP_EXACT),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_FINGERPRINT),
+    "token_count_by_lang": (q_token_count_by_lang, SQL_TOKEN_COUNT),
+    "quality_score": (q_quality_score, SQL_QUALITY),
+    "token_jaccard_pairs": (q_token_jaccard_pairs, SQL_JACCARD),
+    "minhash_lsh_neardup": (q_minhash_lsh_neardup, None),
+    "simhash64": (q_simhash64, None),
+    "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN),
+    "ann_ivf_topk": (q_ann_ivf_topk, None),
+    "embedding_norm_by_label": (q_embedding_norm_by_label, SQL_EMB_NORM),
+    "lang_id_trigram": (q_lang_id_trigram, None),
+    "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE),
+}
