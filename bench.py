@@ -1,0 +1,272 @@
+"""Benchmark harness (driver contract + SURVEY.md §6 / BASELINE.md).
+
+Default: runs the headline suite at RAY_GRAFT_CPUS (default 32) over
+$GRAFT_SF_DIR (default /root/testdata/sf0.1) + deterministic synthetic pages
+corpora, prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "pages_per_sec": ..., "frontier_urls_per_sec": ...}
+
+--kernel:  only the throughput kernel (featurize 200k pages) — used by --scaling.
+--scaling: run the kernel + crawl in TWO fresh processes (8 vs 32 CPUs, i.e.
+           N and 4N) on the same pre-generated input; print both throughputs
+           + scaling efficiency (the sandbox evidence for the N->4N cluster
+           criterion, BASELINE.md).
+
+This script OWNS its Ray session (library code never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+BENCH_ROOT = "/tmp/scrapy_ray_bench"
+CRAWL_ROOT = os.path.join(BENCH_ROOT, "corpus_crawl")
+FEAT_ROOT = os.path.join(BENCH_ROOT, "corpus_feat")
+
+
+def _specs():
+    from scrapy_ray.sources.corpus import CorpusSpec
+
+    # crawl: hot host capped so the listing-pagination chain (inherently
+    # sequential discovery) stays ~15 waves; feat: 1M pages so the kernel is
+    # compute-bound (~500 core-s) and the 8-vs-32 scaling number measures
+    # throughput, not fixed overhead.
+    crawl_spec = CorpusSpec(n_hosts=2000, total_pages=200_000, page_size=100,
+                            seed=42, n_buckets=32, max_details_per_host=1500)
+    feat_spec = CorpusSpec(n_hosts=800, total_pages=500_000, page_size=50,
+                           seed=42, n_buckets=64, max_details_per_host=30_000)
+    return crawl_spec, feat_spec
+
+
+def ensure_corpora(which: str = "both") -> None:
+    from scrapy_ray.sources.corpus import generate_corpus
+
+    crawl_spec, feat_spec = _specs()
+    if which in ("both", "crawl"):
+        generate_corpus(CRAWL_ROOT, crawl_spec)
+    if which in ("both", "feat"):
+        generate_corpus(FEAT_ROOT, feat_spec)
+
+
+def _warm_workers(num_cpus: int) -> None:
+    """Spin up + import-warm every worker process so timed runs measure the
+    engine, not cold process startup (ray_guide '--scaling' note)."""
+    import ray
+
+    @ray.remote
+    def _w() -> int:
+        import scrapy_ray.stages.parse  # noqa: F401 (pulls polars/numpy/regexes)
+        import scrapy_ray.stages.features  # noqa: F401
+        return 1
+
+    ray.get([_w.remote() for _ in range(num_cpus * 2)])
+
+
+def bench_crawl() -> dict:
+    """End-to-end wave-loop crawl (frontier + dedup + fetch-join + parse +
+    sinks; politeness budget maxed out so throughput — not the virtual
+    pacing clock — is measured) — reports pages/sec and frontier URLs/sec
+    [B:metric]."""
+    from scrapy_ray.config import CrawlConfig
+    from scrapy_ray.pipelines.crawl import run_crawl
+
+    cfg = CrawlConfig(n_filter_shards=8, n_frontier_shards=8,
+                      per_domain_cap=1 << 20, respect_crawl_delay=False)
+    t0 = time.time()
+    res = run_crawl(CRAWL_ROOT, cfg)
+    dt = time.time() - t0
+    return {
+        "sec": dt,
+        "pages_fetched": res.metrics["pages_fetched"],
+        "urls_seen": res.metrics["url_seen"],
+        "waves": res.metrics["waves"],
+        "pages_per_sec": res.metrics["pages_fetched"] / dt,
+        "frontier_urls_per_sec": res.metrics["url_seen"] / dt,
+    }
+
+
+def bench_kernel(num_cpus: int, warmup: bool = True) -> dict:
+    """Throughput kernel: featurize the 1M-page corpus (parse + extract +
+    text stats + MinHash/SimHash), streaming read -> map_batches -> parquet.
+    One untimed warmup over a slice spins up workers + page cache so the
+    timed run measures compute + I/O, not process startup."""
+    import ray.data
+
+    from scrapy_ray.sources.corpus import corpus_paths
+    from scrapy_ray.stages.features import _featurize_task, featurize_corpus
+
+    if warmup:
+        _warm_workers(num_cpus)
+        ds = ray.data.read_parquet(corpus_paths(FEAT_ROOT)["pages"][:8],
+                                   columns=["url", "html"])
+        ds.map_batches(_featurize_task, batch_format="pyarrow",
+                       batch_size=256).count()
+
+    out = os.path.join(BENCH_ROOT, f"feat_out_{num_cpus}")
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    t0 = time.time()
+    n = featurize_corpus(FEAT_ROOT, out)
+    dt = time.time() - t0
+    return {"sec": dt, "rows": n, "pages_per_sec": n / dt}
+
+
+def bench_queries(sf_dir: str) -> dict:
+    """Headline query pipelines over the driver testdata at sf0.1."""
+    from scrapy_ray.pipelines.queries import (q_explode_top_tokens,
+                                              q_grouped_agg_user_value,
+                                              q_tpch_q1_like, q_tpch_q3_like)
+    from scrapy_ray.pipelines.training import (q_ann_cosine_topk,
+                                               q_dedup_exact_text,
+                                               q_minhash_lsh_neardup,
+                                               q_sessionize_events)
+
+    out = {}
+    for name, fn in [
+        ("tpch_q1_like", q_tpch_q1_like),
+        ("tpch_q3_like", q_tpch_q3_like),
+        ("grouped_agg_user_value", q_grouped_agg_user_value),
+        ("explode_top_tokens", q_explode_top_tokens),
+        ("dedup_exact_text", q_dedup_exact_text),
+        ("minhash_lsh_neardup", q_minhash_lsh_neardup),
+        ("ann_cosine_topk", q_ann_cosine_topk),
+        ("sessionize_events", q_sessionize_events),
+    ]:
+        t0 = time.time()
+        res = fn(sf_dir)
+        # force execution for lazy Datasets
+        import ray.data
+        if isinstance(res, ray.data.Dataset):
+            res.count()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from scrapy_ray.util import quiet_ray_data
+
+    quiet_ray_data()
+
+
+def run_kernel_mode() -> None:
+    _init_ray(NUM_CPUS)
+    ensure_corpora("feat")
+    k = bench_kernel(NUM_CPUS)
+    print(json.dumps({"metric": "featurize_500k_pages", "value": round(k["sec"], 3),
+                      "unit": "sec", "num_cpus": NUM_CPUS,
+                      "pages_per_sec": round(k["pages_per_sec"], 1)}))
+    import ray
+    ray.shutdown()
+
+
+def run_crawl_mode() -> None:
+    _init_ray(NUM_CPUS)
+    ensure_corpora("crawl")
+    _warm_workers(NUM_CPUS)
+    c = bench_crawl()
+    print(json.dumps({"metric": "crawl_200k_pages", "value": round(c["sec"], 3),
+                      "unit": "sec", "num_cpus": NUM_CPUS,
+                      "pages_per_sec": round(c["pages_per_sec"], 1),
+                      "frontier_urls_per_sec": round(c["frontier_urls_per_sec"], 1)}))
+    import ray
+    ray.shutdown()
+
+
+def run_full() -> None:
+    _init_ray(NUM_CPUS)
+    ensure_corpora("both")
+    t_start = time.time()
+    crawl = bench_crawl()
+    kernel = bench_kernel(NUM_CPUS)
+    queries = bench_queries(SF_DIR)
+    queries["crawl_200k_pages"] = round(crawl["sec"], 3)
+    queries["featurize_500k_pages"] = round(kernel["sec"], 3)
+    total = time.time() - t_start
+    print(json.dumps({
+        "metric": "bench_suite_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "pages_per_sec": round(crawl["pages_per_sec"], 1),
+        "frontier_urls_per_sec": round(crawl["frontier_urls_per_sec"], 1),
+        "featurize_pages_per_sec": round(kernel["pages_per_sec"], 1),
+    }))
+    import ray
+    ray.shutdown()
+
+
+def _sub(mode: str, ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    out = subprocess.run([sys.executable, os.path.abspath(__file__), mode],
+                         env=env, capture_output=True, text=True, check=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def run_scaling() -> None:
+    """N -> 4N scaling evidence, sandbox protocol (BASELINE.md).
+
+    Primary pair is 2 -> 8 CPUs: this VM's 32 vCPUs are hypervisor-
+    oversubscribed (large /proc/stat steal time; running 32-wide throttles
+    ALL processes for seconds afterwards — measured in BENCH/BASELINE.md),
+    so beyond ~8-16 busy vCPUs wall-time stops reflecting engine behavior.
+    The 8 -> 32 pair is reported as a secondary datapoint with that caveat.
+    On a real multi-node cluster each node owns its cores/membw, so node
+    scaling tracks the contention-free pair."""
+    # pre-generate inputs once (untimed; also warms the page cache)
+    _init_ray(NUM_CPUS)
+    ensure_corpora("both")
+    import ray
+    ray.shutdown()
+
+    lo_n, hi_n, xhi_n = 2, 8, 32
+    res = {"lo_cpus": lo_n, "hi_cpus": hi_n, "contended_cpus": xhi_n}
+    k_lo = _sub("--kernel", lo_n)
+    k_hi = _sub("--kernel", hi_n)
+    k_xhi = _sub("--kernel", xhi_n)
+    eff_k = (k_lo["value"] / k_hi["value"]) / (hi_n / lo_n)
+    eff_k2 = (k_hi["value"] / k_xhi["value"]) / (xhi_n / hi_n)
+    c_lo = _sub("--crawl", lo_n)
+    c_hi = _sub("--crawl", hi_n)
+    eff_c = (c_lo["value"] / c_hi["value"]) / (hi_n / lo_n)
+    res.update({
+        "kernel_sec_2": k_lo["value"], "kernel_sec_8": k_hi["value"],
+        "kernel_sec_32": k_xhi["value"],
+        "kernel_pages_per_sec_2": k_lo["pages_per_sec"],
+        "kernel_pages_per_sec_8": k_hi["pages_per_sec"],
+        "kernel_pages_per_sec_32": k_xhi["pages_per_sec"],
+        "kernel_scaling_efficiency_2_to_8": round(eff_k, 3),
+        "kernel_scaling_efficiency_8_to_32_contended": round(eff_k2, 3),
+        "crawl_sec_2": c_lo["value"], "crawl_sec_8": c_hi["value"],
+        "crawl_pages_per_sec_2": c_lo["pages_per_sec"],
+        "crawl_pages_per_sec_8": c_hi["pages_per_sec"],
+        "crawl_frontier_urls_per_sec_2": c_lo["frontier_urls_per_sec"],
+        "crawl_frontier_urls_per_sec_8": c_hi["frontier_urls_per_sec"],
+        "crawl_scaling_efficiency_2_to_8": round(eff_c, 3),
+    })
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    elif "--kernel" in sys.argv:
+        run_kernel_mode()
+    elif "--crawl" in sys.argv:
+        run_crawl_mode()
+    else:
+        run_full()

@@ -1,0 +1,93 @@
+"""CLI entrypoint — the ``scrapy crawl`` / ``ray job submit`` surface
+(SURVEY.md §3.1):
+
+    python -m scrapy_ray crawl --corpus /path/to/corpus --out /tmp/out \
+        [--checkpoint DIR] [--resume] [--max-pages N] [--delay S] [--format parquet]
+    python -m scrapy_ray gen --out /path/to/corpus --hosts 50 --pages 5000
+
+On a real cluster the same command runs unchanged under
+``ray job submit -- python -m scrapy_ray crawl ...`` — the script owns the
+session via ray.init(address=...) which in a job context attaches to the
+cluster. This module (not the library) owns ray.init/shutdown.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="scrapy_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl", help="run the wave-loop crawl over a pages corpus")
+    c.add_argument("--corpus", required=True)
+    c.add_argument("--out", required=True, help="items export directory")
+    c.add_argument("--format", default="parquet", choices=["parquet", "json", "csv"])
+    c.add_argument("--checkpoint", default=None)
+    c.add_argument("--resume", action="store_true")
+    c.add_argument("--max-pages", type=int, default=0)
+    c.add_argument("--max-waves", type=int, default=0)
+    c.add_argument("--delay", type=float, default=0.0)
+    c.add_argument("--per-domain-cap", type=int, default=8)
+    c.add_argument("--depth-limit", type=int, default=0)
+    c.add_argument("--no-robots", action="store_true")
+    c.add_argument("--frontier-shards", type=int, default=4)
+    c.add_argument("--filter-shards", type=int, default=4)
+    c.add_argument("--num-cpus", type=int, default=None)
+
+    g = sub.add_parser("gen", help="generate a deterministic synthetic pages corpus")
+    g.add_argument("--out", required=True)
+    g.add_argument("--hosts", type=int, default=50)
+    g.add_argument("--pages", type=int, default=5000)
+    g.add_argument("--page-size", type=int, default=10)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--buckets", type=int, default=16)
+    g.add_argument("--num-cpus", type=int, default=None)
+
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 num_cpus=args.num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    from scrapy_ray.util import quiet_ray_data
+
+    quiet_ray_data()
+    try:
+        if args.cmd == "gen":
+            from scrapy_ray.sources.corpus import CorpusSpec, generate_corpus
+
+            spec = CorpusSpec(n_hosts=args.hosts, total_pages=args.pages,
+                              page_size=args.page_size, seed=args.seed,
+                              n_buckets=args.buckets)
+            generate_corpus(args.out, spec)
+            print(json.dumps({"corpus": args.out, "spec": spec.__dict__}))
+        else:
+            from scrapy_ray.config import CrawlConfig
+            from scrapy_ray.pipelines.crawl import run_crawl
+            from scrapy_ray.sources.sinks import export_items
+
+            cfg = CrawlConfig(
+                per_domain_cap=args.per_domain_cap, download_delay=args.delay,
+                obey_robots=not args.no_robots, depth_limit=args.depth_limit,
+                max_pages=args.max_pages, max_waves=args.max_waves,
+                n_filter_shards=args.filter_shards,
+                n_frontier_shards=args.frontier_shards,
+                checkpoint_dir=args.checkpoint,
+            )
+            res = run_crawl(args.corpus, cfg, resume=args.resume)
+            export_items(res.items, args.out, fmt=args.format)
+            print(json.dumps(res.metrics))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

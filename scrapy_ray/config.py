@@ -29,7 +29,10 @@ class CrawlConfig:
     per_domain_cap: int = 8          # CONCURRENT_REQUESTS_PER_DOMAIN
     download_delay: float = 0.0      # DOWNLOAD_DELAY (seconds, virtual)
     wave_period: float = 1.0         # seconds of virtual time one wave represents
-    obey_robots: bool = True         # ROBOTSTXT_OBEY
+    obey_robots: bool = True         # ROBOTSTXT_OBEY (Disallow gating)
+    respect_crawl_delay: bool = True  # robots Crawl-delay pacing; bench turns
+                                      # this off to measure engine throughput,
+                                      # not the virtual politeness clock
 
     # spider-middleware filters ([S:scrapy/spidermiddlewares/*])
     depth_limit: int = 0             # DEPTH_LIMIT, 0 = unlimited

@@ -99,9 +99,18 @@ def seeds_to_links(seeds: list[dict]) -> pa.Table:
 
 
 class CrawlEngine:
-    def __init__(self, corpus_root: str, cfg: CrawlConfig, n_buckets: int | None = None):
+    def __init__(self, corpus_root: str, cfg: CrawlConfig, n_buckets: int | None = None,
+                 item_pipelines: tuple = (), link_middlewares: tuple = (),
+                 metrics=None):
+        """``item_pipelines`` / ``link_middlewares``: user-extension chains of
+        pa.Table -> pa.Table batch fns (registry.py, SURVEY §2.10) applied to
+        extracted items before the sink and to candidate links before the
+        M7–M9 filters. ``metrics``: optional MetricsActor handle (F7)."""
         self.root = corpus_root
         self.cfg = cfg
+        self.item_pipelines = tuple(item_pipelines)
+        self.link_middlewares = tuple(link_middlewares)
+        self.metrics = metrics
         if n_buckets is None:
             with open(os.path.join(corpus_root, "meta.json")) as fh:
                 n_buckets = json.load(fh)["spec"]["n_buckets"]
@@ -211,11 +220,19 @@ class CrawlEngine:
 
         self.pages_fetched += len(parsed)
         items = split_items(parsed)
+        if self.item_pipelines:
+            from scrapy_ray.registry import apply_chain
+
+            items = apply_chain(self.item_pipelines, items)
         links = split_links(parsed)
         self.items_count += len(items)
 
         if len(links):
             links = links.sort_by([("parent_seq", "ascending"), ("link_idx", "ascending")])
+            if self.link_middlewares:
+                from scrapy_ray.registry import apply_chain
+
+                links = apply_chain(self.link_middlewares, links)
             links = filter_links(links, cfg)                     # M7/M8/M9
             fresh = self.urlseen.filter_new(links)               # F1 anti-join
             rows = _links_to_frontier(fresh, self.next_seq)
@@ -228,6 +245,12 @@ class CrawlEngine:
         entry = self._sink(self.wave_idx, items, order)
         entry.update({"n_fetched": len(parsed), "n_new_links": n_new})
         self.lineage.append(entry)
+        if self.metrics is not None:  # F7: one batched RPC per wave
+            from collections import Counter
+
+            self.metrics.inc.remote({"pages_fetched": len(parsed),
+                                     "items": len(items), "new_links": n_new})
+            self.metrics.inc_hosts.remote(dict(Counter(wave["host"].to_pylist())))
         self.wave_idx += 1
         if self.ckpt and (self.wave_idx % max(1, cfg.checkpoint_every) == 0):
             self.checkpoint()
@@ -261,10 +284,11 @@ class CrawlEngine:
 
 
 def run_crawl(corpus_root: str, cfg: CrawlConfig | None = None,
-              seeds: list[dict] | None = None, resume: bool = False) -> CrawlResult:
+              seeds: list[dict] | None = None, resume: bool = False,
+              **engine_kwargs) -> CrawlResult:
     """Convenience one-shot crawl (the ``scrapy crawl`` equivalent, §3.1)."""
     cfg = cfg or CrawlConfig()
-    eng = CrawlEngine(corpus_root, cfg)
+    eng = CrawlEngine(corpus_root, cfg, **engine_kwargs)
     if not (resume and eng.try_resume()):
         eng.seed(seeds)
     while eng.run_wave():

@@ -69,7 +69,8 @@ def simulate_crawl(corpus_root: str, cfg: CrawlConfig | None = None,
         return robots.get(host, ALLOW_ALL)
 
     def delay(host):
-        return max(cfg.download_delay, rules(host).crawl_delay)
+        robots_d = rules(host).crawl_delay if cfg.respect_crawl_delay else 0.0
+        return max(cfg.download_delay, robots_d)
 
     def prefilter(cands: list[dict]) -> list[dict]:
         out = []

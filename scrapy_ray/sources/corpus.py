@@ -60,6 +60,9 @@ class CorpusSpec:
     n_buckets: int = 8
     dangling_frac: float = 0.05    # fraction of cross-links that 404 on fetch-join
     error_frac: float = 0.02       # detail pages with status 404/500 (M10)
+    max_details_per_host: int = 0  # 0 = uncapped Zipf; bench caps the hot host
+                                   # so listing-chain depth (sequential waves)
+                                   # stays bounded
 
     def host(self, i: int) -> str:
         return f"h{i:03d}.example.com"
@@ -75,6 +78,8 @@ def zipf_alloc(spec: CorpusSpec) -> list[int]:
     n_listing_est = spec.total_pages / (spec.page_size + 1)
     details_total = spec.total_pages - n_listing_est
     alloc = np.maximum(3, np.round(w * details_total).astype(int))
+    if spec.max_details_per_host:
+        alloc = np.minimum(alloc, spec.max_details_per_host)
     return alloc.tolist()
 
 

@@ -66,7 +66,8 @@ class FrontierShard:
         return self.robots.get(host, ALLOW_ALL)
 
     def _delay(self, host: str) -> float:
-        return max(self.cfg.download_delay, self._rules(host).crawl_delay)
+        robots_d = self._rules(host).crawl_delay if self.cfg.respect_crawl_delay else 0.0
+        return max(self.cfg.download_delay, robots_d)
 
     def push(self, rows: pa.Table) -> int:
         """Enqueue FRONTIER rows; robots-denied rows are dropped here (they

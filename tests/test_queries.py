@@ -1,0 +1,58 @@
+"""Driver-style oracle checks in miniature: run a representative subset of
+queries() against their oracle_sql() with DuckDB at sf0.001 (the full set
+runs in the driver at sf0.01; this keeps CI fast while pinning the compare
+machinery and column-name contract)."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+SUBSET = [
+    "filter_project_lang",
+    "scalar_string_fns",
+    "grouped_agg_user_value",
+    "tpch_q1_like",
+    "topk_orders",
+    "dedup_first_event_per_user",
+    "join_orders_customer",
+    "tpch_q3_like",
+    "explode_top_tokens",
+    "dedup_exact_text",
+    "quality_score",
+    "token_jaccard_pairs",
+    "ann_cosine_topk",
+    "embedding_norm_by_label",
+    "sessionize_events",
+    "multimodal_decode_meta",
+]
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(ray_session, name):
+    import __ray_entry__ as E
+    from scrapy_ray.pipelines.oracle import compare, duckdb_run
+
+    fn = E.queries()[name]
+    sql = E.oracle_sql()[name]
+    ok, msg = compare(fn(SF), duckdb_run(SF, sql))
+    assert ok, msg
+
+
+def test_all_oracle_keys_subset_of_queries():
+    import __ray_entry__ as E
+
+    qs = set(E.queries())
+    sqls = set(E.oracle_sql())
+    assert sqls <= qs
+    assert len(qs) >= 30
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as E
+
+    ds = E.entry()
+    assert ds.count() > 0
+    names = set(ds.schema().names)
+    assert {"url", "name", "rating", "extracted_text"} <= names

@@ -1,0 +1,123 @@
+"""Tests for the training-data operator suite: sketch kernels vs brute-force
+definitions, LSH recall, IVF recall, determinism of rows-only ops."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pytest
+
+from scrapy_ray.functions.hashing import hash64
+from scrapy_ray.functions.sketch import (band_keys, hamming64, minhash_many,
+                                         minhash_signature, shingle_hash_set,
+                                         simhash64, token_hash_set)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    return inter / (a.size + b.size - inter) if (a.size or b.size) else 0.0
+
+
+def test_minhash_estimates_jaccard():
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 2**61, size=400, dtype=np.uint64)
+    a = np.unique(base)
+    for frac in (0.9, 0.5, 0.2):
+        keep = rng.random(len(a)) < frac
+        b = np.unique(np.concatenate([a[keep], rng.integers(0, 2**61, size=80, dtype=np.uint64)]))
+        true_j = _jaccard(a, b)
+        sa = minhash_signature(a, n_perm=256)
+        sb = minhash_signature(b, n_perm=256)
+        est = (sa == sb).mean()
+        assert abs(est - true_j) < 0.12, (true_j, est)
+
+
+def test_minhash_identical_and_disjoint():
+    a = np.unique(np.arange(100, dtype=np.uint64) * 7919)
+    assert (minhash_signature(a) == minhash_signature(a.copy())).all()
+    b = np.unique(np.arange(100, dtype=np.uint64) * 7919 + 3)
+    est = (minhash_signature(a, 128) == minhash_signature(b, 128)).mean()
+    assert est < 0.1
+
+
+def test_band_keys_shape_and_collision():
+    sets = [np.unique(np.random.default_rng(i).integers(0, 2**61, 50, dtype=np.uint64))
+            for i in range(4)]
+    sigs = minhash_many(sets, n_perm=64)
+    keys = band_keys(sigs, n_bands=8)
+    assert keys.shape == (4, 8)
+    # identical docs collide in every band
+    k2 = band_keys(minhash_many([sets[0], sets[0].copy()]), n_bands=8)
+    assert (k2[0] == k2[1]).all()
+
+
+def test_simhash_locality():
+    toks = [f"w{i}" for i in range(200)]
+    a = np.unique(hash64(toks))
+    near = np.unique(hash64(toks[:190] + [f"x{i}" for i in range(10)]))
+    far = np.unique(hash64([f"z{i}" for i in range(200)]))
+    ha, hn, hf = simhash64(a), simhash64(near), simhash64(far)
+    d_near = hamming64(np.array([ha], dtype=np.uint64), np.array([hn], dtype=np.uint64))[0]
+    d_far = hamming64(np.array([ha], dtype=np.uint64), np.array([hf], dtype=np.uint64))[0]
+    assert d_near < d_far
+    assert d_near <= 12
+    assert simhash64(a) == simhash64(a.copy())
+
+
+def test_shingle_sets():
+    s = shingle_hash_set("a b c d", k=3)
+    assert len(s) == 2        # "a b c", "b c d"
+    assert len(shingle_hash_set("a b", k=3)) == 1
+    assert len(shingle_hash_set("", k=3)) == 0
+
+
+def test_lsh_recall_vs_exact(ray_session):
+    """LSH candidate generation + verify must recover >=90% of the true
+    shingle-Jaccard >= tau pairs on the testdata subset."""
+    import pyarrow.parquet as pq
+
+    from scrapy_ray.pipelines.training import q_minhash_lsh_neardup
+
+    tau = 0.5
+    got = q_minhash_lsh_neardup(SF, tau=tau)
+    got_pairs = set(zip(got["doc_a"].to_pylist(), got["doc_b"].to_pylist()))
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    sets = {int(i): shingle_hash_set(s)
+            for i, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())}
+    truth = set()
+    ids = sorted(sets)
+    for a, b in itertools.combinations(ids, 2):
+        if _jaccard(sets[a], sets[b]) >= tau:
+            truth.add((a, b))
+    assert truth, "testdata should contain shingle near-dups"
+    recall = len(got_pairs & truth) / len(truth)
+    assert recall >= 0.9, (recall, len(truth), len(got_pairs))
+    # no false positives: every reported pair truly passes tau (verified step)
+    assert got_pairs <= truth
+
+
+def test_ivf_recall_vs_brute_force(ray_session):
+    from scrapy_ray.pipelines.training import q_ann_cosine_topk, q_ann_ivf_topk
+
+    bf = q_ann_cosine_topk(SF)
+    ivf = q_ann_ivf_topk(SF)
+    bf_pairs = set(zip(bf["query_id"].to_pylist(), bf["neighbor_id"].to_pylist()))
+    ivf_pairs = set(zip(ivf["query_id"].to_pylist(), ivf["neighbor_id"].to_pylist()))
+    recall = len(bf_pairs & ivf_pairs) / len(bf_pairs)
+    assert recall >= 0.5, recall  # nprobe=4/16 buckets on random vectors
+
+
+def test_rows_only_ops_deterministic(ray_session):
+    from scrapy_ray.pipelines.oracle import normalize, to_pandas
+    from scrapy_ray.pipelines.training import q_lang_id_trigram, q_simhash64
+
+    a = normalize(to_pandas(q_simhash64(SF)))
+    b = normalize(to_pandas(q_simhash64(SF)))
+    assert a.equals(b)
+    la = normalize(to_pandas(q_lang_id_trigram(SF)))
+    lb = normalize(to_pandas(q_lang_id_trigram(SF)))
+    assert la.equals(lb)
