@@ -36,11 +36,13 @@ def _registry() -> dict[str, tuple]:
     from scrapy_ray.pipelines.crawl_queries import CRAWL_QUERIES
     from scrapy_ray.pipelines.multimodal import MULTIMODAL_QUERIES
     from scrapy_ray.pipelines.queries import QUERIES
+    from scrapy_ray.pipelines.queries2 import QUERIES2
     from scrapy_ray.pipelines.skew import SKEW_QUERIES
     from scrapy_ray.pipelines.training import TRAINING_QUERIES
 
     reg: dict[str, tuple] = {}
     reg.update(QUERIES)
+    reg.update(QUERIES2)
     reg.update(TRAINING_QUERIES)
     reg.update(MULTIMODAL_QUERIES)
     reg.update(SKEW_QUERIES)

@@ -7,11 +7,14 @@ corpora, prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
    "pages_per_sec": ..., "frontier_urls_per_sec": ...}
 
---kernel:  only the throughput kernel (featurize 200k pages) — used by --scaling.
---scaling: run the kernel + crawl in TWO fresh processes (8 vs 32 CPUs, i.e.
-           N and 4N) on the same pre-generated input; print both throughputs
-           + scaling efficiency (the sandbox evidence for the N->4N cluster
-           criterion, BASELINE.md).
+--kernel:  only the throughput kernel (featurize the 500k-page corpus) —
+           used by --scaling.
+--crawl:   only the end-to-end crawl bench (200k-page corpus).
+--scaling: run kernel + crawl in fresh processes at N and 4N CPUs (primary
+           pair 2 -> 8; 32 reported as a contended datapoint — this VM's
+           vCPUs are hypervisor-oversubscribed, see BENCH/BASELINE.md) on
+           the same pre-generated input; print throughputs + scaling
+           efficiency (the sandbox evidence for the N->4N cluster criterion).
 
 This script OWNS its Ray session (library code never calls ray.init).
 """

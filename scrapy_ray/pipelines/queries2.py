@@ -1,0 +1,325 @@
+"""Second oracle-query batch — deepens SURVEY.md §2.8/§2.9 coverage: window
+functions, CASE-bucketed aggregates, BETWEEN/date predicates, anti-joins,
+multi-hop dimension joins, HAVING, and embedding near-dup pairs.
+
+Same conventions as pipelines/queries.py (integer-cent exact sums, identical
+column names, broadcast small sides, partial aggregation before shuffles).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from scrapy_ray.pipelines.queries import _cents, _i64, _pq
+
+
+# ---------------------------------------------------------------- window fn
+
+def q_window_running_sum(sf_dir: str):
+    """Running per-user sum (window function §2.9): groupby(key).map_groups
+    over ts-sorted groups — exact int64 cents, so the distributed cumsum
+    byte-matches DuckDB's window frame."""
+    ds = _pq(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        vc = np.round(g["value"].to_numpy() * 100.0).astype(np.int64)
+        return pd.DataFrame({"user_id": g["user_id"], "event_id": g["event_id"],
+                             "run_sum_c": np.cumsum(vc)})
+
+    out = ds.groupby("user_id").map_groups(run, batch_format="pandas")
+    return _i64(pa.Table.from_pandas(out.to_pandas(), preserve_index=False),
+                ["run_sum_c"])
+
+
+SQL_WINDOW = """
+SELECT user_id, event_id,
+       sum(CAST(round(value * 100) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS run_sum_c
+FROM events
+"""
+
+
+# ---------------------------------------------------------------- case-when agg
+
+def q_case_bucket_orders(sf_dir: str):
+    """CASE-WHEN bucketing + two-key grouped count (vectorized np.select)."""
+    ds = _pq(sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        p = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        b = np.select([p < 50_000, p < 150_000], ["small", "medium"], "large")
+        df = pd.DataFrame({"o_orderstatus": t["o_orderstatus"].to_pylist(),
+                           "price_bucket": b})
+        g = df.groupby(["o_orderstatus", "price_bucket"]).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = ds.map_batches(bucket, batch_format="pyarrow") \
+            .groupby(["o_orderstatus", "price_bucket"]).aggregate(Sum("n", alias_name="n"))
+    return _i64(pa.Table.from_pandas(out.to_pandas()), ["n"])
+
+
+SQL_CASE = """
+SELECT o_orderstatus,
+       CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 150000 THEN 'medium'
+            ELSE 'large' END AS price_bucket,
+       count(*)::BIGINT AS n
+FROM orders GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------- between / predicates
+
+def q_between_dates(sf_dir: str):
+    """BETWEEN + equality predicates pushed into a vectorized batch filter."""
+    ds = _pq(sf_dir, "lineitem",
+             columns=["l_shipdate", "l_returnflag", "l_linestatus", "l_quantity"])
+    lo, hi = pd.Timestamp("1994-01-01"), pd.Timestamp("1995-12-31")
+
+    def f(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                            pc.less_equal(t["l_shipdate"], pa.scalar(hi))),
+                    pc.equal(t["l_returnflag"], "R"))
+        t = t.filter(m)
+        df = pa.table({"l_linestatus": t["l_linestatus"],
+                       "qc": _cents(t["l_quantity"])}).to_pandas()
+        return pa.Table.from_pandas(
+            df.groupby("l_linestatus").agg(sum_qty_c=("qc", "sum"),
+                                           n=("qc", "count")).reset_index(),
+            preserve_index=False)
+
+    out = ds.map_batches(f, batch_format="pyarrow").groupby("l_linestatus").aggregate(
+        Sum("sum_qty_c", alias_name="sum_qty_c"), Sum("n", alias_name="n"))
+    return _i64(pa.Table.from_pandas(out.to_pandas()), ["sum_qty_c", "n"])
+
+
+SQL_BETWEEN = """
+SELECT l_linestatus, sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
+       count(*)::BIGINT AS n
+FROM lineitem
+WHERE l_shipdate BETWEEN TIMESTAMP '1994-01-01' AND TIMESTAMP '1995-12-31'
+  AND l_returnflag = 'R'
+GROUP BY l_linestatus
+"""
+
+
+# ---------------------------------------------------------------- anti-join
+
+def q_customers_without_orders(sf_dir: str):
+    """Anti-join (NOT EXISTS) = broadcast key set + vectorized negated
+    membership filter (SURVEY §2.4: semi/anti join pattern)."""
+    import pyarrow.parquet as pq_
+
+    o = pq_.read_table(os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"])
+    keys_ref = ray.put(pc.unique(o["o_custkey"]))
+    ds = _pq(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def f(t: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref) if isinstance(keys_ref, ray.ObjectRef) else keys_ref
+        return t.filter(pc.invert(pc.is_in(t["c_custkey"], value_set=keys)))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+SQL_ANTI = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# ---------------------------------------------------------------- multi-hop dim join
+
+def q_revenue_by_region(sf_dir: str):
+    """TPC-H Q5-shaped multi-hop dimension chain: region -> nation ->
+    customer -> orders joined onto lineitem. All dims are broadcast (they
+    are tiny); the fact table streams. Revenue in exact cents."""
+    import pyarrow.parquet as pq_
+
+    region = pq_.read_table(os.path.join(sf_dir, "region.parquet"))
+    nation = pq_.read_table(os.path.join(sf_dir, "nation.parquet"))
+    cust = pq_.read_table(os.path.join(sf_dir, "customer.parquet"),
+                          columns=["c_custkey", "c_nationkey"])
+    orders = pq_.read_table(os.path.join(sf_dir, "orders.parquet"),
+                            columns=["o_orderkey", "o_custkey"])
+    r_of_n = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()))
+    rname = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    n_of_c = dict(zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist()))
+    # orderkey -> region name (composed driver-side: dims are tiny)
+    o_keys = orders["o_orderkey"].to_pylist()
+    o_cust = orders["o_custkey"].to_pylist()
+    region_of_order = {ok: rname[r_of_n[n_of_c[ck]]] for ok, ck in zip(o_keys, o_cust)}
+    ref = ray.put(region_of_order)
+
+    ds = _pq(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def f(t: pa.Table) -> pa.Table:
+        lookup = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        df = pd.DataFrame({
+            "r_name": [lookup[k] for k in t["l_orderkey"].to_pylist()],
+            "rc": _cents(rev).to_numpy(zero_copy_only=False),
+        })
+        return pa.Table.from_pandas(
+            df.groupby("r_name").agg(revenue_c=("rc", "sum"), n=("rc", "count")).reset_index(),
+            preserve_index=False)
+
+    out = ds.map_batches(f, batch_format="pyarrow").groupby("r_name").aggregate(
+        Sum("revenue_c", alias_name="revenue_c"), Sum("n", alias_name="n"))
+    return _i64(pa.Table.from_pandas(out.to_pandas()), ["revenue_c", "n"])
+
+
+SQL_REGION = """
+SELECT r_name,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_c,
+       count(*)::BIGINT AS n
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# ---------------------------------------------------------------- having
+
+def q_heavy_users_having(sf_dir: str):
+    """GROUP BY + HAVING = filter applied after the distributed aggregate."""
+    ds = _pq(sf_dir, "events", columns=["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"user_id": t["user_id"].to_numpy(zero_copy_only=False)})
+        return pa.Table.from_pandas(df.groupby("user_id").size().reset_index(name="n"),
+                                    preserve_index=False)
+
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby("user_id").aggregate(
+        Sum("n", alias_name="n"))
+    t = _i64(pa.Table.from_pandas(out.to_pandas()), ["n"])
+    return t.filter(pc.greater_equal(t["n"], 15))
+
+
+SQL_HAVING = """
+SELECT user_id, count(*)::BIGINT AS n FROM events
+GROUP BY user_id HAVING count(*) >= 15
+"""
+
+
+# ---------------------------------------------------------------- embedding near-dup
+
+_ND_TAU = 0.35
+
+
+def q_embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs, brute-force (oracle-checkable):
+    broadcast the full normalized matrix (embeddings table is the small side
+    by design), per-batch blocked matmul emits pairs with cos >= tau.
+    The LSH-bucketed scale path is q_embedding_neardup_lsh."""
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                       columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    E = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    ref = ray.put((ids, En))
+
+    ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def pairs(tt: pa.Table) -> pa.Table:
+        all_ids, all_en = ray.get(ref)
+        vid = tt["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        Eb = np.stack(tt["embedding"].to_pylist()).astype(np.float64)
+        Ebn = Eb / np.linalg.norm(Eb, axis=1, keepdims=True)
+        S = Ebn @ all_en.T
+        sims = np.sign(S) * np.floor(np.abs(S) * 1e4 + 0.5) / 1e4
+        ii, jj = np.nonzero(sims >= _ND_TAU)
+        a, b = vid[ii], all_ids[jj]
+        keep = a < b          # each unordered pair once
+        return pa.table({"vec_a": pa.array(a[keep], type=pa.int64()),
+                         "vec_b": pa.array(b[keep], type=pa.int64()),
+                         "cos_sim": pa.array(sims[ii, jj][keep], type=pa.float64())})
+
+    out = ds.map_batches(pairs, batch_format="pyarrow")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+SQL_EMB_ND = f"""
+SELECT vec_a, vec_b, cos_sim FROM (
+  SELECT a.vec_id::BIGINT AS vec_a, b.vec_id::BIGINT AS vec_b,
+         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+WHERE cos_sim >= {_ND_TAU}
+"""
+
+
+def q_embedding_neardup_lsh(sf_dir: str, n_planes: int = 8):
+    """Random-hyperplane LSH near-dup (the scale path: bucket by sign
+    signature, compare only within buckets — no all-pairs matmul). Rows-only;
+    recall vs brute force pinned in tests/test_training.py."""
+    import pyarrow.parquet as pq_
+
+    rng = np.random.default_rng(11)
+    t0 = pq_.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["embedding"])
+    dim = len(t0["embedding"][0])
+    planes = rng.standard_normal((dim, n_planes))
+    p_ref = ray.put(planes)
+
+    ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def bucketize(tt: pa.Table) -> pa.Table:
+        P = ray.get(p_ref) if isinstance(p_ref, ray.ObjectRef) else p_ref
+        E = np.stack(tt["embedding"].to_pylist()).astype(np.float64)
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        sig = ((En @ P) > 0).astype(np.uint64)
+        key = np.zeros(len(En), dtype=np.uint64)
+        for b in range(sig.shape[1]):
+            key = (key << np.uint64(1)) | sig[:, b]
+        return pa.table({"bucket": pa.array(key, type=pa.uint64()),
+                         "vec_id": pc.cast(tt["vec_id"], pa.int64()),
+                         "embedding": tt["embedding"]})
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
+
+    def in_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"vec_a": pd.Series(dtype=np.int64),
+                                 "vec_b": pd.Series(dtype=np.int64),
+                                 "cos_sim": pd.Series(dtype=np.float64)})
+        ids = g["vec_id"].to_numpy()
+        E = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        S = En @ En.T
+        sims = np.sign(S) * np.floor(np.abs(S) * 1e4 + 0.5) / 1e4
+        ii, jj = np.triu_indices(len(ids), k=1)
+        keep = sims[ii, jj] >= _ND_TAU
+        a = np.minimum(ids[ii[keep]], ids[jj[keep]])
+        b = np.maximum(ids[ii[keep]], ids[jj[keep]])
+        return pd.DataFrame({"vec_a": a, "vec_b": b, "cos_sim": sims[ii, jj][keep]})
+
+    out = bucketed.groupby("bucket").map_groups(in_bucket_pairs, batch_format="pandas")
+    df = out.to_pandas().drop_duplicates(["vec_a", "vec_b"], ignore_index=True)
+    return pa.Table.from_pandas(df.sort_values(["vec_a", "vec_b"], ignore_index=True),
+                                preserve_index=False)
+
+
+QUERIES2: dict[str, tuple] = {
+    "window_running_sum": (q_window_running_sum, SQL_WINDOW),
+    "case_bucket_orders": (q_case_bucket_orders, SQL_CASE),
+    "between_dates": (q_between_dates, SQL_BETWEEN),
+    "customers_without_orders": (q_customers_without_orders, SQL_ANTI),
+    "revenue_by_region": (q_revenue_by_region, SQL_REGION),
+    "heavy_users_having": (q_heavy_users_having, SQL_HAVING),
+    "embedding_neardup": (q_embedding_neardup, SQL_EMB_ND),
+    "embedding_neardup_lsh": (q_embedding_neardup_lsh, None),
+}

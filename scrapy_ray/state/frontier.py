@@ -162,9 +162,10 @@ class ShardedFrontier:
     def __init__(self, cfg: CrawlConfig, robots_bodies: dict[str, str] | None = None):
         self.cfg = cfg
         self.n_shards = cfg.n_frontier_shards
+        # num_cpus=0 — see ShardedUrlSeen: always-schedulable RPC servers.
         actor = ray.remote(FrontierShard)
         self.shards = [
-            actor.options(num_cpus=0.25, max_restarts=0).remote(i, cfg, robots_bodies)
+            actor.options(num_cpus=0, max_restarts=0).remote(i, cfg, robots_bodies)
             for i in range(self.n_shards)
         ]
 

@@ -106,9 +106,12 @@ class ShardedUrlSeen:
     def __init__(self, n_shards: int, capacity: int = 1_000_000, bits_per_key: int = 10,
                  exact: bool = True):
         self.n_shards = n_shards
+        # num_cpus=0: shards are short-burst RPC servers; reserving CPU slots
+        # starves task scheduling at low num_cpus (16 shards x 0.25 deadlocks
+        # a 2-CPU session) — they must always be schedulable.
         actor = ray.remote(UrlSeenShard)
         self.shards = [
-            actor.options(num_cpus=0.25, max_restarts=0).remote(i, capacity, bits_per_key, exact)
+            actor.options(num_cpus=0, max_restarts=0).remote(i, capacity, bits_per_key, exact)
             for i in range(n_shards)
         ]
 
