@@ -6,16 +6,16 @@ Each wave:
 1. ``frontier.next_wave(w)`` — every shard emits its politeness-budgeted
    batch; driver k-way merges by (priority desc, seq asc). This merged order
    IS the crawl-ordering contract the goldens check [B:north_rule].
-2. ``fetch_wave`` — partition-pruned broadcast join of the wave against the
-   Parquet pages corpus (stages/fetch.py). The fetched wave (bounded size:
-   #hosts x per_domain_cap pages) is materialized once and feeds both the
-   item and the link pass.
-3. items: ``map_batches(extract_items_batch)`` -> per-wave partitioned
-   Parquet sink (resumable layout — one directory per wave).
-4. links: ``map_batches(extract_links_batch)`` -> canonical
-   (parent_seq, link_idx) sort -> vectorized M7/M8/M9 filters -> batched
-   anti-join against the URL-seen shards -> seq assignment -> pushed to the
-   frontier shards (hash(host) routing).
+2. ``fetch_parse_wave`` — partition-pruned broadcast join of the wave
+   against the Parquet pages corpus, with the fused parse AND items/links
+   splits running inside the per-bucket tasks (stages/fetch.py): the driver
+   receives only compact items/links tables, never html.
+3. items: optional item-pipeline chain -> per-wave partitioned Parquet sink
+   (resumable layout — one directory per wave).
+4. links: canonical (parent_seq, link_idx) sort -> optional link-middleware
+   chain -> vectorized M7/M8/M9 filters -> batched anti-join against the
+   URL-seen shards -> seq assignment -> pushed to the frontier shards
+   (hash(host) routing).
 5. every ``checkpoint_every`` waves: each shard checkpoints its queue /
    Bloom segment / clocks atomically, and the driver writes a manifest with
    per-wave lineage + metrics — a killed run resumes at the last complete
@@ -43,7 +43,6 @@ from scrapy_ray.sources.readers import read_robots, read_seeds
 from scrapy_ray.stages.extract import classify_callback
 from scrapy_ray.stages.fetch import fetch_parse_wave
 from scrapy_ray.stages.links import filter_links
-from scrapy_ray.stages.parse import split_items, split_links
 from scrapy_ray.state.frontier import ShardedFrontier
 from scrapy_ray.state.urlseen import ShardedUrlSeen
 
@@ -214,17 +213,15 @@ class CrawlEngine:
         }, schema=schemas.CRAWL_ORDER)
 
         # ONE distributed pass per wave: partition-pruned fetch-join + fused
-        # parse (items + canonicalized/hashed links) — html never leaves the
-        # tasks (stages/fetch.py fetch_parse_wave, stages/parse.py).
-        parsed = fetch_parse_wave(self.root, wave, self.n_buckets)
+        # parse + in-task items/links splits — neither html nor list columns
+        # reach the driver (stages/fetch.py fetch_parse_wave, stages/parse.py).
+        items, links, n_fetched = fetch_parse_wave(self.root, wave, self.n_buckets)
 
-        self.pages_fetched += len(parsed)
-        items = split_items(parsed)
+        self.pages_fetched += n_fetched
         if self.item_pipelines:
             from scrapy_ray.registry import apply_chain
 
             items = apply_chain(self.item_pipelines, items)
-        links = split_links(parsed)
         self.items_count += len(items)
 
         if len(links):
@@ -243,12 +240,12 @@ class CrawlEngine:
             n_new = 0
 
         entry = self._sink(self.wave_idx, items, order)
-        entry.update({"n_fetched": len(parsed), "n_new_links": n_new})
+        entry.update({"n_fetched": n_fetched, "n_new_links": n_new})
         self.lineage.append(entry)
         if self.metrics is not None:  # F7: one batched RPC per wave
             from collections import Counter
 
-            self.metrics.inc.remote({"pages_fetched": len(parsed),
+            self.metrics.inc.remote({"pages_fetched": n_fetched,
                                      "items": len(items), "new_links": n_new})
             self.metrics.inc_hosts.remote(dict(Counter(wave["host"].to_pylist())))
         self.wave_idx += 1

@@ -117,23 +117,33 @@ GROUP BY l_linestatus
 
 def q_customers_without_orders(sf_dir: str):
     """Anti-join (NOT EXISTS) = broadcast key set + vectorized negated
-    membership filter (SURVEY §2.4: semi/anti join pattern)."""
+    membership filter (SURVEY §2.4: semi/anti join pattern). Keyed on
+    'no large order' so the result is non-empty at every sf; result is
+    concatenated into a fixed-schema Table (an empty Dataset would lose its
+    schema through pandas)."""
     import pyarrow.parquet as pq_
 
-    o = pq_.read_table(os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"])
-    keys_ref = ray.put(pc.unique(o["o_custkey"]))
+    o = pq_.read_table(os.path.join(sf_dir, "orders.parquet"),
+                       columns=["o_custkey", "o_totalprice"])
+    big = o.filter(pc.greater_equal(o["o_totalprice"], 200_000.0))
+    keys_ref = ray.put(pc.unique(big["o_custkey"]))
     ds = _pq(sf_dir, "customer", columns=["c_custkey", "c_name"])
 
     def f(t: pa.Table) -> pa.Table:
         keys = ray.get(keys_ref) if isinstance(keys_ref, ray.ObjectRef) else keys_ref
         return t.filter(pc.invert(pc.is_in(t["c_custkey"], value_set=keys)))
 
-    return ds.map_batches(f, batch_format="pyarrow")
+    out = ds.map_batches(f, batch_format="pyarrow")
+    parts = list(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+    schema = pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string())])
+    return (pa.concat_tables([p.cast(schema) for p in parts])
+            if parts else schema.empty_table())
 
 
 SQL_ANTI = """
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice >= 200000)
 """
 
 

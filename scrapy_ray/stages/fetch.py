@@ -49,36 +49,42 @@ def _empty_fetched(page_schema: pa.Schema) -> pa.Table:
 
 
 @ray.remote
-def _fetch_parse_bucket(path: str, urls: list[str], carry: dict) -> pa.Table:
+def _fetch_parse_bucket(path: str, urls: list[str], carry: dict) -> tuple:
     """Read one corpus bucket with an ``url IN (...)`` parquet filter
     (row-group pruning — bucket files are written sorted by url), attach the
-    frontier carry columns, and run the fused parse in-task. Returns the
-    parsed table (no html leaves the task)."""
+    frontier carry columns, run the fused parse AND the items/links splits
+    in-task. Returns (items_table, links_table, n_fetched) — neither html
+    nor per-page list columns ever reach the driver, which keeps the wave
+    barrier's serial fraction to concat + canonical sort + shard RPCs."""
     import pyarrow.parquet as pq
 
-    from scrapy_ray.stages.parse import parse_page_batch
+    from scrapy_ray import schemas
+    from scrapy_ray.stages.parse import parse_page_batch, split_items, split_links
 
     t = pq.read_table(path, filters=pc.field("url").isin(urls),
                       columns=["url", "html", "status"])
     if len(t) == 0:
-        from scrapy_ray.stages.parse import PARSED_SCHEMA
-        return PARSED_SCHEMA.empty_table()
+        return schemas.ITEMS.empty_table(), schemas.LINKS.empty_table(), 0
     rows = [carry[u] for u in t["url"].to_pylist()]
     t = t.append_column("depth", pa.array([r[0] for r in rows], type=pa.int32()))
     t = t.append_column("priority", pa.array([r[1] for r in rows], type=pa.int32()))
     t = t.append_column("seq", pa.array([r[2] for r in rows], type=pa.int64()))
-    return parse_page_batch(t)
+    parsed = parse_page_batch(t)
+    return split_items(parsed), split_links(parsed), len(parsed)
 
 
-def fetch_parse_wave(corpus_root: str, wave: pa.Table, n_buckets: int) -> pa.Table:
+def fetch_parse_wave(corpus_root: str, wave: pa.Table, n_buckets: int) -> tuple:
     """Wave-loop fast path (SURVEY §7.4.3): the per-wave fetch-join is a
     repeated *small indexed lookup*, for which per-wave ``read_parquet``
     Dataset construction costs seconds (fragment sampling). Raw Ray tasks —
     one per needed bucket — express it with ~ms overhead; this is the
     documented drop-to-raw-Ray exception. Whole-corpus scans still use the
-    Dataset path (``fetch_wave`` / sources.readers)."""
+    Dataset path (``fetch_wave`` / sources.readers).
+
+    Returns (items, links, n_fetched); links are unsorted across buckets —
+    the caller applies the canonical (parent_seq, link_idx) sort."""
+    from scrapy_ray import schemas
     from scrapy_ray.sources.corpus import corpus_paths
-    from scrapy_ray.stages.parse import PARSED_SCHEMA
 
     paths = corpus_paths(corpus_root)["pages"]
     hashes = wave["url_hash"].to_numpy(zero_copy_only=False)
@@ -93,8 +99,16 @@ def fetch_parse_wave(corpus_root: str, wave: pa.Table, n_buckets: int) -> pa.Tab
         b_urls = [urls[i] for i in idx]
         carry = {urls[i]: (depths[i], pris[i], seqs[i]) for i in idx}
         futs.append(_fetch_parse_bucket.remote(paths[int(b)], b_urls, carry))
-    parts = [p for p in ray.get(futs) if len(p)]
-    return pa.concat_tables(parts) if parts else PARSED_SCHEMA.empty_table()
+    items_p, links_p, n = [], [], 0
+    for it, lk, nf in ray.get(futs):
+        n += nf
+        if len(it):
+            items_p.append(it)
+        if len(lk):
+            links_p.append(lk)
+    items = pa.concat_tables(items_p) if items_p else schemas.ITEMS.empty_table()
+    links = pa.concat_tables(links_p) if links_p else schemas.LINKS.empty_table()
+    return items, links, n
 
 
 def fetch_wave(corpus_root: str, wave: pa.Table, n_buckets: int) -> ray.data.Dataset:

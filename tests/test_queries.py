@@ -26,6 +26,12 @@ SUBSET = [
     "embedding_norm_by_label",
     "sessionize_events",
     "multimodal_decode_meta",
+    "window_running_sum",
+    "case_bucket_orders",
+    "customers_without_orders",
+    "revenue_by_region",
+    "embedding_neardup",
+    "salted_count_event_type",
 ]
 
 

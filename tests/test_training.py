@@ -111,6 +111,21 @@ def test_ivf_recall_vs_brute_force(ray_session):
     assert recall >= 0.5, recall  # nprobe=4/16 buckets on random vectors
 
 
+def test_embedding_lsh_recall_vs_brute(ray_session):
+    """Hyperplane-LSH near-dup must recover most of the brute-force pairs
+    (8 planes -> only sign-identical buckets compared)."""
+    from scrapy_ray.pipelines.queries2 import q_embedding_neardup, q_embedding_neardup_lsh
+
+    bf = q_embedding_neardup(SF)
+    lsh = q_embedding_neardup_lsh(SF)
+    bf_pairs = set(zip(bf["vec_a"].to_pylist(), bf["vec_b"].to_pylist()))
+    lsh_pairs = set(zip(lsh["vec_a"].to_pylist(), lsh["vec_b"].to_pylist()))
+    assert bf_pairs, "brute force should find near-dup pairs at tau=0.35"
+    assert lsh_pairs <= bf_pairs          # no false positives (verified in-bucket)
+    recall = len(lsh_pairs) / len(bf_pairs)
+    assert recall >= 0.2, (recall, len(bf_pairs))  # 8 planes, cos~0.35 pairs
+
+
 def test_rows_only_ops_deterministic(ray_session):
     from scrapy_ray.pipelines.oracle import normalize, to_pandas
     from scrapy_ray.pipelines.training import q_lang_id_trigram, q_simhash64
