@@ -272,17 +272,21 @@ WHERE cos_sim >= {_ND_TAU}
 """
 
 
-def q_embedding_neardup_lsh(sf_dir: str, n_planes: int = 8):
+def q_embedding_neardup_lsh(sf_dir: str, n_tables: int = 16, n_planes: int = 3):
     """Random-hyperplane LSH near-dup (the scale path: bucket by sign
-    signature, compare only within buckets — no all-pairs matmul). Rows-only;
-    recall vs brute force pinned in tests/test_training.py."""
+    signature, compare only within buckets — no all-pairs matmul). Multiple
+    OR-ed hash tables are what gives recall: a cos=0.35 pair agrees with one
+    3-plane table w.p. ~(1-θ/π)^3≈0.23, and with >=1 of 16 tables w.p.
+    ~0.98 (single-table recall was measured at 0.02 — the classic AND-only
+    mistake). Rows-only; recall vs brute force pinned in
+    tests/test_training.py."""
     import pyarrow.parquet as pq_
 
     rng = np.random.default_rng(11)
     t0 = pq_.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                         columns=["embedding"])
     dim = len(t0["embedding"][0])
-    planes = rng.standard_normal((dim, n_planes))
+    planes = rng.standard_normal((n_tables, dim, n_planes))
     p_ref = ray.put(planes)
 
     ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -291,13 +295,21 @@ def q_embedding_neardup_lsh(sf_dir: str, n_planes: int = 8):
         P = ray.get(p_ref) if isinstance(p_ref, ray.ObjectRef) else p_ref
         E = np.stack(tt["embedding"].to_pylist()).astype(np.float64)
         En = E / np.linalg.norm(E, axis=1, keepdims=True)
-        sig = ((En @ P) > 0).astype(np.uint64)
-        key = np.zeros(len(En), dtype=np.uint64)
-        for b in range(sig.shape[1]):
-            key = (key << np.uint64(1)) | sig[:, b]
-        return pa.table({"bucket": pa.array(key, type=pa.uint64()),
-                         "vec_id": pc.cast(tt["vec_id"], pa.int64()),
-                         "embedding": tt["embedding"]})
+        tabs, keys, vids, embs = [], [], [], []
+        vid = pc.cast(tt["vec_id"], pa.int64()).to_pylist()
+        for tab in range(P.shape[0]):
+            sig = ((En @ P[tab]) > 0).astype(np.uint64)
+            key = np.zeros(len(En), dtype=np.uint64)
+            for b in range(sig.shape[1]):
+                key = (key << np.uint64(1)) | sig[:, b]
+            tabs.extend([tab] * len(En))
+            keys.extend(key.tolist())
+            vids.extend(vid)
+            embs.extend(tt["embedding"].to_pylist())
+        return pa.table({"table": pa.array(tabs, type=pa.int32()),
+                         "bucket": pa.array(keys, type=pa.uint64()),
+                         "vec_id": pa.array(vids, type=pa.int64()),
+                         "embedding": pa.array(embs, type=tt["embedding"].type)})
 
     bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
 
@@ -317,7 +329,8 @@ def q_embedding_neardup_lsh(sf_dir: str, n_planes: int = 8):
         b = np.maximum(ids[ii[keep]], ids[jj[keep]])
         return pd.DataFrame({"vec_a": a, "vec_b": b, "cos_sim": sims[ii, jj][keep]})
 
-    out = bucketed.groupby("bucket").map_groups(in_bucket_pairs, batch_format="pandas")
+    out = bucketed.groupby(["table", "bucket"]).map_groups(in_bucket_pairs,
+                                                           batch_format="pandas")
     df = out.to_pandas().drop_duplicates(["vec_a", "vec_b"], ignore_index=True)
     return pa.Table.from_pandas(df.sort_values(["vec_a", "vec_b"], ignore_index=True),
                                 preserve_index=False)

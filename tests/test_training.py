@@ -123,7 +123,7 @@ def test_embedding_lsh_recall_vs_brute(ray_session):
     assert bf_pairs, "brute force should find near-dup pairs at tau=0.35"
     assert lsh_pairs <= bf_pairs          # no false positives (verified in-bucket)
     recall = len(lsh_pairs) / len(bf_pairs)
-    assert recall >= 0.2, (recall, len(bf_pairs))  # 8 planes, cos~0.35 pairs
+    assert recall >= 0.8, (recall, len(bf_pairs))  # 16 tables x 3 planes
 
 
 def test_rows_only_ops_deterministic(ray_session):
