@@ -191,6 +191,7 @@ def run_crawl_mode() -> None:
 def run_full() -> None:
     _init_ray(NUM_CPUS)
     ensure_corpora("both")
+    _warm_workers(NUM_CPUS)
     t_start = time.time()
     crawl = bench_crawl()
     kernel = bench_kernel(NUM_CPUS)

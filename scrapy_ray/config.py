@@ -48,6 +48,10 @@ class CrawlConfig:
     # engine layout
     n_filter_shards: int = 4         # URL-seen shards, key = url_hash % n
     n_frontier_shards: int = 4       # frontier shards, key = hash64(host) % n
+    exact_urlseen: bool = True       # keep the exact hash->url set (test scale /
+                                     # byte-exact verification); False = Bloom-only
+                                     # memory-bounded mode (the 10^10-URL path,
+                                     # accepts the ~0.8% fp re-crawl-suppression)
     bloom_bits_per_key: int = 10
     bloom_capacity: int = 1_000_000  # per shard; sized for test scale — at 1e10
                                      # URLs total, shards scale out (SURVEY §2.3 F1)

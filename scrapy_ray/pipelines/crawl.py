@@ -117,7 +117,7 @@ class CrawlEngine:
         self.ckpt = cfg.checkpoint_dir
         robots = read_robots(corpus_root) if cfg.obey_robots else None
         self.urlseen = ShardedUrlSeen(cfg.n_filter_shards, cfg.bloom_capacity,
-                                      cfg.bloom_bits_per_key)
+                                      cfg.bloom_bits_per_key, exact=cfg.exact_urlseen)
         self.frontier = ShardedFrontier(cfg, robots)
         # driver-side run state (persisted in the manifest)
         self.wave_idx = 0
@@ -266,14 +266,19 @@ class CrawlEngine:
     def result(self) -> CrawlResult:
         items = self._collect("items", schemas.ITEMS, self._mem_items)
         order = self._collect("order", schemas.CRAWL_ORDER, self._mem_order)
-        seen = self.urlseen.seen_table()
+        if self.cfg.exact_urlseen:
+            seen = self.urlseen.seen_table()
+            n_seen = len(seen)
+        else:  # Bloom-only mode: counts available, byte-exact set is not
+            n_seen = sum(s["n_seen"] for s in self.urlseen.stats())
+            seen = schemas.URL_SEEN.empty_table()
         fstats = self.frontier.stats()
         metrics = {
             "waves": len(self.lineage),
             "pages_fetched": self.pages_fetched,
             "items": self.items_count,
             "scheduled": int(len(order)),
-            "url_seen": int(len(seen)),
+            "url_seen": int(n_seen),
             "robots_denied": sum(s["robots_denied"] for s in fstats),
             "frontier_remaining": sum(s["queued"] for s in fstats),
         }
