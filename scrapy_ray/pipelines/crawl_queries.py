@@ -62,9 +62,28 @@ def q_extract_items_corpus(sf_dir: str) -> pa.Table:
     return t.sort_by("url")
 
 
+def q_crawl_items_dedup(sf_dir: str) -> pa.Table:
+    """A4 item dedup on the crawl output: same hotel reached via two paths
+    collapses to the first (lowest-url) row per (name, address) natural key
+    — hash-partition + per-group first ([S:scrapy project DropItem pipeline
+    pattern])."""
+    import pandas as pd
+    import ray.data
+
+    items = _crawl_result().items
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("url").head(1)
+
+    out = ray.data.from_arrow(items.select(["name", "address", "url", "rating"])) \
+        .groupby(["name", "address"]).map_groups(first, batch_format="pandas")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).sort_by("url")
+
+
 CRAWL_QUERIES = {
     "crawl_items": (q_crawl_items, None),
     "crawl_order": (q_crawl_order, None),
     "crawl_url_seen": (q_crawl_url_seen, None),
+    "crawl_items_dedup": (q_crawl_items_dedup, None),
     "extract_items_corpus": (q_extract_items_corpus, None),
 }

@@ -299,10 +299,14 @@ def generate_corpus(root: str, spec: CorpusSpec, use_ray: bool = True) -> dict:
 
 
 def corpus_paths(root: str) -> dict:
+    """``pages`` is a list of bucket DIRECTORIES (``.../bucket=<k>``), one
+    per hash bucket, each holding >=1 parquet file — both the generator's
+    single-file layout and ``ingest.import_pages``'s multi-file layout."""
     pages_dir = os.path.join(root, "pages")
     buckets = sorted(
-        (os.path.join(pages_dir, d, "part.parquet") for d in os.listdir(pages_dir)),
-        key=lambda p: int(p.split("bucket=")[1].split("/")[0]),
+        (os.path.join(pages_dir, d) for d in os.listdir(pages_dir)
+         if d.startswith("bucket=")),
+        key=lambda p: int(p.split("bucket=")[1]),
     )
     return {
         "pages": buckets,

@@ -19,7 +19,7 @@ def read_pages(root: str, columns: Sequence[str] | None = None,
     paths = corpus_paths(root)["pages"]
     if buckets is not None:
         keep = {int(b) for b in buckets}
-        paths = [p for p in paths if int(p.split("bucket=")[1].split("/")[0]) in keep]
+        paths = [p for p in paths if int(p.split("bucket=")[1]) in keep]
     return ray.data.read_parquet(paths, columns=list(columns) if columns else None, **kwargs)
 
 

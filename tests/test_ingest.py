@@ -1,0 +1,54 @@
+"""Ingest path: any PAGES-shaped parquet -> bucketed corpus layout -> same
+crawl results as the native layout."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from scrapy_ray.config import CrawlConfig
+from scrapy_ray.pipelines.crawl import run_crawl
+from scrapy_ray.sources.corpus import CorpusSpec, corpus_paths, generate_corpus
+from scrapy_ray.sources.ingest import import_pages
+
+
+def test_import_pages_roundtrip(ray_session, tmp_path):
+    # native corpus -> flatten to one plain parquet (a user's export)
+    native = str(tmp_path / "native")
+    generate_corpus(native, CorpusSpec(n_hosts=5, total_pages=150, seed=3), use_ray=False)
+    flat = pa.concat_tables(
+        [pq.read_table(p) for p in corpus_paths(native)["pages"]]
+    ).drop_columns(["url_hash", "bucket"])
+    src = str(tmp_path / "export.parquet")
+    pq.write_table(flat, src)
+
+    imported = str(tmp_path / "imported")
+    import_pages(src, imported, n_buckets=4)
+
+    # same seeds, robots off (imported corpus has no robots fixtures)
+    seeds = pq.read_table(corpus_paths(native)["seeds"]).to_pylist()
+    cfg = CrawlConfig(n_filter_shards=2, n_frontier_shards=2, obey_robots=False)
+    a = run_crawl(native, cfg, seeds=seeds)
+    b = run_crawl(imported, cfg, seeds=seeds)
+    assert a.items.sort_by("url").equals(b.items.sort_by("url"))
+    assert set(a.url_seen["url"].to_pylist()) == set(b.url_seen["url"].to_pylist())
+    assert a.crawl_order.to_pydict() == b.crawl_order.to_pydict()
+
+
+def test_import_pages_text_only(ray_session, tmp_path):
+    """Minimal source: url + text only — html synthesized, lang defaulted."""
+    src = str(tmp_path / "texts.parquet")
+    pq.write_table(pa.table({
+        "url": [f"https://h{i}.example.org/doc/{i}" for i in range(20)],
+        "text": [f"document number {i} body text" for i in range(20)],
+    }), src)
+    out = str(tmp_path / "corpus")
+    import_pages(src, out, n_buckets=2)
+    files = corpus_paths(out)["pages"]
+    t = pa.concat_tables([pq.read_table(p) for p in files])
+    assert t.num_rows == 20
+    assert set(t.schema.names) >= {"url", "warc_ts", "html", "text", "lang",
+                                   "host", "status", "url_hash"}
+    assert t["html"][0].as_py().startswith(b"document")
