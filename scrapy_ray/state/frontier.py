@@ -162,10 +162,19 @@ class ShardedFrontier:
     def __init__(self, cfg: CrawlConfig, robots_bodies: dict[str, str] | None = None):
         self.cfg = cfg
         self.n_shards = cfg.n_frontier_shards
+        # each shard receives ONLY the robots entries for hosts it owns —
+        # at 10^7 hosts the cache partitions with the frontier instead of
+        # being replicated n_shards times (SURVEY §2.3 F5 cache locality)
+        parts: list[dict[str, str] | None] = [None] * self.n_shards
+        if robots_bodies:
+            parts = [{} for _ in range(self.n_shards)]
+            hosts = list(robots_bodies)
+            for host, s in zip(hosts, (hash64(hosts) % np.uint64(self.n_shards)).astype(int)):
+                parts[s][host] = robots_bodies[host]
         # num_cpus=0 — see ShardedUrlSeen: always-schedulable RPC servers.
         actor = ray.remote(FrontierShard)
         self.shards = [
-            actor.options(num_cpus=0, max_restarts=0).remote(i, cfg, robots_bodies)
+            actor.options(num_cpus=0, max_restarts=0).remote(i, cfg, parts[i])
             for i in range(self.n_shards)
         ]
 
