@@ -57,6 +57,14 @@ class CrawlConfig:
                                      # URLs total, shards scale out (SURVEY §2.3 F1)
     checkpoint_dir: str | None = None
     checkpoint_every: int = 1        # checkpoint every k waves (when dir set)
+    cache_corpus: bool = False       # pin decoded corpus buckets in the Ray
+                                     # object store (zero-copy Arrow, loaded
+                                     # lazily once per bucket): the wave
+                                     # fetch-join becomes an in-memory probe
+                                     # instead of a per-wave parquet decode.
+                                     # Sized for the CLUSTER object store —
+                                     # on one node enable only if the corpus
+                                     # fits (plasma spills otherwise).
 
     def waves_per_emit(self, crawl_delay: float) -> int:
         """Host with effective delay d emits at most once per this many waves."""

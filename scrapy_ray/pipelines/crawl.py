@@ -115,6 +115,13 @@ class CrawlEngine:
                 n_buckets = json.load(fh)["spec"]["n_buckets"]
         self.n_buckets = int(n_buckets)
         self.ckpt = cfg.checkpoint_dir
+        if cfg.cache_corpus:
+            from scrapy_ray.sources.corpus import corpus_paths
+            from scrapy_ray.stages.fetch import BucketCache
+
+            self._bucket_cache = BucketCache(corpus_paths(corpus_root)["pages"])
+        else:
+            self._bucket_cache = None
         robots = read_robots(corpus_root) if cfg.obey_robots else None
         self.urlseen = ShardedUrlSeen(cfg.n_filter_shards, cfg.bloom_capacity,
                                       cfg.bloom_bits_per_key, exact=cfg.exact_urlseen)
@@ -215,7 +222,8 @@ class CrawlEngine:
         # ONE distributed pass per wave: partition-pruned fetch-join + fused
         # parse + in-task items/links splits — neither html nor list columns
         # reach the driver (stages/fetch.py fetch_parse_wave, stages/parse.py).
-        items, links, n_fetched = fetch_parse_wave(self.root, wave, self.n_buckets)
+        items, links, n_fetched = fetch_parse_wave(self.root, wave, self.n_buckets,
+                                                   cache=self._bucket_cache)
 
         self.pages_fetched += n_fetched
         if self.item_pipelines:

@@ -12,6 +12,12 @@ registered under the callback tag carried on frontier rows. Item pipelines
 and link middlewares are ``fn(pa.Table) -> pa.Table`` applied in order; a
 pipeline drops rows by filtering them out (DropItem ≙ filter), and both run
 inside the engine's batch path — never per row.
+
+Round-1 scope note: the wave loop's fused parser dispatches the two built-in
+stages internally (stages/parse.py); custom-registered stages are usable in
+standalone pipelines (`read_pages(...).map_batches(PARSE_STAGES[tag])`) and
+through the item/link chains, which ARE wired into the engine. Routing
+arbitrary custom tags through the fused wave parser is a round-2 item.
 """
 
 from __future__ import annotations

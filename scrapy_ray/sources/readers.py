@@ -16,10 +16,16 @@ from scrapy_ray.sources.corpus import corpus_paths
 
 def read_pages(root: str, columns: Sequence[str] | None = None,
                buckets: Sequence[int] | None = None, **kwargs) -> ray.data.Dataset:
-    paths = corpus_paths(root)["pages"]
+    import glob
+    import os
+
+    dirs = corpus_paths(root)["pages"]
     if buckets is not None:
         keep = {int(b) for b in buckets}
-        paths = [p for p in paths if int(p.split("bucket=")[1]) in keep]
+        dirs = [p for p in dirs if int(p.split("bucket=")[1]) in keep]
+    # ray.data.read_parquet expands a single directory but not a list of
+    # directories — pass the files explicitly
+    paths = [f for d in dirs for f in sorted(glob.glob(os.path.join(d, "*.parquet")))]
     return ray.data.read_parquet(paths, columns=list(columns) if columns else None, **kwargs)
 
 

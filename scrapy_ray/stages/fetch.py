@@ -73,7 +73,48 @@ def _fetch_parse_bucket(path: str, urls: list[str], carry: dict) -> tuple:
     return split_items(parsed), split_links(parsed), len(parsed)
 
 
-def fetch_parse_wave(corpus_root: str, wave: pa.Table, n_buckets: int) -> tuple:
+@ray.remote
+def _load_bucket(path: str) -> pa.Table:
+    """Decode one bucket into the object store (once; immutable input)."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(path, columns=["url", "html", "status"])
+
+
+@ray.remote
+def _fetch_parse_cached(bucket: pa.Table, urls: list[str], carry: dict) -> tuple:
+    """In-memory probe variant of _fetch_parse_bucket: ``bucket`` arrives as
+    a zero-copy plasma reference; filter + parse + split in-task."""
+    from scrapy_ray import schemas
+    from scrapy_ray.stages.parse import parse_page_batch, split_items, split_links
+
+    t = bucket.filter(pc.is_in(bucket["url"], value_set=pa.array(urls, type=pa.string())))
+    if len(t) == 0:
+        return schemas.ITEMS.empty_table(), schemas.LINKS.empty_table(), 0
+    rows = [carry[u] for u in t["url"].to_pylist()]
+    t = t.append_column("depth", pa.array([r[0] for r in rows], type=pa.int32()))
+    t = t.append_column("priority", pa.array([r[1] for r in rows], type=pa.int32()))
+    t = t.append_column("seq", pa.array([r[2] for r in rows], type=pa.int64()))
+    parsed = parse_page_batch(t)
+    return split_items(parsed), split_links(parsed), len(parsed)
+
+
+class BucketCache:
+    """Lazy per-bucket ObjectRef cache (engine-held; one decode per bucket
+    per run — the corpus is immutable input)."""
+
+    def __init__(self, paths: list[str]):
+        self.paths = paths
+        self.refs: dict[int, ray.ObjectRef] = {}
+
+    def get(self, b: int) -> ray.ObjectRef:
+        if b not in self.refs:
+            self.refs[b] = _load_bucket.remote(self.paths[b])
+        return self.refs[b]
+
+
+def fetch_parse_wave(corpus_root: str, wave: pa.Table, n_buckets: int,
+                     cache: "BucketCache | None" = None) -> tuple:
     """Wave-loop fast path (SURVEY §7.4.3): the per-wave fetch-join is a
     repeated *small indexed lookup*, for which per-wave ``read_parquet``
     Dataset construction costs seconds (fragment sampling). Raw Ray tasks —
@@ -98,7 +139,10 @@ def fetch_parse_wave(corpus_root: str, wave: pa.Table, n_buckets: int) -> tuple:
         idx = np.nonzero(bucket_of == b)[0]
         b_urls = [urls[i] for i in idx]
         carry = {urls[i]: (depths[i], pris[i], seqs[i]) for i in idx}
-        futs.append(_fetch_parse_bucket.remote(paths[int(b)], b_urls, carry))
+        if cache is not None:
+            futs.append(_fetch_parse_cached.remote(cache.get(int(b)), b_urls, carry))
+        else:
+            futs.append(_fetch_parse_bucket.remote(paths[int(b)], b_urls, carry))
     items_p, links_p, n = [], [], 0
     for it, lk, nf in ray.get(futs):
         n += nf

@@ -87,3 +87,26 @@ def test_engine_matches_goldens(ray_session, e2e_corpus):
     assert set(eng.url_seen["url"].to_pylist()) == set(seen_g["url"].to_pylist())
     items_g = pq.read_table(os.path.join(GOLDEN_DIR, "items.parquet"))
     assert eng.items.sort_by("url").equals(items_g.sort_by("url"))
+
+
+def test_fetch_wave_dataset_path(ray_session, e2e_corpus):
+    """The Dataset-API fetch join (used for corpus-scale scans) returns the
+    same pages as the task fast path for the same wave."""
+    import numpy as np
+    import pyarrow as pa
+
+    from scrapy_ray import schemas
+    from scrapy_ray.pipelines.crawl import CrawlEngine
+    from scrapy_ray.config import CrawlConfig
+    from scrapy_ray.stages.fetch import fetch_parse_wave, fetch_wave
+
+    eng = CrawlEngine(e2e_corpus, CrawlConfig(n_filter_shards=2, n_frontier_shards=2))
+    eng.seed()
+    wave = eng.frontier.next_wave(0)
+    ds = fetch_wave(e2e_corpus, wave, eng.n_buckets)
+    ds_urls = set()
+    for b in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        ds_urls.update(b["url"].to_pylist())
+    items, links, n_fetched = fetch_parse_wave(e2e_corpus, wave, eng.n_buckets)
+    assert len(ds_urls) == n_fetched
+    assert ds_urls <= set(wave["url"].to_pylist())

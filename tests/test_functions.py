@@ -116,3 +116,35 @@ def test_extraction_goldens(e2e_corpus):
         else:
             li = extract_listing(html)
             assert [c["name"] for c in li["cards"]] == g["card_names"]
+
+
+def test_canonicalize_fast_path_matches_general():
+    """The regex fast path must agree with the urllib general path on every
+    url it accepts (hypothesis-generated)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from scrapy_ray.functions import urlnorm
+
+    host_chars = st.text(alphabet="abcdefghij0123456789.-", min_size=1, max_size=12)
+    path_chars = st.text(alphabet="abcdefghij0123456789/_-.", max_size=20)
+
+    @settings(max_examples=200, deadline=None)
+    @given(scheme=st.sampled_from(["http", "https"]), host=host_chars, path=path_chars)
+    def prop(scheme, host, path):
+        url = f"{scheme}://{host}/{path}"
+        m = urlnorm._FAST.match(url)
+        if m is None:
+            return
+        fast = urlnorm.canonicalize_url(url)
+        # force the general path
+        import re
+        saved = urlnorm._FAST
+        urlnorm._FAST = re.compile(r"(?!x)x")  # never matches
+        try:
+            general = urlnorm.canonicalize_url(url)
+        finally:
+            urlnorm._FAST = saved
+        assert fast == general, (url, fast, general)
+
+    prop()
