@@ -102,15 +102,12 @@ def bench_kernel(num_cpus: int, warmup: bool = True) -> dict:
     text stats + MinHash/SimHash), streaming read -> map_batches -> parquet.
     One untimed warmup over a slice spins up workers + page cache so the
     timed run measures compute + I/O, not process startup."""
-    import ray.data
-
-    from scrapy_ray.sources.corpus import corpus_paths
+    from scrapy_ray.sources.readers import read_pages
     from scrapy_ray.stages.features import _featurize_task, featurize_corpus
 
     if warmup:
         _warm_workers(num_cpus)
-        ds = ray.data.read_parquet(corpus_paths(FEAT_ROOT)["pages"][:8],
-                                   columns=["url", "html"])
+        ds = read_pages(FEAT_ROOT, columns=["url", "html"], buckets=range(8))
         ds.map_batches(_featurize_task, batch_format="pyarrow",
                        batch_size=256).count()
 

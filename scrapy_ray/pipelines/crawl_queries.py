@@ -49,14 +49,11 @@ def q_crawl_url_seen(sf_dir: str) -> pa.Table:
 def q_extract_items_corpus(sf_dir: str) -> pa.Table:
     """The minimum slice (SURVEY §7.0): full-corpus Dataset scan ->
     map_batches(extract) -> items, no frontier. Pure Ray Data pipeline."""
-    import ray.data
-
-    from scrapy_ray.sources.corpus import corpus_paths
+    from scrapy_ray.sources.readers import read_pages
     from scrapy_ray.stages.extract import extract_items_batch
 
     generate_corpus(_Q_ROOT, _Q_SPEC)
-    ds = ray.data.read_parquet(corpus_paths(_Q_ROOT)["pages"],
-                               columns=["url", "html", "status"])
+    ds = read_pages(_Q_ROOT, columns=["url", "html", "status"])
     out = ds.map_batches(extract_items_batch, batch_format="pyarrow")
     t = pa.concat_tables(list(out.iter_batches(batch_size=None, batch_format="pyarrow")))
     return t.sort_by("url")

@@ -94,12 +94,9 @@ def featurize_corpus(corpus_root: str, out_dir: str, concurrency: int | None = N
     """Full-corpus streaming pipeline: read (pruned columns) -> featurize ->
     partitioned parquet sink. Returns row count. ``concurrency=None`` =
     stateless tasks (elastic, default); an int = actor pool of that size."""
-    import ray.data
+    from scrapy_ray.sources.readers import read_pages
 
-    from scrapy_ray.sources.corpus import corpus_paths
-
-    ds = ray.data.read_parquet(corpus_paths(corpus_root)["pages"],
-                               columns=["url", "html"])
+    ds = read_pages(corpus_root, columns=["url", "html"])
     if concurrency is None:
         out = ds.map_batches(_featurize_task, batch_format="pyarrow",
                              batch_size=batch_size)
