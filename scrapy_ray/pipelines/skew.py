@@ -51,3 +51,34 @@ SQL_SALTED = "SELECT event_type, count(*)::BIGINT AS n FROM events GROUP BY even
 SKEW_QUERIES = {
     "salted_count_event_type": (q_salted_count_event_type, SQL_SALTED),
 }
+
+
+def q_approx_distinct_users(sf_dir: str):
+    """A3 approximate-distinct at scale: one 4 KB HLL sketch per batch
+    (map_batches), merged in a tiny final stage — the pattern that replaces
+    the exact URL-seen count at 10^10 keys. Rows-only (sketch estimates are
+    not SQL-replayable); accuracy vs exact COUNT(DISTINCT) is pinned in
+    tests/test_training.py."""
+    import pyarrow as pa
+
+    from scrapy_ray.functions.hashing import hash64
+    from scrapy_ray.functions.sketch import HLL
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id"])
+
+    def sketch(t: pa.Table) -> pa.Table:
+        h = hash64([str(u) for u in t["user_id"].to_pylist()])
+        return pa.table({"sketch": pa.array([HLL().add_many(h).to_bytes()],
+                                            type=pa.binary())})
+
+    parts = ds.map_batches(sketch, batch_format="pyarrow")
+    merged = HLL()
+    for b in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for raw in b["sketch"].to_pylist():
+            merged.merge(HLL.from_bytes(raw))
+    return pa.table({"approx_distinct_users": pa.array([int(round(merged.estimate()))],
+                                                       type=pa.int64())})
+
+
+SKEW_QUERIES["approx_distinct_users"] = (q_approx_distinct_users, None)

@@ -110,3 +110,26 @@ def test_fetch_wave_dataset_path(ray_session, e2e_corpus):
     items, links, n_fetched = fetch_parse_wave(e2e_corpus, wave, eng.n_buckets)
     assert len(ds_urls) == n_fetched
     assert ds_urls <= set(wave["url"].to_pylist())
+
+
+def test_crawl_delay_host_paces_one_per_wave(ray_session, e2e_corpus):
+    """h017 has robots 'Crawl-delay: 1' -> it must never emit more than one
+    URL per wave, and its emissions must be spaced by >= waves_per_emit."""
+    from collections import Counter
+
+    cfg = CrawlConfig(n_filter_shards=2, n_frontier_shards=2)
+    res = run_crawl(e2e_corpus, cfg)
+    delayed = "h017.example.com"
+    waves_of = [w for w, u in zip(res.crawl_order["wave"].to_pylist(),
+                                  res.crawl_order["url"].to_pylist())
+                if delayed in u]
+    assert waves_of, "delayed host must be crawled"
+    per_wave = Counter(waves_of)
+    assert max(per_wave.values()) == 1
+    ws = sorted(per_wave)
+    assert all(b - a >= 1 for a, b in zip(ws, ws[1:]))
+    # an un-delayed host does burst up to per_domain_cap in one wave
+    burst = Counter(w for w, u in zip(res.crawl_order["wave"].to_pylist(),
+                                      res.crawl_order["url"].to_pylist())
+                    if "h000.example.com" in u)
+    assert max(burst.values()) == cfg.per_domain_cap

@@ -136,3 +136,35 @@ def test_rows_only_ops_deterministic(ray_session):
     la = normalize(to_pandas(q_lang_id_trigram(SF)))
     lb = normalize(to_pandas(q_lang_id_trigram(SF)))
     assert la.equals(lb)
+
+
+def test_hll_accuracy_and_merge():
+    from scrapy_ray.functions.sketch import HLL
+
+    rng = np.random.default_rng(5)
+    for true_n in (100, 5_000, 200_000):
+        # full uint64 range — register index uses the TOP p bits
+        keys = rng.integers(0, 2**64, size=true_n, dtype=np.uint64)
+        keys = np.unique(keys)
+        h = HLL().add_many(keys)
+        err = abs(h.estimate() - len(keys)) / len(keys)
+        assert err < 0.06, (true_n, h.estimate())
+        # merge of two halves == one pass
+        a = HLL().add_many(keys[: len(keys) // 2])
+        b = HLL().add_many(keys[len(keys) // 2:])
+        assert abs(a.merge(b).estimate() - h.estimate()) < 1e-9
+        # serialization round-trip
+        assert HLL.from_bytes(h.to_bytes()).estimate() == h.estimate()
+
+
+def test_approx_distinct_users_vs_exact(ray_session):
+    import duckdb
+
+    from scrapy_ray.pipelines.skew import q_approx_distinct_users
+
+    est = q_approx_distinct_users(SF)["approx_distinct_users"][0].as_py()
+    con = duckdb.connect()
+    exact = con.execute(
+        f"SELECT count(DISTINCT user_id) FROM read_parquet('{SF}/events.parquet')"
+    ).fetchone()[0]
+    assert abs(est - exact) / exact < 0.06, (est, exact)
