@@ -52,9 +52,11 @@ PARSED_SCHEMA = pa.schema(
 
 
 def parse_page_batch(t: pa.Table) -> pa.Table:
+    from scrapy_ray.functions.compress import decompress_batch
+
     n = len(t)
     urls = t["url"].to_pylist()
-    htmls = t["html"].to_pylist()
+    htmls = decompress_batch(t["html"].to_pylist())  # M11: magic-sniffed
     seqs = t["seq"].to_pylist()
     depths = t["depth"].to_pylist()
     status = t["status"].to_pylist() if "status" in t.column_names else [200] * n

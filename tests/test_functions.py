@@ -148,3 +148,35 @@ def test_canonicalize_fast_path_matches_general():
         assert fast == general, (url, fast, general)
 
     prop()
+
+
+def test_maybe_decompress_and_parse_gzip_pages():
+    """M11: gzip-compressed bodies are sniffed + decompressed inside the
+    fused parse stage; plain bodies pass through untouched."""
+    import gzip
+    import zlib
+
+    import pyarrow as pa
+
+    from scrapy_ray.functions.compress import maybe_decompress
+    from scrapy_ray.sources.corpus import detail_fields, render_detail
+    from scrapy_ray.stages.parse import parse_page_batch
+
+    f = detail_fields(1, "h001.example.com", 7)
+    html = render_detail("h001.example.com", f, [])
+    assert maybe_decompress(html) == html
+    assert maybe_decompress(gzip.compress(html)) == html
+    assert maybe_decompress(zlib.compress(html)) == html
+
+    t = pa.table({
+        "url": ["https://h001.example.com/hotel/00007"] * 2,
+        "html": pa.array([html, gzip.compress(html)], type=pa.binary()),
+        "status": pa.array([200, 200], type=pa.int16()),
+        "depth": pa.array([0, 0], type=pa.int32()),
+        "priority": pa.array([0, 0], type=pa.int32()),
+        "seq": pa.array([0, 1], type=pa.int64()),
+    })
+    parsed = parse_page_batch(t)
+    assert parsed["item_ok"].to_pylist() == [True, True]
+    assert parsed["name"][0].as_py() == parsed["name"][1].as_py() == f["name"]
+    assert parsed["extracted_text"][0].as_py() == parsed["extracted_text"][1].as_py()
