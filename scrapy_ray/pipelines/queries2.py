@@ -346,3 +346,49 @@ QUERIES2: dict[str, tuple] = {
     "embedding_neardup": (q_embedding_neardup, SQL_EMB_ND),
     "embedding_neardup_lsh": (q_embedding_neardup_lsh, None),
 }
+
+
+# ---------------------------------------------------------------- as-of join
+
+def q_asof_purchase_last_view(sf_dir: str):
+    """As-of join (brief's custom-operator list; Ray Data has no native
+    as-of): for each purchase event, the most recent STRICTLY-earlier view
+    by the same user. Pattern: partition by key, sort by ts within group,
+    ``pd.merge_asof`` per group (ray_guide 'As-of / range join'). Documented
+    partitioning assumption: all rows of one user fit one group. Output
+    carries the matched ts (not event_id) so exact-ts ties are unambiguous."""
+    ds = _pq(sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["event_type"] == "purchase"].sort_values(["ts", "event_id"])
+        v = g[g["event_type"] == "view"].sort_values(["ts", "event_id"])
+        if len(p) == 0:
+            return pd.DataFrame({"purchase_event_id": pd.Series(dtype="int64"),
+                                 "user_id": pd.Series(dtype="int64"),
+                                 "last_view_ts": pd.Series(dtype="datetime64[us]")})
+        if len(v) == 0:
+            return pd.DataFrame({"purchase_event_id": p["event_id"].to_numpy(),
+                                 "user_id": p["user_id"].to_numpy(),
+                                 "last_view_ts": pd.Series([pd.NaT] * len(p),
+                                                           dtype="datetime64[us]")})
+        j = pd.merge_asof(p[["event_id", "user_id", "ts"]],
+                          v[["ts"]].assign(last_view_ts=v["ts"].to_numpy()),
+                          on="ts", direction="backward", allow_exact_matches=False)
+        return pd.DataFrame({"purchase_event_id": j["event_id"].to_numpy(),
+                             "user_id": j["user_id"].to_numpy(),
+                             "last_view_ts": j["last_view_ts"].astype("datetime64[us]")})
+
+    out = ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return _i64(t, ["purchase_event_id", "user_id"])
+
+
+SQL_ASOF = """
+SELECT p.event_id::BIGINT AS purchase_event_id, p.user_id::BIGINT AS user_id,
+       v.ts AS last_view_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND v.ts < p.ts
+"""
+
+QUERIES2["asof_purchase_last_view"] = (q_asof_purchase_last_view, SQL_ASOF)
