@@ -392,3 +392,45 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
 """
 
 QUERIES2["asof_purchase_last_view"] = (q_asof_purchase_last_view, SQL_ASOF)
+
+
+# ---------------------------------------------------------------- range join
+
+def q_range_join_clicks_before_error(sf_dir: str):
+    """Range (interval) join: for every 'error' event, count same-user
+    'click' events in the strictly-preceding 10-minute window. Per-key
+    sorted groups + numpy searchsorted (no all-pairs); the SQL oracle is the
+    literal inequality join."""
+    ds = _pq(sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
+
+    def rj(g: pd.DataFrame) -> pd.DataFrame:
+        err = g[g["event_type"] == "error"].sort_values(["ts", "event_id"])
+        clk = g[g["event_type"] == "click"].sort_values("ts")
+        if len(err) == 0:
+            return pd.DataFrame({"error_event_id": pd.Series(dtype="int64"),
+                                 "user_id": pd.Series(dtype="int64"),
+                                 "n_clicks_10m": pd.Series(dtype="int64")})
+        cts = clk["ts"].to_numpy()
+        ets = err["ts"].to_numpy()
+        lo = np.searchsorted(cts, ets - np.timedelta64(10, "m"), side="left")
+        hi = np.searchsorted(cts, ets, side="left")   # strict: click.ts < error.ts
+        return pd.DataFrame({"error_event_id": err["event_id"].to_numpy(),
+                             "user_id": err["user_id"].to_numpy(),
+                             "n_clicks_10m": (hi - lo).astype(np.int64)})
+
+    out = ds.groupby("user_id").map_groups(rj, batch_format="pandas")
+    return _i64(pa.Table.from_pandas(out.to_pandas(), preserve_index=False),
+                ["error_event_id", "user_id", "n_clicks_10m"])
+
+
+SQL_RANGE = """
+SELECT e.event_id::BIGINT AS error_event_id, e.user_id::BIGINT AS user_id,
+       count(c.event_id)::BIGINT AS n_clicks_10m
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id
+ AND c.ts >= e.ts - INTERVAL 10 MINUTE AND c.ts < e.ts
+GROUP BY e.event_id, e.user_id
+"""
+
+QUERIES2["range_join_clicks_before_error"] = (q_range_join_clicks_before_error, SQL_RANGE)
