@@ -49,6 +49,13 @@ def compare(ray_result, oracle_df: pd.DataFrame) -> tuple[bool, str]:
         return False, f"row count {len(a)} != {len(b)}"
     if list(a.columns) != list(b.columns):
         return False, f"columns {list(a.columns)} != {list(b.columns)}"
+    # The driver hashes VALUES, so int64 1234 vs float64 1234.0 is a
+    # mismatch (round-1 lesson: DuckDB sum(BIGINT)->HUGEINT->float64 in
+    # pandas). Mirror that: dtype KINDS must agree per column.
+    for c in a.columns:
+        ka, kb = a[c].dtype.kind, b[c].dtype.kind
+        if (ka in "iu") != (kb in "iu") or (ka == "f") != (kb == "f"):
+            return False, f"dtype kind mismatch on {c}: {a[c].dtype} vs {b[c].dtype}"
     try:
         pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
     except AssertionError as e:

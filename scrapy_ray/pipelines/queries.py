@@ -64,6 +64,13 @@ def _cents(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
                             ndigits=0, round_mode="half_towards_infinity"), pa.int64())
 
 
+def _cents_np(x: np.ndarray) -> np.ndarray:
+    """numpy twin of _cents: half-away-from-zero (DuckDB round), NOT
+    np.round's banker's rounding — CLAUDE.md hard rule."""
+    y = np.asarray(x, dtype=np.float64) * 100.0
+    return (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64)
+
+
 # ---------------------------------------------------------------- filters/projections
 
 def q_filter_project_lang(sf_dir: str):
@@ -145,8 +152,8 @@ def q_grouped_agg_user_value(sf_dir: str):
 
 SQL_GROUPED_AGG = """
 SELECT user_id, count(*)::BIGINT AS n,
-       sum(CAST(round(value * 100) AS BIGINT)) AS value_sum_c,
-       round(sum(CAST(round(value * 100) AS BIGINT)) / count(*), 4) AS value_mean_c,
+       sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS value_sum_c,
+       round(sum(CAST(round(value * 100) AS BIGINT))::BIGINT / count(*), 4) AS value_mean_c,
        min(value) AS value_min,
        max(value) AS value_max
 FROM events GROUP BY user_id
@@ -184,9 +191,9 @@ def q_tpch_q1_like(sf_dir: str):
 
 SQL_TPCH_Q1 = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_c,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_revenue_c,
+       sum(CAST(round(l_quantity * 100) AS BIGINT))::BIGINT AS sum_qty_c,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS sum_base_price_c,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))::BIGINT AS sum_revenue_c,
        count(*)::BIGINT AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -211,7 +218,7 @@ def q_ts_bucket_hourly(sf_dir: str):
 
 SQL_TS_BUCKET = """
 SELECT date_trunc('hour', ts) AS hour,
-       sum(CAST(round(value * 100) AS BIGINT)) AS value_sum_c,
+       sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS value_sum_c,
        count(*)::BIGINT AS n
 FROM events GROUP BY 1
 """
@@ -327,7 +334,7 @@ def q_join_orders_customer(sf_dir: str):
 
     def join_partial(df: pd.DataFrame) -> pd.DataFrame:
         dim = ray.get(dim_ref)
-        df["pc"] = np.round(df["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+        df["pc"] = _cents_np(df["o_totalprice"].to_numpy())
         j = df.join(dim, on="o_custkey", how="inner")
         return j.groupby("c_mktsegment").agg(n=("pc", "count"),
                                              total=("pc", "sum")).reset_index()
@@ -341,7 +348,7 @@ def q_join_orders_customer(sf_dir: str):
 
 SQL_JOIN_OC = """
 SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_price_c
+       sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS total_price_c
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
@@ -354,7 +361,7 @@ def q_join_lineitem_part_brand(sf_dir: str):
 
     def join_partial(df: pd.DataFrame) -> pd.DataFrame:
         dim = ray.get(dim_ref)
-        df["qc"] = np.round(df["l_quantity"].to_numpy() * 100.0).astype(np.int64)
+        df["qc"] = _cents_np(df["l_quantity"].to_numpy())
         j = df.join(dim, on="l_partkey", how="inner")
         return j.groupby("p_brand").agg(q=("qc", "sum"), c=("qc", "count")).reset_index()
 
@@ -366,7 +373,7 @@ def q_join_lineitem_part_brand(sf_dir: str):
 
 
 SQL_JOIN_LP = """
-SELECT p_brand, sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
+SELECT p_brand, sum(CAST(round(l_quantity * 100) AS BIGINT))::BIGINT AS sum_qty_c,
        count(*)::BIGINT AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
@@ -374,40 +381,60 @@ GROUP BY p_brand
 
 
 def q_tpch_q3_like(sf_dir: str):
-    """3-way join (two broadcast dims onto the fact) + groupby + top-k —
-    the reference has no joins (SURVEY §2.4); this is the engine-side
-    composition the driver oracle checks."""
+    """3-way join + groupby + top-k, fully distributed (round-2 rework per
+    VERDICT item 3): only the TRUE dim (customer segment keys) is broadcast;
+    orders (a fact table) is NOT collected driver-side. The orders→lineitem
+    semi-join is a union + single groupby(l_orderkey) shuffle: orders rows
+    arrive tagged is_order=1, lineitem rows carry per-batch partial revenue;
+    groups without an orders row (non-BUILDING) or without lineitem rows are
+    dropped after the aggregate — exact inner-join semantics, no O(fact)
+    driver state."""
     import pyarrow.parquet as pq_
 
     cust = pq_.read_table(os.path.join(sf_dir, "customer.parquet"),
                           columns=["c_custkey", "c_mktsegment"])
-    seg_keys = set(cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"].to_pylist())
-    orders = pq_.read_table(os.path.join(sf_dir, "orders.parquet"),
-                            columns=["o_orderkey", "o_custkey"])
-    okeys_ref = ray.put(set(
-        orders.filter(pc.is_in(orders["o_custkey"],
-                               value_set=pa.array(list(seg_keys))))["o_orderkey"].to_pylist()))
+    bldg = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))
+    ckeys = pc.cast(pc.unique(bldg["c_custkey"]), pa.int64())
+    if isinstance(ckeys, pa.ChunkedArray):
+        ckeys = ckeys.combine_chunks()
+    ckeys_ref = ray.put(ckeys)
 
-    ds = _pq(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
 
-    def join_partial(t: pa.Table) -> pa.Table:
-        keys = ray.get(okeys_ref)
-        m = pc.is_in(t["l_orderkey"], value_set=pa.array(list(keys), type=pa.int64()))
-        t = t.filter(m)
+    def order_side(t: pa.Table) -> pa.Table:
+        keys = ray.get(ckeys_ref) if isinstance(ckeys_ref, ray.ObjectRef) else ckeys_ref
+        t = t.filter(pc.is_in(pc.cast(t["o_custkey"], pa.int64()), value_set=keys))
+        n = len(t)
+        return pa.table({"l_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                         "revenue_c": pa.array([0] * n, type=pa.int64()),
+                         "n_li": pa.array([0] * n, type=pa.int64()),
+                         "is_order": pa.array([1] * n, type=pa.int64())})
+
+    li = _pq(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        df = pa.table({"l_orderkey": t["l_orderkey"], "rev": _cents(rev)}).to_pandas()
-        return pa.Table.from_pandas(df.groupby("l_orderkey").agg(revenue_c=("rev", "sum"))
-                                    .reset_index(), preserve_index=False)
+        df = pa.table({"l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                       "rev": _cents(rev)}).to_pandas()
+        g = df.groupby("l_orderkey").agg(revenue_c=("rev", "sum"),
+                                         n_li=("rev", "count")).reset_index()
+        g["is_order"] = np.int64(0)
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    part = ds.map_batches(join_partial, batch_format="pyarrow")
-    out = part.groupby("l_orderkey").aggregate(Sum("revenue_c", alias_name="revenue_c"))
-    top = out.sort(["revenue_c", "l_orderkey"], descending=[True, False]).limit(10)
-    return _i64(pa.Table.from_pandas(top.to_pandas()), ["revenue_c"])
+    both = orders.map_batches(order_side, batch_format="pyarrow").union(
+        li.map_batches(li_partial, batch_format="pyarrow"))
+    out = both.groupby("l_orderkey").aggregate(
+        Sum("revenue_c", alias_name="revenue_c"), Sum("n_li", alias_name="n_li"),
+        Sum("is_order", alias_name="is_order"))
+    top = (out.filter(expr="is_order > 0 and n_li > 0")
+              .sort(["revenue_c", "l_orderkey"], descending=[True, False]).limit(10))
+    t = pa.Table.from_pandas(top.to_pandas()).select(["l_orderkey", "revenue_c"])
+    return _i64(t, ["revenue_c"])
 
 
 SQL_TPCH_Q3 = """
 SELECT l_orderkey,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_c
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))::BIGINT AS revenue_c
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
