@@ -43,6 +43,7 @@ from scrapy_ray.sources.readers import read_robots, read_seeds
 from scrapy_ray.stages.extract import classify_callback
 from scrapy_ray.stages.fetch import fetch_parse_wave
 from scrapy_ray.stages.links import filter_links
+from scrapy_ray.state.errors import StaleShardError
 from scrapy_ray.state.frontier import ShardedFrontier
 from scrapy_ray.state.urlseen import ShardedUrlSeen
 
@@ -134,42 +135,76 @@ class CrawlEngine:
         self.lineage: list[dict] = []
         self._mem_items: list[pa.Table] = []
         self._mem_order: list[pa.Table] = []
+        self._seeds: list[dict] | None = None
+        self._epoch = 0
+
+    def _stamp(self) -> None:
+        """Stamp all shards with a fresh epoch. A shard that later restarts
+        (losing state) reverts to epoch -1 and raises StaleShardError on its
+        next use — the detect-on-next-use half of fault tolerance (the
+        other half is recover())."""
+        self._epoch += 1
+        self.urlseen.set_epoch(self._epoch)
+        self.frontier.set_epoch(self._epoch)
 
     # --- checkpoint plumbing (SURVEY §4.2) ---
+    # Round-2 rework (ADVICE high): a checkpoint is a VERSIONED directory
+    # ``ckpt/v=<wave>/`` holding every shard segment + state.json, COMMITTED
+    # by atomically replacing the single pointer file ``manifest.json``.
+    # A SIGKILL anywhere before the pointer swap leaves the previous
+    # committed version fully intact (the old bug: shard files and manifest
+    # written sequentially into one flat dir — a mid-group kill mixed
+    # wave-k urlseen state with a wave-(k-1) manifest, so resume silently
+    # skipped already-'seen' subtrees).
     def _manifest_path(self) -> str:
         return os.path.join(self.ckpt, "manifest.json")
-
-    def _save_manifest(self) -> None:
-        tmp = self._manifest_path() + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"wave_idx": self.wave_idx, "next_seq": self.next_seq,
-                       "pages_fetched": self.pages_fetched, "items_count": self.items_count,
-                       "lineage": self.lineage}, fh)
-        os.replace(tmp, self._manifest_path())
 
     def checkpoint(self) -> None:
         if not self.ckpt:
             return
-        os.makedirs(self.ckpt, exist_ok=True)
-        self.urlseen.checkpoint(self.ckpt)
-        self.frontier.checkpoint(self.ckpt)
-        self._save_manifest()
+        vdir = os.path.join(self.ckpt, f"v={self.wave_idx}")
+        os.makedirs(vdir, exist_ok=True)
+        self.urlseen.checkpoint(vdir)
+        self.frontier.checkpoint(vdir)
+        stmp = os.path.join(vdir, "state.json.tmp")
+        with open(stmp, "w") as fh:
+            json.dump({"wave_idx": self.wave_idx, "next_seq": self.next_seq,
+                       "pages_fetched": self.pages_fetched, "items_count": self.items_count,
+                       "lineage": self.lineage}, fh)
+        os.replace(stmp, os.path.join(vdir, "state.json"))
+        # commit point: pointer swap is the single atomic operation
+        mtmp = self._manifest_path() + ".tmp"
+        with open(mtmp, "w") as fh:
+            json.dump({"version": self.wave_idx}, fh)
+        os.replace(mtmp, self._manifest_path())
+        # GC superseded versions (crash here leaves orphan dirs; resume
+        # only ever reads the manifest-referenced one)
+        import shutil
+
+        for d in os.listdir(self.ckpt):
+            if d.startswith("v=") and d != f"v={self.wave_idx}":
+                shutil.rmtree(os.path.join(self.ckpt, d), ignore_errors=True)
 
     def try_resume(self) -> bool:
-        """Reload shard state + manifest; True if a checkpoint was found."""
+        """Reload shard state from the manifest-referenced checkpoint
+        version; True if a committed checkpoint was found."""
         if not self.ckpt or not os.path.exists(self._manifest_path()):
             return False
         with open(self._manifest_path()) as fh:
+            ptr = json.load(fh)
+        vdir = os.path.join(self.ckpt, f"v={ptr['version']}")
+        with open(os.path.join(vdir, "state.json")) as fh:
             m = json.load(fh)
-        self.urlseen.restore(self.ckpt)
-        self.frontier.restore(self.ckpt)
+        self.urlseen.restore(vdir)
+        self.frontier.restore(vdir)
+        self._stamp()
         self.wave_idx = m["wave_idx"]
         self.next_seq = m["next_seq"]
         self.pages_fetched = m["pages_fetched"]
         self.items_count = m["items_count"]
         self.lineage = m["lineage"]
-        # drop sink partitions from any wave newer than the manifest (a crash
-        # between sink write and checkpoint): lineage lists completed waves.
+        # drop sink partitions from any wave newer than the checkpoint (a
+        # crash between sink write and commit): lineage lists completed waves.
         done = {e["wave"] for e in self.lineage}
         for sub in ("items", "order"):
             d = os.path.join(self.ckpt, sub)
@@ -180,7 +215,43 @@ class CrawlEngine:
                         shutil.rmtree(os.path.join(d, part))
         return True
 
+    def recover(self) -> None:
+        """Driver-coordinated recovery after a shard actor death (F1/F2 are
+        ``max_restarts>0`` so Ray revives them empty; the driver then
+        restores EVERY shard from the last committed checkpoint so the pool
+        is mutually consistent, and replays deterministically from there —
+        in-flight wave state since the checkpoint is rolled back on all
+        shards at once, never just the dead one). Without a checkpoint dir
+        the crawl restarts from the seeds (state is all in the actors)."""
+        import time
+
+        import ray.exceptions
+
+        last = None
+        for _ in range(20):  # restarting actors answer with
+            try:             # ActorUnavailableError until they are back up
+                if self.ckpt and os.path.exists(self._manifest_path()):
+                    assert self.try_resume()
+                    return
+                # no committed checkpoint: full deterministic restart
+                self.urlseen.reset()
+                self.frontier.reset()
+                self._mem_items, self._mem_order = [], []
+                self.wave_idx = 0
+                self.next_seq = 0
+                self.pages_fetched = 0
+                self.items_count = 0
+                self.lineage = []
+                self.seed(self._seeds)
+                return
+            except ray.exceptions.ActorUnavailableError as e:
+                last = e
+                time.sleep(0.5)
+        raise last
+
     def seed(self, seeds: list[dict] | None = None) -> None:
+        self._seeds = seeds  # kept for checkpoint-less recovery (recover())
+        self._stamp()
         cand = seeds_to_links(seeds if seeds is not None else read_seeds(self.root))
         fresh = self.urlseen.filter_new(cand)
         rows = _links_to_frontier(fresh, self.next_seq)
@@ -295,13 +366,38 @@ class CrawlEngine:
 
 def run_crawl(corpus_root: str, cfg: CrawlConfig | None = None,
               seeds: list[dict] | None = None, resume: bool = False,
-              **engine_kwargs) -> CrawlResult:
-    """Convenience one-shot crawl (the ``scrapy crawl`` equivalent, §3.1)."""
+              max_recoveries: int = 3, on_wave=None, **engine_kwargs) -> CrawlResult:
+    """Convenience one-shot crawl (the ``scrapy crawl`` equivalent, §3.1).
+
+    Shard-actor deaths (node loss on a real cluster) surface as
+    RayActorError / ActorUnavailableError on an in-flight RPC, or as
+    StaleShardError from the epoch guard when Ray silently revived the actor
+    empty. Either way the driver rolls the WHOLE pool back to the last
+    committed checkpoint and replays — determinism makes the replayed waves
+    byte-identical (tests/test_kill_resume.py::test_shard_kill_recovery).
+    Result collection is inside the recovery loop too: a kill detected only
+    at collection time triggers the same rollback + replay.
+
+    ``on_wave(engine)``: optional hook after each completed wave (extensions
+    surface §2.10; also how the kill tests inject faults into the REAL loop).
+    """
+    import ray.exceptions
+
     cfg = cfg or CrawlConfig()
     eng = CrawlEngine(corpus_root, cfg, **engine_kwargs)
     if not (resume and eng.try_resume()):
         eng.seed(seeds)
-    while eng.run_wave():
-        pass
-    eng.checkpoint()
-    return eng.result()
+    recoveries = 0
+    while True:
+        try:
+            while eng.run_wave():
+                if on_wave is not None:
+                    on_wave(eng)
+            eng.checkpoint()
+            return eng.result()
+        except (ray.exceptions.RayActorError, ray.exceptions.ActorUnavailableError,
+                StaleShardError):
+            recoveries += 1
+            if recoveries > max_recoveries:
+                raise
+            eng.recover()

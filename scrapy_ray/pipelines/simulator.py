@@ -26,6 +26,7 @@ import pyarrow.parquet as pq
 
 from scrapy_ray import schemas
 from scrapy_ray.config import CrawlConfig
+from scrapy_ray.functions.compress import maybe_decompress
 from scrapy_ray.functions.hashing import hash64_one
 from scrapy_ray.functions.htmlx import extract_detail, extract_links, visible_text
 from scrapy_ray.functions.textnorm import parse_price, parse_rating
@@ -48,9 +49,13 @@ def simulate_crawl(corpus_root: str, cfg: CrawlConfig | None = None,
                    seeds: list[dict] | None = None) -> SimResult:
     cfg = cfg or CrawlConfig()
     paths = corpus_paths(corpus_root)
-    pages = pa.concat_tables([pq.read_table(p) for p in paths["pages"]])
+    pages = pa.concat_tables([pq.read_table(p)
+                              for _, p in sorted(paths["pages"].items())])
     page_of = {u: i for i, u in enumerate(pages["url"].to_pylist())}
-    htmls = pages["html"].to_pylist()
+    # M11 mirror: the engine's fused parse decompresses bodies
+    # (parse_page_batch -> decompress_batch) — the simulator must see the
+    # same bytes or an ingested gzip corpus silently diverges.
+    htmls = [maybe_decompress(h) for h in pages["html"].to_pylist()]
     statuses = pages["status"].to_pylist()
     robots = {}
     if cfg.obey_robots:

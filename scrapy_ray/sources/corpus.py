@@ -299,17 +299,18 @@ def generate_corpus(root: str, spec: CorpusSpec, use_ray: bool = True) -> dict:
 
 
 def corpus_paths(root: str) -> dict:
-    """``pages`` is a list of bucket DIRECTORIES (``.../bucket=<k>``), one
-    per hash bucket, each holding >=1 parquet file — both the generator's
-    single-file layout and ``ingest.import_pages``'s multi-file layout."""
+    """``pages`` maps bucket id -> bucket DIRECTORY (``.../bucket=<k>``),
+    each holding >=1 parquet file — both the generator's single-file layout
+    and ``ingest.import_pages``'s multi-file layout. A dict, NOT a
+    positional list: ``write_parquet(partition_cols=...)`` creates dirs only
+    for non-empty buckets, so an ingested corpus can have holes — a missing
+    bucket id must read as a fetch miss, not an off-by-k misalignment."""
     pages_dir = os.path.join(root, "pages")
-    buckets = sorted(
-        (os.path.join(pages_dir, d) for d in os.listdir(pages_dir)
-         if d.startswith("bucket=")),
-        key=lambda p: int(p.split("bucket=")[1]),
-    )
     return {
-        "pages": buckets,
+        "pages": {
+            int(d.split("bucket=")[1]): os.path.join(pages_dir, d)
+            for d in os.listdir(pages_dir) if d.startswith("bucket=")
+        },
         "robots": os.path.join(root, "robots.parquet"),
         "seeds": os.path.join(root, "seeds.parquet"),
     }

@@ -19,10 +19,12 @@ def read_pages(root: str, columns: Sequence[str] | None = None,
     import glob
     import os
 
-    dirs = corpus_paths(root)["pages"]
+    by_bucket = corpus_paths(root)["pages"]
     if buckets is not None:
         keep = {int(b) for b in buckets}
-        dirs = [p for p in dirs if int(p.split("bucket=")[1]) in keep]
+        dirs = [p for b, p in sorted(by_bucket.items()) if b in keep]
+    else:
+        dirs = [p for _, p in sorted(by_bucket.items())]
     # ray.data.read_parquet expands a single directory but not a list of
     # directories — pass the files explicitly
     paths = [f for d in dirs for f in sorted(glob.glob(os.path.join(d, "*.parquet")))]

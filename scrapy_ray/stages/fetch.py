@@ -101,13 +101,17 @@ def _fetch_parse_cached(bucket: pa.Table, urls: list[str], carry: dict) -> tuple
 
 class BucketCache:
     """Lazy per-bucket ObjectRef cache (engine-held; one decode per bucket
-    per run — the corpus is immutable input)."""
+    per run — the corpus is immutable input). ``paths`` is the
+    ``corpus_paths()["pages"]`` dict keyed by bucket id; a bucket with no
+    directory returns None (fetch miss)."""
 
-    def __init__(self, paths: list[str]):
-        self.paths = paths
+    def __init__(self, paths: dict[int, str]):
+        self.paths = dict(paths)
         self.refs: dict[int, ray.ObjectRef] = {}
 
-    def get(self, b: int) -> ray.ObjectRef:
+    def get(self, b: int) -> "ray.ObjectRef | None":
+        if b not in self.paths:
+            return None
         if b not in self.refs:
             self.refs[b] = _load_bucket.remote(self.paths[b])
         return self.refs[b]
@@ -136,6 +140,8 @@ def fetch_parse_wave(corpus_root: str, wave: pa.Table, n_buckets: int,
     seqs = wave["seq"].to_pylist()
     futs = []
     for b in np.unique(bucket_of):
+        if int(b) not in paths:
+            continue  # bucket never written (empty at ingest) -> fetch miss
         idx = np.nonzero(bucket_of == b)[0]
         b_urls = [urls[i] for i in idx]
         carry = {urls[i]: (depths[i], pris[i], seqs[i]) for i in idx}

@@ -36,6 +36,7 @@ import ray
 from scrapy_ray import schemas
 from scrapy_ray.config import CrawlConfig
 from scrapy_ray.functions.hashing import hash64
+from scrapy_ray.state.errors import StaleShardError
 from scrapy_ray.state.robots import ALLOW_ALL, RobotsRules, parse_robots
 
 _NEVER = -1 << 30
@@ -61,6 +62,16 @@ class FrontierShard:
             self.robots = {h: parse_robots(b) for h, b in robots_bodies.items()}
         self.n_robots_denied = 0
         self.n_pushed = 0
+        self.epoch = -1  # stamped by the driver; -1 = fresh/restarted actor
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _guard(self, epoch: int | None) -> None:
+        if epoch is not None and epoch != self.epoch:
+            raise StaleShardError(
+                f"frontier shard {self.shard_id}: epoch {self.epoch} != driver {epoch} "
+                "(actor restarted since last stamp)")
 
     def _rules(self, host: str) -> RobotsRules:
         return self.robots.get(host, ALLOW_ALL)
@@ -69,10 +80,11 @@ class FrontierShard:
         robots_d = self._rules(host).crawl_delay if self.cfg.respect_crawl_delay else 0.0
         return max(self.cfg.download_delay, robots_d)
 
-    def push(self, rows: pa.Table) -> int:
+    def push(self, rows: pa.Table, epoch: int | None = None) -> int:
         """Enqueue FRONTIER rows; robots-denied rows are dropped here (they
         are already in the URL-seen set, matching the reference where the
         dupefilter runs at schedule time and robots gating at download time)."""
+        self._guard(epoch)
         kept = 0
         obey = self.cfg.obey_robots
         for r in rows.to_pylist():
@@ -85,8 +97,9 @@ class FrontierShard:
         self.n_pushed += kept
         return kept
 
-    def next_wave(self, wave_idx: int) -> pa.Table:
+    def next_wave(self, wave_idx: int, epoch: int | None = None) -> pa.Table:
         """Emit this wave's politeness-budgeted batch from every eligible host."""
+        self._guard(epoch)
         out: list[dict] = []
         cfg = self.cfg
         for host in list(self.queues):
@@ -112,8 +125,9 @@ class FrontierShard:
     def size(self) -> int:
         return sum(len(q) for q in self.queues.values())
 
-    def earliest_ready_wave(self) -> int | None:
+    def earliest_ready_wave(self, epoch: int | None = None) -> int | None:
         """Smallest wave index at which any queued host may emit (None=empty)."""
+        self._guard(epoch)
         best = None
         for host, q in self.queues.items():
             if not q:
@@ -122,13 +136,24 @@ class FrontierShard:
             best = ready if best is None else min(best, ready)
         return best
 
-    def stats(self) -> dict:
+    def stats(self, epoch: int | None = None) -> dict:
+        self._guard(epoch)
         return {"shard": self.shard_id, "queued": self.size(),
                 "hosts": len(self.queues), "robots_denied": self.n_robots_denied,
                 "pushed": self.n_pushed}
 
+    def reset(self) -> None:
+        """Back to construction state (driver-coordinated recovery when no
+        committed checkpoint exists); robots rules are construction args and
+        survive actor restart, so they stay."""
+        self.queues = defaultdict(list)
+        self.last_emit_wave = {}
+        self.n_robots_denied = 0
+        self.n_pushed = 0
+
     # --- checkpoint (SURVEY §4.2): queue rows + politeness clocks ---
-    def checkpoint(self, dirpath: str) -> None:
+    def checkpoint(self, dirpath: str, epoch: int | None = None) -> None:
+        self._guard(epoch)  # a stale shard must never write a checkpoint
         os.makedirs(dirpath, exist_ok=True)
         rows = [e[2] for q in self.queues.values() for e in q]
         t = (pa.table({k: [r[k] for r in rows] for k in schemas.FRONTIER.names},
@@ -162,6 +187,7 @@ class ShardedFrontier:
     def __init__(self, cfg: CrawlConfig, robots_bodies: dict[str, str] | None = None):
         self.cfg = cfg
         self.n_shards = cfg.n_frontier_shards
+        self.epoch: int | None = None  # engine stamps via set_epoch()
         # each shard receives ONLY the robots entries for hosts it owns —
         # at 10^7 hosts the cache partitions with the frontier instead of
         # being replicated n_shards times (SURVEY §2.3 F5 cache locality)
@@ -172,14 +198,21 @@ class ShardedFrontier:
             for host, s in zip(hosts, (hash64(hosts) % np.uint64(self.n_shards)).astype(int)):
                 parts[s][host] = robots_bodies[host]
         # num_cpus=0 — see ShardedUrlSeen: always-schedulable RPC servers.
+        # max_restarts>0: dead shard revives empty with its ORIGINAL args
+        # (cfg + its robots partition); the driver restores queue/clock state
+        # from the last committed checkpoint (crawl.py recover()).
         actor = ray.remote(FrontierShard)
         self.shards = [
-            actor.options(num_cpus=0, max_restarts=0).remote(i, cfg, parts[i])
+            actor.options(num_cpus=0, max_restarts=4).remote(i, cfg, parts[i])
             for i in range(self.n_shards)
         ]
 
     def shard_of_hosts(self, hosts: list[str]) -> np.ndarray:
         return (hash64(hosts) % np.uint64(self.n_shards)).astype(np.int64)
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+        ray.get([s.set_epoch.remote(epoch) for s in self.shards])
 
     def push(self, rows: pa.Table) -> int:
         if len(rows) == 0:
@@ -189,11 +222,13 @@ class ShardedFrontier:
         for s in range(self.n_shards):
             idx = np.nonzero(shard == s)[0]
             if len(idx):
-                futs.append(self.shards[s].push.remote(rows.take(pa.array(idx))))
+                futs.append(self.shards[s].push.remote(rows.take(pa.array(idx)),
+                                                       epoch=self.epoch))
         return sum(ray.get(futs))
 
     def next_wave(self, wave_idx: int) -> pa.Table:
-        parts = ray.get([s.next_wave.remote(wave_idx) for s in self.shards])
+        parts = ray.get([s.next_wave.remote(wave_idx, epoch=self.epoch)
+                         for s in self.shards])
         t = pa.concat_tables(parts)
         if len(t) == 0:
             return t
@@ -203,15 +238,19 @@ class ShardedFrontier:
         return sum(ray.get([s.size.remote() for s in self.shards]))
 
     def earliest_ready_wave(self) -> int | None:
-        vals = [v for v in ray.get([s.earliest_ready_wave.remote() for s in self.shards])
+        vals = [v for v in ray.get([s.earliest_ready_wave.remote(epoch=self.epoch)
+                                    for s in self.shards])
                 if v is not None]
         return min(vals) if vals else None
 
     def stats(self) -> list[dict]:
-        return ray.get([s.stats.remote() for s in self.shards])
+        return ray.get([s.stats.remote(epoch=self.epoch) for s in self.shards])
 
     def checkpoint(self, dirpath: str) -> None:
-        ray.get([s.checkpoint.remote(dirpath) for s in self.shards])
+        ray.get([s.checkpoint.remote(dirpath, epoch=self.epoch) for s in self.shards])
 
     def restore(self, dirpath: str) -> None:
         ray.get([s.restore.remote(dirpath) for s in self.shards])
+
+    def reset(self) -> None:
+        ray.get([s.reset.remote() for s in self.shards])

@@ -27,6 +27,7 @@ import pyarrow.parquet as pq
 import ray
 
 from scrapy_ray.state.bloom import BloomFilter
+from scrapy_ray.state.errors import StaleShardError
 
 
 class UrlSeenShard:
@@ -40,10 +41,22 @@ class UrlSeenShard:
         self.exact: dict[int, str] | None = {} if exact else None
         self.n_seen = 0
         self.n_filtered = 0
+        self.epoch = -1  # stamped by the driver; -1 = fresh/restarted actor
 
-    def check_and_add(self, hashes: np.ndarray, urls: list[str] | None) -> np.ndarray:
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _guard(self, epoch: int | None) -> None:
+        if epoch is not None and epoch != self.epoch:
+            raise StaleShardError(
+                f"urlseen shard {self.shard_id}: epoch {self.epoch} != driver {epoch} "
+                "(actor restarted since last stamp)")
+
+    def check_and_add(self, hashes: np.ndarray, urls: list[str] | None,
+                      epoch: int | None = None) -> np.ndarray:
         """Returns a bool mask: True = first sighting (keep). Adds as it goes,
         so duplicates *within* the batch are filtered too."""
+        self._guard(epoch)
         n = len(hashes)
         out = np.zeros(n, dtype=bool)
         maybe_seen = self.bloom.contains_many(hashes)
@@ -68,36 +81,68 @@ class UrlSeenShard:
         self.n_filtered += n - int(out.sum())
         return out
 
-    def seen_table(self) -> pa.Table:
+    def seen_table(self, epoch: int | None = None) -> pa.Table:
         """(url_hash, url) of everything seen — the golden URL-seen set."""
+        self._guard(epoch)
         if self.exact is None:
             raise RuntimeError("exact set disabled on this shard")
         ks = np.fromiter(self.exact.keys(), dtype=np.uint64, count=len(self.exact))
         return pa.table({"url_hash": pa.array(ks, type=pa.uint64()),
                          "url": pa.array(list(self.exact.values()), type=pa.string())})
 
-    def stats(self) -> dict:
+    def stats(self, epoch: int | None = None) -> dict:
+        self._guard(epoch)
         return {"shard": self.shard_id, "n_seen": self.n_seen, "n_filtered": self.n_filtered,
                 "bloom_fill": self.bloom.fill_ratio()}
 
-    # --- checkpoint (SURVEY §4.2): atomic per-shard segment ---
-    def checkpoint(self, dirpath: str) -> None:
+    def reset(self) -> None:
+        """Back to construction state (driver-coordinated recovery when no
+        committed checkpoint exists)."""
+        self.bloom = BloomFilter(self.bloom.capacity, self.bloom.bits_per_key)
+        if self.exact is not None:
+            self.exact = {}
+        self.n_seen = 0
+        self.n_filtered = 0
+
+    # --- checkpoint (SURVEY §4.2): atomic per-shard segment. In Bloom-only
+    # mode (exact=None, the 10^10-URL memory-bounded path) only the Bloom
+    # segment + counters are persisted — there is no exact table to write,
+    # and restore must NOT resurrect an exact dict on such a shard.
+    def checkpoint(self, dirpath: str, epoch: int | None = None) -> None:
+        import json
+
+        self._guard(epoch)  # a stale shard must never write a checkpoint
         os.makedirs(dirpath, exist_ok=True)
-        tmp = os.path.join(dirpath, f"urlseen_{self.shard_id}.tmp")
-        final = os.path.join(dirpath, f"urlseen_{self.shard_id}.parquet")
-        pq.write_table(self.seen_table(), tmp)
-        os.replace(tmp, final)
+        if self.exact is not None:
+            tmp = os.path.join(dirpath, f"urlseen_{self.shard_id}.tmp")
+            final = os.path.join(dirpath, f"urlseen_{self.shard_id}.parquet")
+            pq.write_table(self.seen_table(), tmp)
+            os.replace(tmp, final)
         btmp = os.path.join(dirpath, f"bloom_{self.shard_id}.tmp")
         with open(btmp, "wb") as fh:
             fh.write(self.bloom.to_bytes())
         os.replace(btmp, os.path.join(dirpath, f"bloom_{self.shard_id}.bin"))
+        mtmp = os.path.join(dirpath, f"urlseen_meta_{self.shard_id}.tmp")
+        with open(mtmp, "w") as fh:
+            json.dump({"n_seen": self.n_seen, "n_filtered": self.n_filtered}, fh)
+        os.replace(mtmp, os.path.join(dirpath, f"urlseen_meta_{self.shard_id}.json"))
 
     def restore(self, dirpath: str) -> None:
-        t = pq.read_table(os.path.join(dirpath, f"urlseen_{self.shard_id}.parquet"))
-        self.exact = dict(zip((int(h) for h in t["url_hash"].to_pylist()), t["url"].to_pylist()))
+        import json
+
+        if self.exact is not None:
+            t = pq.read_table(os.path.join(dirpath, f"urlseen_{self.shard_id}.parquet"))
+            self.exact = dict(zip((int(h) for h in t["url_hash"].to_pylist()),
+                                  t["url"].to_pylist()))
         with open(os.path.join(dirpath, f"bloom_{self.shard_id}.bin"), "rb") as fh:
             self.bloom = BloomFilter.from_bytes(fh.read())
-        self.n_seen = len(self.exact)
+        meta_p = os.path.join(dirpath, f"urlseen_meta_{self.shard_id}.json")
+        if os.path.exists(meta_p):
+            with open(meta_p) as fh:
+                m = json.load(fh)
+            self.n_seen, self.n_filtered = m["n_seen"], m["n_filtered"]
+        else:
+            self.n_seen = len(self.exact) if self.exact is not None else 0
 
 
 class ShardedUrlSeen:
@@ -106,14 +151,23 @@ class ShardedUrlSeen:
     def __init__(self, n_shards: int, capacity: int = 1_000_000, bits_per_key: int = 10,
                  exact: bool = True):
         self.n_shards = n_shards
+        self.epoch: int | None = None  # engine stamps via set_epoch()
         # num_cpus=0: shards are short-burst RPC servers; reserving CPU slots
         # starves task scheduling at low num_cpus (16 shards x 0.25 deadlocks
         # a 2-CPU session) — they must always be schedulable.
+        # max_restarts>0 (round 2, VERDICT item 7): a dead shard revives
+        # EMPTY; the driver detects the RayActorError and restores the whole
+        # pool from the last committed checkpoint (pipelines/crawl.py
+        # recover()) so state stays mutually consistent.
         actor = ray.remote(UrlSeenShard)
         self.shards = [
-            actor.options(num_cpus=0, max_restarts=0).remote(i, capacity, bits_per_key, exact)
+            actor.options(num_cpus=0, max_restarts=4).remote(i, capacity, bits_per_key, exact)
             for i in range(n_shards)
         ]
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+        ray.get([s.set_epoch.remote(epoch) for s in self.shards])
 
     def filter_new(self, links: pa.Table) -> pa.Table:
         """Anti-join the candidate links against all shards (batched,
@@ -131,7 +185,7 @@ class ShardedUrlSeen:
             if len(idx) == 0:
                 continue
             futs.append(self.shards[s].check_and_add.remote(
-                hashes[idx], [urls[i] for i in idx]))
+                hashes[idx], [urls[i] for i in idx], epoch=self.epoch))
             idxs.append(idx)
         for idx, res in zip(idxs, ray.get(futs)):
             mask[idx] = res
@@ -140,13 +194,17 @@ class ShardedUrlSeen:
         return links.filter(pa.array(mask))
 
     def seen_table(self) -> pa.Table:
-        return pa.concat_tables(ray.get([s.seen_table.remote() for s in self.shards]))
+        return pa.concat_tables(ray.get([s.seen_table.remote(epoch=self.epoch)
+                                         for s in self.shards]))
 
     def stats(self) -> list[dict]:
-        return ray.get([s.stats.remote() for s in self.shards])
+        return ray.get([s.stats.remote(epoch=self.epoch) for s in self.shards])
 
     def checkpoint(self, dirpath: str) -> None:
-        ray.get([s.checkpoint.remote(dirpath) for s in self.shards])
+        ray.get([s.checkpoint.remote(dirpath, epoch=self.epoch) for s in self.shards])
 
     def restore(self, dirpath: str) -> None:
         ray.get([s.restore.remote(dirpath) for s in self.shards])
+
+    def reset(self) -> None:
+        ray.get([s.reset.remote() for s in self.shards])

@@ -32,7 +32,7 @@ def main() -> None:
     generate_corpus(E2E_ROOT, E2E_SPEC, use_ray=False)
 
     # 1. extraction goldens: first 12 detail + 3 listing pages by url order
-    full = pa.concat_tables([pq.read_table(p) for p in corpus_paths(E2E_ROOT)["pages"]])
+    full = pa.concat_tables([pq.read_table(p) for p in corpus_paths(E2E_ROOT)["pages"].values()])
     full = full.sort_by("url")
     goldens = []
     nd = nl = 0

@@ -102,7 +102,7 @@ def test_extraction_goldens(e2e_corpus):
 
     with open(GOLDEN) as fh:
         goldens = json.load(fh)
-    full = pa.concat_tables([pq.read_table(p) for p in corpus_paths(e2e_corpus)["pages"]])
+    full = pa.concat_tables([pq.read_table(p) for p in corpus_paths(e2e_corpus)["pages"].values()])
     by_url = {u: i for i, u in enumerate(full["url"].to_pylist())}
     for g in goldens:
         i = by_url[g["url"]]

@@ -19,7 +19,7 @@ def test_import_pages_roundtrip(ray_session, tmp_path):
     native = str(tmp_path / "native")
     generate_corpus(native, CorpusSpec(n_hosts=5, total_pages=150, seed=3), use_ray=False)
     flat = pa.concat_tables(
-        [pq.read_table(p) for p in corpus_paths(native)["pages"]]
+        [pq.read_table(p) for p in corpus_paths(native)["pages"].values()]
     ).drop_columns(["url_hash", "bucket"])
     src = str(tmp_path / "export.parquet")
     pq.write_table(flat, src)
@@ -47,7 +47,7 @@ def test_import_pages_text_only(ray_session, tmp_path):
     out = str(tmp_path / "corpus")
     import_pages(src, out, n_buckets=2)
     files = corpus_paths(out)["pages"]
-    t = pa.concat_tables([pq.read_table(p) for p in files])
+    t = pa.concat_tables([pq.read_table(p) for p in files.values()])
     assert t.num_rows == 20
     assert set(t.schema.names) >= {"url", "warc_ts", "html", "text", "lang",
                                    "host", "status", "url_hash"}
