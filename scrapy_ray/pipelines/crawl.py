@@ -34,6 +34,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
+import ray
 
 from scrapy_ray import schemas
 from scrapy_ray.config import CrawlConfig
@@ -124,6 +125,14 @@ class CrawlEngine:
         else:
             self._bucket_cache = None
         robots = read_robots(corpus_root) if cfg.obey_robots else None
+        # Snapshot the user-extension registry (custom @page_handler stages +
+        # URL routes) and put it in the object store ONCE — worker processes
+        # never see driver-side registrations, so the fused per-bucket parse
+        # tasks read this snapshot (registry.py, SURVEY §2.10).
+        from scrapy_ray.registry import PAGE_HANDLERS, URL_ROUTES
+
+        self._registry_ref = (ray.put((dict(PAGE_HANDLERS), list(URL_ROUTES)))
+                              if (PAGE_HANDLERS or URL_ROUTES) else None)
         self.urlseen = ShardedUrlSeen(cfg.n_filter_shards, cfg.bloom_capacity,
                                       cfg.bloom_bits_per_key, exact=cfg.exact_urlseen)
         self.frontier = ShardedFrontier(cfg, robots)
@@ -294,7 +303,8 @@ class CrawlEngine:
         # parse + in-task items/links splits — neither html nor list columns
         # reach the driver (stages/fetch.py fetch_parse_wave, stages/parse.py).
         items, links, n_fetched = fetch_parse_wave(self.root, wave, self.n_buckets,
-                                                   cache=self._bucket_cache)
+                                                   cache=self._bucket_cache,
+                                                   registry_ref=self._registry_ref)
 
         self.pages_fetched += n_fetched
         if self.item_pipelines:

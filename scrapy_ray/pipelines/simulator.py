@@ -164,7 +164,13 @@ def simulate_crawl(corpus_root: str, cfg: CrawlConfig | None = None,
             order_rows.append((c["seq"], wave_idx, c["url"]))
 
         # fetch + parse in seq order (canonical link order = parent seq asc,
-        # document order — matches engine's (parent_seq, link_idx) sort)
+        # document order — matches engine's (parent_seq, link_idx) sort).
+        # Custom @page_handler stages dispatch through the SAME registry the
+        # engine ships to its workers (registry.py) — the mirror rule.
+        from scrapy_ray.registry import PAGE_HANDLERS
+        from scrapy_ray.stages.extract import classify_callback
+        from scrapy_ray.stages.parse import _item_from_handler
+
         cands: list[dict] = []
         for c in sorted(emitted, key=lambda c: c["seq"]):
             i = page_of.get(c["url"])
@@ -174,23 +180,38 @@ def simulate_crawl(corpus_root: str, cfg: CrawlConfig | None = None,
             if not (200 <= statuses[i] < 300):   # M10
                 continue
             html = htmls[i]
-            m = _KIND.match(c["url"])
-            kind = m.group(1) if m else ""
-            if kind in ("hotel", "restaurant"):
-                d = extract_detail(html)
-                if d["name"] is not None:
+            cb = classify_callback([c["url"]])[0] if PAGE_HANDLERS else None
+            handler = PAGE_HANDLERS.get(cb) if cb is not None else None
+            if handler is not None:
+                res = handler(c["url"], html) or {}
+                item_ok, item = _item_from_handler(res.get("item"), cb, html)
+                if item_ok:
                     items_count += 1
                     items_cols["url"].append(c["url"])
-                    items_cols["item_type"].append(kind)
-                    items_cols["name"].append(d["name"])
-                    items_cols["address"].append(d["address"])
-                    items_cols["rating"].append(parse_rating(d["rating"]))
-                    items_cols["price"].append(d["price"])
-                    items_cols["price_value"].append(parse_price(d["price"]))
-                    items_cols["review_count"].append(d["review_count"])
-                    items_cols["reviews"].append(d["reviews"])
-                    items_cols["extracted_text"].append(visible_text(html))
-            for u in urljoin_many(c["url"], extract_links(html)):
+                    for k in ("item_type", "name", "address", "rating", "price",
+                              "price_value", "review_count", "reviews",
+                              "extracted_text"):
+                        items_cols[k].append(item.get(k))
+                raw_links = res.get("links", [])
+            else:
+                m = _KIND.match(c["url"])
+                kind = m.group(1) if m else ""
+                if kind in ("hotel", "restaurant"):
+                    d = extract_detail(html)
+                    if d["name"] is not None:
+                        items_count += 1
+                        items_cols["url"].append(c["url"])
+                        items_cols["item_type"].append(kind)
+                        items_cols["name"].append(d["name"])
+                        items_cols["address"].append(d["address"])
+                        items_cols["rating"].append(parse_rating(d["rating"]))
+                        items_cols["price"].append(d["price"])
+                        items_cols["price_value"].append(parse_price(d["price"]))
+                        items_cols["review_count"].append(d["review_count"])
+                        items_cols["reviews"].append(d["reviews"])
+                        items_cols["extracted_text"].append(visible_text(html))
+                raw_links = extract_links(html)
+            for u in urljoin_many(c["url"], raw_links):
                 cu = canonicalize_url(u)
                 cands.append({"url": cu, "host": host_of(cu),
                               "depth": c["depth"] + 1, "priority": 0})

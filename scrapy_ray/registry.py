@@ -13,15 +13,21 @@ and link middlewares are ``fn(pa.Table) -> pa.Table`` applied in order; a
 pipeline drops rows by filtering them out (DropItem ≙ filter), and both run
 inside the engine's batch path — never per row.
 
-Round-1 scope note: the wave loop's fused parser dispatches the two built-in
-stages internally (stages/parse.py); custom-registered stages are usable in
-standalone pipelines (`read_pages(...).map_batches(PARSE_STAGES[tag])`) and
-through the item/link chains, which ARE wired into the engine. Routing
-arbitrary custom tags through the fused wave parser is a round-2 item.
+Custom page types crawl through the ENGINE via ``@page_handler`` (round 2,
+VERDICT item 2): register a per-page pure function + a URL route pattern,
+and the fused wave parser dispatches matching pages to it — on Ray WORKERS,
+not just the driver (CrawlEngine snapshots the registry at construction and
+ships it into the per-bucket parse tasks via one ``ray.put``). The
+reference-semantics simulator consults the same registry, so the
+engine≡simulator equality tests extend to custom page types.
+
+``@parse_stage`` (batch-level fn) remains for standalone Dataset pipelines
+(`read_pages(...).map_batches(PARSE_STAGES[tag])`).
 """
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
 import pyarrow as pa
@@ -29,6 +35,37 @@ import pyarrow as pa
 BatchFn = Callable[[pa.Table], pa.Table]
 
 PARSE_STAGES: dict[str, BatchFn] = {}
+
+# Engine-fused per-page handlers: tag -> fn(url: str, html: bytes) -> dict
+# with optional keys {"item": dict|None, "links": list[str]}. The item dict
+# may set any ITEMS-schema field (name, address, rating, price, price_value,
+# review_count, reviews, extracted_text, item_type); links are raw hrefs —
+# absolutization/canonicalization/hashing stay centralized in the engine.
+PAGE_HANDLERS: dict[str, Callable[[str, bytes], dict]] = {}
+
+# URL routing, checked before the built-in listing/detail classifier:
+# first match wins, in registration order.
+URL_ROUTES: list[tuple[re.Pattern, str]] = []
+
+
+def url_route(pattern: str, tag: str) -> None:
+    """Route URLs matching ``pattern`` to the parse stage ``tag`` (the
+    reference's CrawlSpider Rule ≙ LinkExtractor+callback)."""
+    URL_ROUTES.append((re.compile(pattern), tag))
+
+
+def page_handler(tag: str, url_pattern: str | None = None):
+    """Register an engine-fused per-page handler (and optionally its URL
+    route). The handler must be a deterministic pure function of
+    (url, html) — the byte-identical-extraction invariant applies."""
+
+    def deco(fn: Callable[[str, bytes], dict]):
+        PAGE_HANDLERS[tag] = fn
+        if url_pattern is not None:
+            url_route(url_pattern, tag)
+        return fn
+
+    return deco
 
 
 def parse_stage(name: str) -> Callable[[BatchFn], BatchFn]:

@@ -22,13 +22,28 @@ from scrapy_ray.functions.textnorm import parse_price, parse_rating
 _KIND = re.compile(r"https?://[^/]+/(listing|hotel|restaurant)/")
 
 
-def classify_callback(urls: list[str]) -> list[str]:
+def classify_callback(urls: list[str], routes=None) -> list[str]:
     """URL pattern -> parse-stage tag (the reference routes via Rule/callback;
-    our frontier rows carry the tag as a dictionary-encodable string column)."""
+    our frontier rows carry the tag as a dictionary-encodable string column).
+
+    Custom ``registry.url_route`` patterns are checked first (registration
+    order, first match wins); ``routes`` overrides the global registry —
+    Ray worker tasks receive the driver's snapshot this way (worker
+    processes never see driver-side registrations)."""
+    if routes is None:
+        from scrapy_ray.registry import URL_ROUTES
+        routes = URL_ROUTES
     out = []
     for u in urls:
-        m = _KIND.match(u)
-        out.append("parse_listing" if (m and m.group(1) == "listing") else "parse_detail")
+        tag = None
+        for pat, t in routes:
+            if pat.match(u):
+                tag = t
+                break
+        if tag is None:
+            m = _KIND.match(u)
+            tag = "parse_listing" if (m and m.group(1) == "listing") else "parse_detail"
+        out.append(tag)
     return out
 
 

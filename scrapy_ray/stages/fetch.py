@@ -49,18 +49,23 @@ def _empty_fetched(page_schema: pa.Schema) -> pa.Table:
 
 
 @ray.remote
-def _fetch_parse_bucket(path: str, urls: list[str], carry: dict) -> tuple:
+def _fetch_parse_bucket(path: str, urls: list[str], carry: dict, registry_ref=None) -> tuple:
     """Read one corpus bucket with an ``url IN (...)`` parquet filter
     (row-group pruning — bucket files are written sorted by url), attach the
     frontier carry columns, run the fused parse AND the items/links splits
     in-task. Returns (items_table, links_table, n_fetched) — neither html
     nor per-page list columns ever reach the driver, which keeps the wave
-    barrier's serial fraction to concat + canonical sort + shard RPCs."""
+    barrier's serial fraction to concat + canonical sort + shard RPCs.
+    ``registry_ref``: ray.put snapshot of (PAGE_HANDLERS, URL_ROUTES) —
+    driver-side registrations are invisible to worker processes otherwise."""
     import pyarrow.parquet as pq
 
     from scrapy_ray import schemas
     from scrapy_ray.stages.parse import parse_page_batch, split_items, split_links
 
+    # NB: Ray auto-dereferences ObjectRef args — the task receives the
+    # snapshot tuple itself.
+    handlers, routes = registry_ref if registry_ref is not None else ({}, [])
     t = pq.read_table(path, filters=pc.field("url").isin(urls),
                       columns=["url", "html", "status"])
     if len(t) == 0:
@@ -69,8 +74,8 @@ def _fetch_parse_bucket(path: str, urls: list[str], carry: dict) -> tuple:
     t = t.append_column("depth", pa.array([r[0] for r in rows], type=pa.int32()))
     t = t.append_column("priority", pa.array([r[1] for r in rows], type=pa.int32()))
     t = t.append_column("seq", pa.array([r[2] for r in rows], type=pa.int64()))
-    parsed = parse_page_batch(t)
-    return split_items(parsed), split_links(parsed), len(parsed)
+    parsed = parse_page_batch(t, handlers=handlers, routes=routes)
+    return split_items(parsed), split_links(parsed, routes=routes), len(parsed)
 
 
 @ray.remote
@@ -82,12 +87,16 @@ def _load_bucket(path: str) -> pa.Table:
 
 
 @ray.remote
-def _fetch_parse_cached(bucket: pa.Table, urls: list[str], carry: dict) -> tuple:
+def _fetch_parse_cached(bucket: pa.Table, urls: list[str], carry: dict,
+                        registry_ref=None) -> tuple:
     """In-memory probe variant of _fetch_parse_bucket: ``bucket`` arrives as
     a zero-copy plasma reference; filter + parse + split in-task."""
     from scrapy_ray import schemas
     from scrapy_ray.stages.parse import parse_page_batch, split_items, split_links
 
+    # NB: Ray auto-dereferences ObjectRef args — the task receives the
+    # snapshot tuple itself.
+    handlers, routes = registry_ref if registry_ref is not None else ({}, [])
     t = bucket.filter(pc.is_in(bucket["url"], value_set=pa.array(urls, type=pa.string())))
     if len(t) == 0:
         return schemas.ITEMS.empty_table(), schemas.LINKS.empty_table(), 0
@@ -95,8 +104,8 @@ def _fetch_parse_cached(bucket: pa.Table, urls: list[str], carry: dict) -> tuple
     t = t.append_column("depth", pa.array([r[0] for r in rows], type=pa.int32()))
     t = t.append_column("priority", pa.array([r[1] for r in rows], type=pa.int32()))
     t = t.append_column("seq", pa.array([r[2] for r in rows], type=pa.int64()))
-    parsed = parse_page_batch(t)
-    return split_items(parsed), split_links(parsed), len(parsed)
+    parsed = parse_page_batch(t, handlers=handlers, routes=routes)
+    return split_items(parsed), split_links(parsed, routes=routes), len(parsed)
 
 
 class BucketCache:
@@ -118,7 +127,7 @@ class BucketCache:
 
 
 def fetch_parse_wave(corpus_root: str, wave: pa.Table, n_buckets: int,
-                     cache: "BucketCache | None" = None) -> tuple:
+                     cache: "BucketCache | None" = None, registry_ref=None) -> tuple:
     """Wave-loop fast path (SURVEY §7.4.3): the per-wave fetch-join is a
     repeated *small indexed lookup*, for which per-wave ``read_parquet``
     Dataset construction costs seconds (fragment sampling). Raw Ray tasks —
@@ -146,9 +155,11 @@ def fetch_parse_wave(corpus_root: str, wave: pa.Table, n_buckets: int,
         b_urls = [urls[i] for i in idx]
         carry = {urls[i]: (depths[i], pris[i], seqs[i]) for i in idx}
         if cache is not None:
-            futs.append(_fetch_parse_cached.remote(cache.get(int(b)), b_urls, carry))
+            futs.append(_fetch_parse_cached.remote(cache.get(int(b)), b_urls, carry,
+                                                   registry_ref))
         else:
-            futs.append(_fetch_parse_bucket.remote(paths[int(b)], b_urls, carry))
+            futs.append(_fetch_parse_bucket.remote(paths[int(b)], b_urls, carry,
+                                                   registry_ref))
     items_p, links_p, n = [], [], 0
     for it, lk, nf in ray.get(futs):
         n += nf

@@ -26,7 +26,7 @@ from scrapy_ray.functions.hashing import hash64
 from scrapy_ray.functions.htmlx import extract_detail, extract_links, visible_text
 from scrapy_ray.functions.textnorm import parse_price, parse_rating
 from scrapy_ray.functions.urlnorm import canonicalize_urls, hosts_of, urljoin_many
-from scrapy_ray.stages.extract import _KIND
+from scrapy_ray.stages.extract import _KIND, classify_callback
 
 PARSED_SCHEMA = pa.schema(
     [
@@ -51,8 +51,35 @@ PARSED_SCHEMA = pa.schema(
 )
 
 
-def parse_page_batch(t: pa.Table) -> pa.Table:
+def _item_from_handler(item: dict | None, cb: str, html: bytes) -> tuple[bool, dict]:
+    """Normalize a custom handler's item dict onto the ITEMS-schema fields
+    (shared by engine and simulator so custom extraction stays mirrored)."""
+    if item is None:
+        return False, {}
+    out = {
+        "item_type": item.get("item_type", cb),
+        "name": item.get("name"),
+        "address": item.get("address"),
+        "rating": item.get("rating"),
+        "price": item.get("price"),
+        "price_value": item.get("price_value"),
+        "review_count": item.get("review_count"),
+        "reviews": item.get("reviews"),
+        "extracted_text": item.get("extracted_text", visible_text(html)),
+    }
+    return True, out
+
+
+def parse_page_batch(t: pa.Table, handlers: dict | None = None,
+                     routes: list | None = None) -> pa.Table:
+    """``handlers``/``routes``: the driver's registry snapshot (shipped into
+    worker tasks by the engine — see registry.py). None = use the process-
+    local registry (driver-side standalone pipelines, simulator parity)."""
     from scrapy_ray.functions.compress import decompress_batch
+
+    if handlers is None:
+        from scrapy_ray.registry import PAGE_HANDLERS
+        handlers = PAGE_HANDLERS
 
     n = len(t)
     urls = t["url"].to_pylist()
@@ -60,32 +87,49 @@ def parse_page_batch(t: pa.Table) -> pa.Table:
     seqs = t["seq"].to_pylist()
     depths = t["depth"].to_pylist()
     status = t["status"].to_pylist() if "status" in t.column_names else [200] * n
+    cbs = classify_callback(urls, routes=routes) if handlers else [None] * n
 
     cols: dict[str, list] = {k: [] for k in PARSED_SCHEMA.names}
-    for url, html, seq, depth, st in zip(urls, htmls, seqs, depths, status):
+    for url, html, seq, depth, st, cb in zip(urls, htmls, seqs, depths, status, cbs):
         ok = 200 <= st < 300
-        m = _KIND.match(url)
-        kind = m.group(1) if m else ""
-        item_ok = False
-        d = None
-        if ok and kind in ("hotel", "restaurant"):
-            d = extract_detail(html)
-            item_ok = d["name"] is not None
+        handler = handlers.get(cb) if (handlers and cb is not None) else None
+        if handler is not None:
+            res = (handler(url, html) or {}) if ok else {}
+            item_ok, item = _item_from_handler(res.get("item"), cb, html)
+            raw = res.get("links", [])
+            links = canonicalize_urls(urljoin_many(url, raw)) if (ok and raw) else []
+            cols["item_type"].append(item.get("item_type") if item_ok else None)
+            cols["name"].append(item.get("name") if item_ok else None)
+            cols["address"].append(item.get("address") if item_ok else None)
+            cols["rating"].append(item.get("rating") if item_ok else None)
+            cols["price"].append(item.get("price") if item_ok else None)
+            cols["price_value"].append(item.get("price_value") if item_ok else None)
+            cols["review_count"].append(item.get("review_count") if item_ok else None)
+            cols["reviews"].append(item.get("reviews") if item_ok else None)
+            cols["extracted_text"].append(item.get("extracted_text") if item_ok else None)
+        else:
+            m = _KIND.match(url)
+            kind = m.group(1) if m else ""
+            item_ok = False
+            d = None
+            if ok and kind in ("hotel", "restaurant"):
+                d = extract_detail(html)
+                item_ok = d["name"] is not None
+            cols["item_type"].append(kind if item_ok else None)
+            cols["name"].append(d["name"] if item_ok else None)
+            cols["address"].append(d["address"] if item_ok else None)
+            cols["rating"].append(parse_rating(d["rating"]) if item_ok else None)
+            cols["price"].append(d["price"] if item_ok else None)
+            cols["price_value"].append(parse_price(d["price"]) if item_ok else None)
+            cols["review_count"].append(d["review_count"] if item_ok else None)
+            cols["reviews"].append(d["reviews"] if item_ok else None)
+            cols["extracted_text"].append(visible_text(html) if item_ok else None)
+            links = canonicalize_urls(urljoin_many(url, extract_links(html))) if ok else []
         cols["url"].append(url)
         cols["seq"].append(seq)
         cols["depth"].append(depth)
         cols["status_ok"].append(ok)
         cols["item_ok"].append(item_ok)
-        cols["item_type"].append(kind if item_ok else None)
-        cols["name"].append(d["name"] if item_ok else None)
-        cols["address"].append(d["address"] if item_ok else None)
-        cols["rating"].append(parse_rating(d["rating"]) if item_ok else None)
-        cols["price"].append(d["price"] if item_ok else None)
-        cols["price_value"].append(parse_price(d["price"]) if item_ok else None)
-        cols["review_count"].append(d["review_count"] if item_ok else None)
-        cols["reviews"].append(d["reviews"] if item_ok else None)
-        cols["extracted_text"].append(visible_text(html) if item_ok else None)
-        links = canonicalize_urls(urljoin_many(url, extract_links(html))) if ok else []
         cols["link_url"].append(links)
         cols["link_host"].append(list(hosts_of(links)) if links else [])
         cols["link_hash"].append(hash64(links).tolist() if links else [])
@@ -103,7 +147,7 @@ def split_items(parsed: pa.Table) -> pa.Table:
     )
 
 
-def split_links(parsed: pa.Table) -> pa.Table:
+def split_links(parsed: pa.Table, routes: list | None = None) -> pa.Table:
     """Parsed page rows -> flattened LINKS table in canonical
     (parent_seq, link_idx) order (pages arrive in any order; caller sorts)."""
     lu = parsed["link_url"].combine_chunks()
@@ -131,7 +175,8 @@ def split_links(parsed: pa.Table) -> pa.Table:
             "parent_url": parent_url,
             "parent_seq": pa.array(parent_seq),
             "link_idx": pa.array(link_idx),
-            "callback": pa.array(classify_callback(flat_url.to_pylist()), type=pa.string()),
+            "callback": pa.array(classify_callback(flat_url.to_pylist(), routes=routes),
+                                 type=pa.string()),
         },
         schema=schemas.LINKS,
     )
