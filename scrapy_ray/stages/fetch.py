@@ -27,6 +27,17 @@ from scrapy_ray.sources.readers import read_pages
 CARRY = ["depth", "priority", "seq", "callback"]
 
 
+def _cap_arrow_threads() -> None:
+    """Each fetch-parse task is a num_cpus=1 Ray task, but Arrow's global
+    thread pools default to os.cpu_count() — so N concurrent tasks spawn
+    N×cores decode threads (thrash), and a '1-CPU' session secretly uses
+    the whole box (breaks scaling measurements). One thread per task is the
+    honest per-core sizing."""
+    if pa.cpu_count() != 1:
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
+
+
 def _probe(batch: pa.Table, lookup_ref) -> pa.Table:
     lookup = ray.get(lookup_ref) if isinstance(lookup_ref, ray.ObjectRef) else lookup_ref
     mask = pc.is_in(batch["url"], value_set=pa.array(list(lookup.keys()), type=pa.string()))
@@ -49,31 +60,30 @@ def _empty_fetched(page_schema: pa.Schema) -> pa.Table:
 
 
 @ray.remote
-def _fetch_parse_bucket(path: str, urls: list[str], carry: dict, registry_ref=None) -> tuple:
+def _fetch_parse_bucket(path: str, sub: pa.Table, registry_ref=None) -> tuple:
     """Read one corpus bucket with an ``url IN (...)`` parquet filter
-    (row-group pruning — bucket files are written sorted by url), attach the
-    frontier carry columns, run the fused parse AND the items/links splits
-    in-task. Returns (items_table, links_table, n_fetched) — neither html
-    nor per-page list columns ever reach the driver, which keeps the wave
-    barrier's serial fraction to concat + canonical sort + shard RPCs.
-    ``registry_ref``: ray.put snapshot of (PAGE_HANDLERS, URL_ROUTES) —
-    driver-side registrations are invisible to worker processes otherwise."""
+    (row-group pruning — bucket files are written sorted by url and ``sub``
+    is a url-sorted contiguous wave slice, so a chunk touches few row
+    groups), join the frontier carry columns in-task (arrow hash join — the
+    driver ships a zero-copy wave slice, builds no per-url dicts), run the
+    fused parse AND the items/links splits in-task. Returns (items_table,
+    links_table, n_fetched) — neither html nor per-page list columns ever
+    reach the driver. ``registry_ref``: ray.put snapshot of (PAGE_HANDLERS,
+    URL_ROUTES) — driver-side registrations are invisible to workers."""
     import pyarrow.parquet as pq
 
     from scrapy_ray import schemas
     from scrapy_ray.stages.parse import parse_page_batch, split_items, split_links
 
+    _cap_arrow_threads()
     # NB: Ray auto-dereferences ObjectRef args — the task receives the
     # snapshot tuple itself.
     handlers, routes = registry_ref if registry_ref is not None else ({}, [])
-    t = pq.read_table(path, filters=pc.field("url").isin(urls),
+    t = pq.read_table(path, filters=pc.field("url").isin(sub["url"]),
                       columns=["url", "html", "status"])
     if len(t) == 0:
         return schemas.ITEMS.empty_table(), schemas.LINKS.empty_table(), 0
-    rows = [carry[u] for u in t["url"].to_pylist()]
-    t = t.append_column("depth", pa.array([r[0] for r in rows], type=pa.int32()))
-    t = t.append_column("priority", pa.array([r[1] for r in rows], type=pa.int32()))
-    t = t.append_column("seq", pa.array([r[2] for r in rows], type=pa.int64()))
+    t = t.join(sub, keys="url", join_type="inner")
     parsed = parse_page_batch(t, handlers=handlers, routes=routes)
     return split_items(parsed), split_links(parsed, routes=routes), len(parsed)
 
@@ -87,23 +97,22 @@ def _load_bucket(path: str) -> pa.Table:
 
 
 @ray.remote
-def _fetch_parse_cached(bucket: pa.Table, urls: list[str], carry: dict,
-                        registry_ref=None) -> tuple:
+def _fetch_parse_cached(bucket: pa.Table, sub: pa.Table, registry_ref=None) -> tuple:
     """In-memory probe variant of _fetch_parse_bucket: ``bucket`` arrives as
-    a zero-copy plasma reference; filter + parse + split in-task."""
+    a zero-copy plasma reference; filter + join + parse + split in-task."""
     from scrapy_ray import schemas
     from scrapy_ray.stages.parse import parse_page_batch, split_items, split_links
 
+    _cap_arrow_threads()
     # NB: Ray auto-dereferences ObjectRef args — the task receives the
     # snapshot tuple itself.
     handlers, routes = registry_ref if registry_ref is not None else ({}, [])
-    t = bucket.filter(pc.is_in(bucket["url"], value_set=pa.array(urls, type=pa.string())))
+    sub_urls = sub["url"].combine_chunks() if isinstance(sub["url"], pa.ChunkedArray) \
+        else sub["url"]
+    t = bucket.filter(pc.is_in(bucket["url"], value_set=sub_urls))
     if len(t) == 0:
         return schemas.ITEMS.empty_table(), schemas.LINKS.empty_table(), 0
-    rows = [carry[u] for u in t["url"].to_pylist()]
-    t = t.append_column("depth", pa.array([r[0] for r in rows], type=pa.int32()))
-    t = t.append_column("priority", pa.array([r[1] for r in rows], type=pa.int32()))
-    t = t.append_column("seq", pa.array([r[2] for r in rows], type=pa.int64()))
+    t = t.join(sub, keys="url", join_type="inner")
     parsed = parse_page_batch(t, handlers=handlers, routes=routes)
     return split_items(parsed), split_links(parsed, routes=routes), len(parsed)
 
@@ -143,30 +152,52 @@ def fetch_parse_wave(corpus_root: str, wave: pa.Table, n_buckets: int,
     paths = corpus_paths(corpus_root)["pages"]
     hashes = wave["url_hash"].to_numpy(zero_copy_only=False)
     bucket_of = (hashes % np.uint64(n_buckets)).astype(np.int64)
-    urls = wave["url"].to_pylist()
-    depths = wave["depth"].to_pylist()
-    pris = wave["priority"].to_pylist()
-    seqs = wave["seq"].to_pylist()
+    # Fully columnar dispatch: sort the wave by (bucket, url) ONCE, then
+    # ship zero-copy Arrow slices to the tasks — the driver builds no
+    # per-url python structures. Sorting by url keeps each chunk a
+    # contiguous url range, so the parquet isin filter prunes row groups
+    # tightly (bucket files are written url-sorted).
+    sub_cols = wave.select(["url", "depth", "priority", "seq"])
+    tmp = sub_cols.append_column("bucket", pa.array(bucket_of))
+    idx = pc.sort_indices(tmp, sort_keys=[("bucket", "ascending"),
+                                          ("url", "ascending")])
+    sub_sorted = sub_cols.take(idx)
+    bsorted = bucket_of[idx.to_numpy()]
+    ubs, starts = np.unique(bsorted, return_index=True)
+    bounds = np.append(starts, len(bsorted))
     futs = []
-    for b in np.unique(bucket_of):
+    # Oversized per-bucket tasks straggle the wave barrier (measured: at 8
+    # CPUs the barrier waits ~35% past ideal on skewed waves) — split a
+    # bucket's slice into <=chunk-row tasks; the wave tail is then one
+    # ~30ms task, not one ~150ms task.
+    chunk = 256
+    for k, b in enumerate(ubs):
         if int(b) not in paths:
             continue  # bucket never written (empty at ingest) -> fetch miss
-        idx = np.nonzero(bucket_of == b)[0]
-        b_urls = [urls[i] for i in idx]
-        carry = {urls[i]: (depths[i], pris[i], seqs[i]) for i in idx}
-        if cache is not None:
-            futs.append(_fetch_parse_cached.remote(cache.get(int(b)), b_urls, carry,
-                                                   registry_ref))
-        else:
-            futs.append(_fetch_parse_bucket.remote(paths[int(b)], b_urls, carry,
-                                                   registry_ref))
+        seg_len = int(bounds[k + 1] - bounds[k])
+        n_parts = max(1, (seg_len + chunk - 1) // chunk)
+        for j in range(n_parts):
+            lo = bounds[k] + j * seg_len // n_parts
+            hi = bounds[k] + (j + 1) * seg_len // n_parts
+            sub = sub_sorted.slice(int(lo), int(hi - lo))
+            if cache is not None:
+                futs.append(_fetch_parse_cached.remote(cache.get(int(b)), sub,
+                                                       registry_ref))
+            else:
+                futs.append(_fetch_parse_bucket.remote(paths[int(b)], sub,
+                                                       registry_ref))
     items_p, links_p, n = [], [], 0
-    for it, lk, nf in ray.get(futs):
-        n += nf
-        if len(it):
-            items_p.append(it)
-        if len(lk):
-            links_p.append(lk)
+    # consume incrementally: driver-side deserialization + concat overlap
+    # with still-running tasks instead of waiting for the full barrier
+    pending = futs
+    while pending:
+        done, pending = ray.wait(pending, num_returns=min(16, len(pending)))
+        for it, lk, nf in ray.get(done):
+            n += nf
+            if len(it):
+                items_p.append(it)
+            if len(lk):
+                links_p.append(lk)
     items = pa.concat_tables(items_p) if items_p else schemas.ITEMS.empty_table()
     links = pa.concat_tables(links_p) if links_p else schemas.LINKS.empty_table()
     return items, links, n

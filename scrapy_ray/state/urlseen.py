@@ -38,7 +38,13 @@ class UrlSeenShard:
                  exact: bool = True):
         self.shard_id = shard_id
         self.bloom = BloomFilter(capacity, bits_per_key)
-        self.exact: dict[int, str] | None = {} if exact else None
+        # Exact store is columnar (round 2): sorted uint64 hash segments with
+        # aligned url arrays, LSM-style (append a segment per batch, merge
+        # when the segment count grows). Membership = vectorized
+        # searchsorted per segment — no per-row python dict ops.
+        self.exact = exact
+        self._segs: list[np.ndarray] = []
+        self._seg_urls: list[np.ndarray] = []
         self.n_seen = 0
         self.n_filtered = 0
         self.epoch = -1  # stamped by the driver; -1 = fresh/restarted actor
@@ -55,40 +61,61 @@ class UrlSeenShard:
     def check_and_add(self, hashes: np.ndarray, urls: list[str] | None,
                       epoch: int | None = None) -> np.ndarray:
         """Returns a bool mask: True = first sighting (keep). Adds as it goes,
-        so duplicates *within* the batch are filtered too."""
+        so duplicates *within* the batch are filtered too. Fully vectorized:
+        within-batch dedup via np.unique(first index), cross-batch via
+        searchsorted against each sorted segment."""
         self._guard(epoch)
         n = len(hashes)
-        out = np.zeros(n, dtype=bool)
-        maybe_seen = self.bloom.contains_many(hashes)
-        if self.exact is not None:
-            ex = self.exact
-            for i in range(n):
-                h = int(hashes[i])
-                if h not in ex:
-                    ex[h] = urls[i] if urls is not None else ""
-                    out[i] = True
+        hashes = np.asarray(hashes, dtype=np.uint64)
+        if urls is not None and not isinstance(urls, np.ndarray):
+            # arrow Array arrives from the client (fast serialization path)
+            urls = np.asarray(urls.to_pylist() if hasattr(urls, "to_pylist")
+                              else urls, dtype=object)
+        uniq, first_idx = np.unique(hashes, return_index=True)
+        fresh = np.ones(len(uniq), dtype=bool)
+        if self.exact:
+            for seg in self._segs:
+                if not fresh.any():
+                    break
+                pos = np.minimum(np.searchsorted(seg, uniq), len(seg) - 1)
+                fresh &= seg[pos] != uniq
         else:
-            # Bloom-only path (scale mode): a fresh batch-local set catches
-            # within-batch dups that the Bloom hasn't absorbed yet.
-            batch_new: set[int] = set()
-            for i in range(n):
-                h = int(hashes[i])
-                if not maybe_seen[i] and h not in batch_new:
-                    batch_new.add(h)
-                    out[i] = True
+            # Bloom-only path (memory-bounded scale mode)
+            fresh &= ~self.bloom.contains_many(uniq)
+        out = np.zeros(n, dtype=bool)
+        out[first_idx[fresh]] = True
+        if self.exact and fresh.any():
+            new_h = uniq[fresh]                       # already sorted
+            if urls is not None:
+                new_u = urls[first_idx[fresh]]
+            else:
+                new_u = np.full(len(new_h), "", dtype=object)
+            self._segs.append(new_h)
+            self._seg_urls.append(new_u)
+            if len(self._segs) > 16:
+                self._merge_segs()
         self.bloom.add_many(hashes[out])
         self.n_seen += int(out.sum())
         self.n_filtered += n - int(out.sum())
         return out
 
+    def _merge_segs(self) -> None:
+        h = np.concatenate(self._segs)
+        u = np.concatenate(self._seg_urls)
+        o = np.argsort(h, kind="stable")
+        self._segs = [h[o]]
+        self._seg_urls = [u[o]]
+
     def seen_table(self, epoch: int | None = None) -> pa.Table:
         """(url_hash, url) of everything seen — the golden URL-seen set."""
         self._guard(epoch)
-        if self.exact is None:
+        if not self.exact:
             raise RuntimeError("exact set disabled on this shard")
-        ks = np.fromiter(self.exact.keys(), dtype=np.uint64, count=len(self.exact))
-        return pa.table({"url_hash": pa.array(ks, type=pa.uint64()),
-                         "url": pa.array(list(self.exact.values()), type=pa.string())})
+        if not self._segs:
+            return pa.table({"url_hash": pa.array([], type=pa.uint64()),
+                             "url": pa.array([], type=pa.string())})
+        return pa.table({"url_hash": pa.array(np.concatenate(self._segs), type=pa.uint64()),
+                         "url": pa.array(np.concatenate(self._seg_urls), type=pa.string())})
 
     def stats(self, epoch: int | None = None) -> dict:
         self._guard(epoch)
@@ -99,21 +126,21 @@ class UrlSeenShard:
         """Back to construction state (driver-coordinated recovery when no
         committed checkpoint exists)."""
         self.bloom = BloomFilter(self.bloom.capacity, self.bloom.bits_per_key)
-        if self.exact is not None:
-            self.exact = {}
+        self._segs = []
+        self._seg_urls = []
         self.n_seen = 0
         self.n_filtered = 0
 
     # --- checkpoint (SURVEY §4.2): atomic per-shard segment. In Bloom-only
-    # mode (exact=None, the 10^10-URL memory-bounded path) only the Bloom
+    # mode (exact=False, the 10^10-URL memory-bounded path) only the Bloom
     # segment + counters are persisted — there is no exact table to write,
-    # and restore must NOT resurrect an exact dict on such a shard.
+    # and restore must NOT resurrect an exact store on such a shard.
     def checkpoint(self, dirpath: str, epoch: int | None = None) -> None:
         import json
 
         self._guard(epoch)  # a stale shard must never write a checkpoint
         os.makedirs(dirpath, exist_ok=True)
-        if self.exact is not None:
+        if self.exact:
             tmp = os.path.join(dirpath, f"urlseen_{self.shard_id}.tmp")
             final = os.path.join(dirpath, f"urlseen_{self.shard_id}.parquet")
             pq.write_table(self.seen_table(), tmp)
@@ -130,10 +157,13 @@ class UrlSeenShard:
     def restore(self, dirpath: str) -> None:
         import json
 
-        if self.exact is not None:
+        if self.exact:
             t = pq.read_table(os.path.join(dirpath, f"urlseen_{self.shard_id}.parquet"))
-            self.exact = dict(zip((int(h) for h in t["url_hash"].to_pylist()),
-                                  t["url"].to_pylist()))
+            h = t["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            u = np.asarray(t["url"].to_pylist(), dtype=object)
+            o = np.argsort(h, kind="stable")
+            self._segs = [h[o]] if len(h) else []
+            self._seg_urls = [u[o]] if len(h) else []
         with open(os.path.join(dirpath, f"bloom_{self.shard_id}.bin"), "rb") as fh:
             self.bloom = BloomFilter.from_bytes(fh.read())
         meta_p = os.path.join(dirpath, f"urlseen_meta_{self.shard_id}.json")
@@ -142,7 +172,7 @@ class UrlSeenShard:
                 m = json.load(fh)
             self.n_seen, self.n_filtered = m["n_seen"], m["n_filtered"]
         else:
-            self.n_seen = len(self.exact) if self.exact is not None else 0
+            self.n_seen = int(sum(len(s) for s in self._segs))
 
 
 class ShardedUrlSeen:
@@ -176,7 +206,9 @@ class ShardedUrlSeen:
         if n == 0:
             return links
         hashes = links["url_hash"].to_numpy(zero_copy_only=False)
-        urls = links["url"].to_pylist()
+        urls_arr = links["url"]
+        if isinstance(urls_arr, pa.ChunkedArray):
+            urls_arr = urls_arr.combine_chunks()
         shard_of = (hashes % np.uint64(self.n_shards)).astype(np.int64)
         mask = np.zeros(n, dtype=bool)
         futs, idxs = [], []
@@ -185,7 +217,8 @@ class ShardedUrlSeen:
             if len(idx) == 0:
                 continue
             futs.append(self.shards[s].check_and_add.remote(
-                hashes[idx], [urls[i] for i in idx], epoch=self.epoch))
+                hashes[idx], urls_arr.take(pa.array(idx, type=pa.int64())),
+                epoch=self.epoch))
             idxs.append(idx)
         for idx, res in zip(idxs, ray.get(futs)):
             mask[idx] = res
