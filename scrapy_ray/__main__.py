@@ -35,6 +35,8 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--per-domain-cap", type=int, default=8)
     c.add_argument("--depth-limit", type=int, default=0)
     c.add_argument("--no-robots", action="store_true")
+    c.add_argument("--autothrottle", action="store_true",
+                   help="F4 adaptive per-host delay (deterministic virtual latency)")
     c.add_argument("--frontier-shards", type=int, default=4)
     c.add_argument("--filter-shards", type=int, default=4)
     c.add_argument("--num-cpus", type=int, default=None)
@@ -80,6 +82,7 @@ def main(argv: list[str] | None = None) -> int:
                 n_filter_shards=args.filter_shards,
                 n_frontier_shards=args.frontier_shards,
                 checkpoint_dir=args.checkpoint,
+                autothrottle=args.autothrottle,
             )
             res = run_crawl(args.corpus, cfg, resume=args.resume)
             export_items(res.items, args.out, fmt=args.format)

@@ -34,6 +34,19 @@ class CrawlConfig:
                                       # this off to measure engine throughput,
                                       # not the virtual politeness clock
 
+    # AutoThrottle (F4, [S:scrapy/extensions/throttle.py]): adaptive per-host
+    # delay from observed latency. Corpus replay has no network latency, so
+    # the engine uses a DETERMINISTIC virtual latency = response bytes /
+    # at_bytes_per_sec (bigger pages ⇒ slower host ⇒ longer delay), updated
+    # per wave with Scrapy's smoothing: target = latency / target_concurrency;
+    # new = (prev + target) / 2, clamped to [download_delay, at_max_delay].
+    # Mirrored exactly in the simulator (determinism rule).
+    autothrottle: bool = False       # AUTOTHROTTLE_ENABLED
+    at_start_delay: float = 1.0      # AUTOTHROTTLE_START_DELAY (virtual s)
+    at_max_delay: float = 8.0        # AUTOTHROTTLE_MAX_DELAY
+    at_target_concurrency: float = 4.0  # AUTOTHROTTLE_TARGET_CONCURRENCY
+    at_bytes_per_sec: float = 1_000_000.0  # virtual bandwidth for the latency proxy
+
     # spider-middleware filters ([S:scrapy/spidermiddlewares/*])
     depth_limit: int = 0             # DEPTH_LIMIT, 0 = unlimited
     depth_priority: int = 0          # DEPTH_PRIORITY: priority += depth * this

@@ -43,7 +43,7 @@ _PRICE = re.compile(rb'<span class="price">([^<]*)</span>')
 _REVIEW_COUNT = re.compile(rb'<span class="review-count">(\d+) reviews</span>')
 _REVIEW_LI = re.compile(rb"<li>([^<]*)</li>")
 _RELATED = re.compile(rb'<a class="related-link" href="([^"]+)">')
-_ANY_HREF = re.compile(rb'<a\b[^>]*\bhref="([^"]+)"')
+_ANY_HREF = re.compile(rb'<a\b[^>]*\bhref=(["\'])([^"\']+)\1')
 
 
 def _u(b: bytes) -> str:
@@ -51,18 +51,39 @@ def _u(b: bytes) -> str:
 
 
 def extract_listing(html: bytes) -> dict:
-    """Listing page -> item cards + detail links + next link (M2 + M4)."""
+    """Listing page -> item cards + detail links + next link (M2 + M4).
+
+    Compiled-regex fast path for the exact template bytes; when it finds no
+    cards (attribute reorder, extra attributes, whitespace variance — any
+    real-world markup), fall back to the tolerant html.parser DOM
+    (functions/dom.py). Same contract either way."""
     cards = [
         {"detail_href": _u(m[0]), "name": _u(m[1]), "rating": _u(m[2]), "price": _u(m[3])}
         for m in _CARD.findall(html)
     ]
     nxt = _NEXT.search(html)
+    if not cards:
+        from scrapy_ray.functions.dom import extract_listing_dom
+
+        dom = extract_listing_dom(html)
+        if dom["cards"]:
+            return dom
+        if nxt is None and dom["next_href"]:
+            return dom
     return {"cards": cards, "next_href": _u(nxt.group(1)) if nxt else None}
 
 
 def extract_detail(html: bytes) -> dict:
-    """Detail page -> full item fields (M3) + related links."""
+    """Detail page -> full item fields (M3) + related links. Regex fast
+    path; tolerant DOM fallback when the template regexes miss (M1 realism
+    — see extract_listing)."""
     name = _H1_NAME.search(html)
+    if name is None:
+        from scrapy_ray.functions.dom import extract_detail_dom
+
+        d = extract_detail_dom(html)
+        if d["name"] is not None:
+            return d
     addr = _ADDRESS.search(html)
     rating = _RATING.search(html)
     price = _PRICE.search(html)
@@ -80,11 +101,17 @@ def extract_detail(html: bytes) -> dict:
 
 def extract_links(html: bytes) -> list[str]:
     """All <a href> on a page, document order, per-page unique
-    ([S:scrapy/linkextractors/lxmlhtml.py LxmlLinkExtractor unique=True])."""
+    ([S:scrapy/linkextractors/lxmlhtml.py LxmlLinkExtractor unique=True]).
+    Regex handles both quote styles; DOM fallback when a page yields no
+    links but does contain anchors (unquoted hrefs, exotic markup)."""
     seen: set[bytes] = set()
     out: list[str] = []
-    for m in _ANY_HREF.findall(html):
+    for _q, m in _ANY_HREF.findall(html):
         if m not in seen:
             seen.add(m)
             out.append(_u(m))
+    if not out and b"<a" in html:
+        from scrapy_ray.functions.dom import extract_links_dom
+
+        return extract_links_dom(html)
     return out

@@ -324,10 +324,17 @@ class CrawlEngine:
         # parse + in-task items/links splits — neither html nor list columns
         # reach the driver (stages/fetch.py fetch_parse_wave, stages/parse.py).
         _t0 = _time.perf_counter()
-        items, links, n_fetched = fetch_parse_wave(self.root, wave, self.n_buckets,
-                                                   cache=self._bucket_cache,
-                                                   registry_ref=self._registry_ref)
+        items, links, n_fetched, hstats = fetch_parse_wave(
+            self.root, wave, self.n_buckets, cache=self._bucket_cache,
+            registry_ref=self._registry_ref)
         self.phase_times["fetch_parse"] += _time.perf_counter() - _t0
+
+        if cfg.autothrottle and len(hstats):
+            # F4: one deterministic latency sample per host per wave =
+            # mean body bytes / virtual bandwidth (config.py)
+            df = hstats.to_pandas().groupby("host").sum().reset_index()
+            lat = (df["nbytes"] / df["n"] / cfg.at_bytes_per_sec).to_numpy()
+            self.frontier.update_throttle(df["host"].tolist(), lat)
 
         self.pages_fetched += n_fetched
         if self.item_pipelines:

@@ -67,6 +67,7 @@ def simulate_crawl(corpus_root: str, cfg: CrawlConfig | None = None,
     seen: dict[int, str] = {}
     queues: dict[str, list] = defaultdict(list)
     last_emit: dict[str, int] = {}
+    at_delay: dict[str, float] = {}   # F4 mirror (see config.py)
     next_seq = 0
     n_robots_denied = 0
 
@@ -75,7 +76,8 @@ def simulate_crawl(corpus_root: str, cfg: CrawlConfig | None = None,
 
     def delay(host):
         robots_d = rules(host).crawl_delay if cfg.respect_crawl_delay else 0.0
-        return max(cfg.download_delay, robots_d)
+        at_d = at_delay.get(host, cfg.at_start_delay) if cfg.autothrottle else 0.0
+        return max(cfg.download_delay, robots_d, at_d)
 
     def prefilter(cands: list[dict]) -> list[dict]:
         out = []
@@ -172,10 +174,15 @@ def simulate_crawl(corpus_root: str, cfg: CrawlConfig | None = None,
         from scrapy_ray.stages.parse import _item_from_handler
 
         cands: list[dict] = []
+        wave_host_bytes: dict[str, list[int]] = {}   # host -> [n, nbytes] (F4)
         for c in sorted(emitted, key=lambda c: c["seq"]):
             i = page_of.get(c["url"])
             if i is None:
                 continue                     # dangling link -> fetch miss
+            if cfg.autothrottle:
+                st = wave_host_bytes.setdefault(c["host"], [0, 0])
+                st[0] += 1
+                st[1] += len(pages["html"][i].as_py())
             pages_fetched += 1
             if not (200 <= statuses[i] < 300):   # M10
                 continue
@@ -215,6 +222,13 @@ def simulate_crawl(corpus_root: str, cfg: CrawlConfig | None = None,
                 cu = canonicalize_url(u)
                 cands.append({"url": cu, "host": host_of(cu),
                               "depth": c["depth"] + 1, "priority": 0})
+        if cfg.autothrottle:
+            # same smoothing as FrontierShard.update_throttle
+            for h, (n_r, nb) in wave_host_bytes.items():
+                lat = nb / n_r / cfg.at_bytes_per_sec
+                prev = at_delay.get(h, cfg.at_start_delay)
+                new = (prev + lat / cfg.at_target_concurrency) / 2.0
+                at_delay[h] = min(max(new, cfg.download_delay), cfg.at_max_delay)
         schedule2(cands)
         wave_idx += 1
 

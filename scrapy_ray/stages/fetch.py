@@ -27,6 +27,27 @@ from scrapy_ray.sources.readers import read_pages
 CARRY = ["depth", "priority", "seq", "callback"]
 
 
+HOST_STATS_SCHEMA = pa.schema([("host", pa.string()), ("n", pa.int64()),
+                               ("nbytes", pa.int64())])
+
+
+def _host_stats(t: pa.Table) -> pa.Table:
+    """Per-host (responses, body bytes) partial for this task's fetched rows
+    — the deterministic virtual-latency signal for AutoThrottle (F4)."""
+    import pandas as pd
+
+    from scrapy_ray.functions.urlnorm import hosts_of
+
+    urls = t["url"].to_pylist()
+    sizes = pc.binary_length(t["html"]).to_numpy(zero_copy_only=False)
+    df = pd.DataFrame({"host": hosts_of(urls), "nbytes": sizes.astype(np.int64)})
+    g = df.groupby("host").agg(n=("nbytes", "count"), nbytes=("nbytes", "sum")).reset_index()
+    return pa.table({"host": pa.array(g["host"], type=pa.string()),
+                     "n": pa.array(g["n"].to_numpy(), type=pa.int64()),
+                     "nbytes": pa.array(g["nbytes"].to_numpy(), type=pa.int64())},
+                    schema=HOST_STATS_SCHEMA)
+
+
 def _cap_arrow_threads() -> None:
     """Each fetch-parse task is a num_cpus=1 Ray task, but Arrow's global
     thread pools default to os.cpu_count() — so N concurrent tasks spawn
@@ -82,10 +103,12 @@ def _fetch_parse_bucket(path: str, sub: pa.Table, registry_ref=None) -> tuple:
     t = pq.read_table(path, filters=pc.field("url").isin(sub["url"]),
                       columns=["url", "html", "status"])
     if len(t) == 0:
-        return schemas.ITEMS.empty_table(), schemas.LINKS.empty_table(), 0
+        return (schemas.ITEMS.empty_table(), schemas.LINKS.empty_table(), 0,
+                HOST_STATS_SCHEMA.empty_table())
+    stats = _host_stats(t)
     t = t.join(sub, keys="url", join_type="inner")
     parsed = parse_page_batch(t, handlers=handlers, routes=routes)
-    return split_items(parsed), split_links(parsed, routes=routes), len(parsed)
+    return split_items(parsed), split_links(parsed, routes=routes), len(parsed), stats
 
 
 @ray.remote
@@ -111,10 +134,12 @@ def _fetch_parse_cached(bucket: pa.Table, sub: pa.Table, registry_ref=None) -> t
         else sub["url"]
     t = bucket.filter(pc.is_in(bucket["url"], value_set=sub_urls))
     if len(t) == 0:
-        return schemas.ITEMS.empty_table(), schemas.LINKS.empty_table(), 0
+        return (schemas.ITEMS.empty_table(), schemas.LINKS.empty_table(), 0,
+                HOST_STATS_SCHEMA.empty_table())
+    stats = _host_stats(t)
     t = t.join(sub, keys="url", join_type="inner")
     parsed = parse_page_batch(t, handlers=handlers, routes=routes)
-    return split_items(parsed), split_links(parsed, routes=routes), len(parsed)
+    return split_items(parsed), split_links(parsed, routes=routes), len(parsed), stats
 
 
 class BucketCache:
@@ -186,21 +211,25 @@ def fetch_parse_wave(corpus_root: str, wave: pa.Table, n_buckets: int,
             else:
                 futs.append(_fetch_parse_bucket.remote(paths[int(b)], sub,
                                                        registry_ref))
-    items_p, links_p, n = [], [], 0
+    items_p, links_p, stats_p, n = [], [], [], 0
     # consume incrementally: driver-side deserialization + concat overlap
     # with still-running tasks instead of waiting for the full barrier
     pending = futs
     while pending:
         done, pending = ray.wait(pending, num_returns=min(16, len(pending)))
-        for it, lk, nf in ray.get(done):
+        for it, lk, nf, st in ray.get(done):
             n += nf
             if len(it):
                 items_p.append(it)
             if len(lk):
                 links_p.append(lk)
+            if len(st):
+                stats_p.append(st)
     items = pa.concat_tables(items_p) if items_p else schemas.ITEMS.empty_table()
     links = pa.concat_tables(links_p) if links_p else schemas.LINKS.empty_table()
-    return items, links, n
+    stats = (pa.concat_tables(stats_p) if stats_p
+             else HOST_STATS_SCHEMA.empty_table())
+    return items, links, n, stats
 
 
 def fetch_wave(corpus_root: str, wave: pa.Table, n_buckets: int) -> ray.data.Dataset:

@@ -66,6 +66,7 @@ class FrontierShard:
         self.queues: dict[str, list[list]] = defaultdict(list)  # host -> runs
         self._queued = 0      # live rows across all runs
         self.last_emit_wave: dict[str, int] = {}
+        self.at_delay: dict[str, float] = {}   # F4 adaptive per-host delay
         self.robots: dict[str, RobotsRules] = {}
         if robots_bodies:
             self.robots = {h: parse_robots(b) for h, b in robots_bodies.items()}
@@ -90,7 +91,22 @@ class FrontierShard:
 
     def _delay(self, host: str) -> float:
         robots_d = self._rules(host).crawl_delay if self.cfg.respect_crawl_delay else 0.0
-        return max(self.cfg.download_delay, robots_d)
+        at_d = (self.at_delay.get(host, self.cfg.at_start_delay)
+                if self.cfg.autothrottle else 0.0)
+        return max(self.cfg.download_delay, robots_d, at_d)
+
+    def update_throttle(self, hosts: list[str], latencies: np.ndarray,
+                        epoch: int | None = None) -> None:
+        """F4 AutoThrottle ([S:scrapy/extensions/throttle.py] smoothing over
+        the deterministic virtual latency — see config.py): one update per
+        host per wave with that wave's mean response latency."""
+        self._guard(epoch)
+        cfg = self.cfg
+        for h, lat in zip(hosts, latencies):
+            prev = self.at_delay.get(h, cfg.at_start_delay)
+            target = float(lat) / cfg.at_target_concurrency
+            new = (prev + target) / 2.0
+            self.at_delay[h] = min(max(new, cfg.download_delay), cfg.at_max_delay)
 
     def push(self, rows: pa.Table, epoch: int | None = None) -> int:
         """Enqueue FRONTIER rows; robots-denied rows are dropped here (they
@@ -287,6 +303,7 @@ class FrontierShard:
         self.queues = defaultdict(list)
         self._queued = 0
         self.last_emit_wave = {}
+        self.at_delay = {}
         self.n_robots_denied = 0
         self.n_pushed = 0
 
@@ -301,6 +318,7 @@ class FrontierShard:
         jtmp = os.path.join(dirpath, f"clock_{self.shard_id}.tmp")
         with open(jtmp, "w") as fh:
             json.dump({"last_emit_wave": self.last_emit_wave,
+                       "at_delay": self.at_delay,
                        "n_robots_denied": self.n_robots_denied,
                        "n_pushed": self.n_pushed}, fh)
         os.replace(jtmp, os.path.join(dirpath, f"clock_{self.shard_id}.json"))
@@ -315,6 +333,7 @@ class FrontierShard:
         with open(os.path.join(dirpath, f"clock_{self.shard_id}.json")) as fh:
             d = json.load(fh)
         self.last_emit_wave = {k: int(v) for k, v in d["last_emit_wave"].items()}
+        self.at_delay = {k: float(v) for k, v in d.get("at_delay", {}).items()}
         self.n_robots_denied = d["n_robots_denied"]
         self.n_pushed = d["n_pushed"]
 
@@ -363,6 +382,18 @@ class ShardedFrontier:
                 futs.append(self.shards[s].push.remote(rows.take(pa.array(idx)),
                                                        epoch=self.epoch))
         return sum(ray.get(futs))
+
+    def update_throttle(self, hosts: list[str], latencies: np.ndarray) -> None:
+        if not hosts:
+            return
+        shard = self.shard_of_hosts(hosts)
+        futs = []
+        for s in range(self.n_shards):
+            idx = np.nonzero(shard == s)[0]
+            if len(idx):
+                futs.append(self.shards[s].update_throttle.remote(
+                    [hosts[i] for i in idx], latencies[idx], epoch=self.epoch))
+        ray.get(futs)
 
     def next_wave(self, wave_idx: int) -> pa.Table:
         parts = ray.get([s.next_wave.remote(wave_idx, epoch=self.epoch)

@@ -107,7 +107,7 @@ def test_fetch_wave_dataset_path(ray_session, e2e_corpus):
     ds_urls = set()
     for b in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
         ds_urls.update(b["url"].to_pylist())
-    items, links, n_fetched = fetch_parse_wave(e2e_corpus, wave, eng.n_buckets)
+    items, links, n_fetched, _hstats = fetch_parse_wave(e2e_corpus, wave, eng.n_buckets)
     assert len(ds_urls) == n_fetched
     assert ds_urls <= set(wave["url"].to_pylist())
 
@@ -133,3 +133,34 @@ def test_crawl_delay_host_paces_one_per_wave(ray_session, e2e_corpus):
                                       res.crawl_order["url"].to_pylist())
                     if "h000.example.com" in u)
     assert max(burst.values()) == cfg.per_domain_cap
+
+
+def test_autothrottle_engine_matches_simulator(ray_session, e2e_corpus):
+    """F4 AutoThrottle: adaptive per-host delay from the deterministic
+    virtual latency — engine and simulator must pace identically."""
+    cfg = CrawlConfig(n_filter_shards=2, n_frontier_shards=3, autothrottle=True,
+                      at_start_delay=1.0, at_max_delay=4.0,
+                      at_target_concurrency=4.0, at_bytes_per_sec=2000.0)
+    sim = simulate_crawl(e2e_corpus, cfg)
+    eng = run_crawl(e2e_corpus, cfg)
+    _assert_equal(sim, eng)
+    # throttling must actually bite: with ~KB pages and 2KB/s virtual
+    # bandwidth the latency-driven delay forces more waves than unthrottled
+    base = run_crawl(e2e_corpus, CrawlConfig(n_filter_shards=2, n_frontier_shards=3))
+    assert eng.metrics["waves"] > base.metrics["waves"]
+
+
+def test_autothrottle_adapts_per_host(ray_session):
+    """Bigger pages (longer virtual latency) -> longer adapted delay."""
+    from scrapy_ray.config import CrawlConfig as CC
+    from scrapy_ray.state.frontier import FrontierShard
+
+    cfg = CC(autothrottle=True, at_start_delay=1.0, at_max_delay=8.0,
+             at_target_concurrency=2.0)
+    sh = FrontierShard(0, cfg)
+    import numpy as np
+    for _ in range(12):
+        sh.update_throttle(["slow.com", "fast.com"], np.array([8.0, 0.1]))
+    assert sh.at_delay["slow.com"] > 3.5            # converges toward 8/2=4
+    assert sh.at_delay["fast.com"] < 0.2            # converges toward 0.05
+    assert sh._delay("slow.com") > sh._delay("fast.com")

@@ -180,3 +180,77 @@ def test_maybe_decompress_and_parse_gzip_pages():
     assert parsed["item_ok"].to_pylist() == [True, True]
     assert parsed["name"][0].as_py() == parsed["name"][1].as_py() == f["name"]
     assert parsed["extracted_text"][0].as_py() == parsed["extracted_text"][1].as_py()
+
+
+# --- M1 realism: tolerant extraction on perturbed (non-template) markup ---
+
+def _perturbations(h: bytes) -> dict[str, bytes]:
+    import re as _re
+
+    reorder = h
+    # swap `class=... href=...` -> `href=... class=...` on anchors
+    reorder = _re.sub(rb'<a class="([^"]+)" href="([^"]+)">',
+                      rb'<a href="\2" class="\1">', reorder)
+    extra = h.replace(b'<div class="card">', b'<div data-x="1"  class="card" id="c">')
+    extra = extra.replace(b'<h1 class="name">', b'<h1 id="t" class="name hero">')
+    ws = h.replace(b"><", b">\n  <")
+    quotes = h.replace(b'="', b"='").replace(b'">', b"'>").replace(b'" ', b"' ")
+    return {"attr_reorder": reorder, "extra_attrs": extra,
+            "whitespace": ws, "single_quotes": quotes}
+
+
+def _pages_by_kind(corpus: str) -> dict[str, bytes]:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scrapy_ray.sources.corpus import corpus_paths
+
+    full = pa.concat_tables([pq.read_table(p)
+                             for p in corpus_paths(corpus)["pages"].values()])
+    out = {}
+    for u, h in zip(full["url"].to_pylist(), full["html"].to_pylist()):
+        if "/listing/" in u and "listing" not in out:
+            out["listing"] = h
+        elif "/hotel/" in u and "detail" not in out:
+            out["detail"] = h
+        if len(out) == 2:
+            break
+    return out
+
+
+def test_detail_extraction_survives_perturbation(e2e_corpus):
+    from scrapy_ray.functions.htmlx import extract_detail
+
+    html = _pages_by_kind(e2e_corpus)["detail"]
+    base = extract_detail(html)
+    assert base["name"] is not None
+    for name, ph in _perturbations(html).items():
+        got = extract_detail(ph)
+        for k in ("name", "address", "rating", "price", "review_count"):
+            assert got[k] == base[k], (name, k, got[k], base[k])
+        assert got["reviews"] == base["reviews"], name
+
+
+def test_listing_extraction_survives_perturbation(e2e_corpus):
+    from scrapy_ray.functions.htmlx import extract_listing
+
+    html = _pages_by_kind(e2e_corpus)["listing"]
+    base = extract_listing(html)
+    assert base["cards"]
+    for name, ph in _perturbations(html).items():
+        got = extract_listing(ph)
+        assert [c["detail_href"] for c in got["cards"]] == \
+               [c["detail_href"] for c in base["cards"]], name
+        assert [c["name"] for c in got["cards"]] == \
+               [c["name"] for c in base["cards"]], name
+        assert got["next_href"] == base["next_href"], name
+
+
+def test_links_survive_perturbation(e2e_corpus):
+    from scrapy_ray.functions.htmlx import extract_links
+
+    html = _pages_by_kind(e2e_corpus)["listing"]
+    base = extract_links(html)
+    assert base
+    for name, ph in _perturbations(html).items():
+        assert extract_links(ph) == base, name

@@ -52,3 +52,40 @@ def test_import_pages_text_only(ray_session, tmp_path):
     assert set(t.schema.names) >= {"url", "warc_ts", "html", "text", "lang",
                                    "host", "status", "url_hash"}
     assert t["html"][0].as_py().startswith(b"document")
+
+
+def test_crawl_perturbed_corpus_extracts_items(ray_session, tmp_path):
+    """M1 realism e2e: rewrite every page with attribute-reordered /
+    extra-attribute / whitespace-perturbed markup (no longer the exact
+    template bytes), ingest, crawl — the DOM fallback must extract the same
+    item set as the template corpus."""
+    import re as _re
+
+    native = str(tmp_path / "native")
+    generate_corpus(native, CorpusSpec(n_hosts=5, total_pages=150, seed=3), use_ray=False)
+
+    def perturb(h: bytes) -> bytes:
+        h = _re.sub(rb'<a class="([^"]+)" href="([^"]+)">',
+                    rb'<a href="\2" class="\1">', h)
+        h = h.replace(b'<div class="card">', b'<div data-x="1" class="card">')
+        h = h.replace(b'<h1 class="name">', b'<h1 id="t" class="name">')
+        return h.replace(b"><", b">\n <")
+
+    flat = pa.concat_tables(
+        [pq.read_table(p) for p in corpus_paths(native)["pages"].values()])
+    pert = flat.set_column(flat.schema.get_field_index("html"), "html",
+                           pa.array([perturb(h) for h in flat["html"].to_pylist()],
+                                    type=pa.binary()))
+    src = str(tmp_path / "pert.parquet")
+    pq.write_table(pert.drop_columns(["url_hash", "bucket", "text"]), src)
+    imported = str(tmp_path / "imported")
+    import_pages(src, imported, n_buckets=4)
+
+    seeds = pq.read_table(corpus_paths(native)["seeds"]).to_pylist()
+    cfg = CrawlConfig(n_filter_shards=2, n_frontier_shards=2, obey_robots=False)
+    a = run_crawl(native, cfg, seeds=seeds)        # template fast path
+    b = run_crawl(imported, cfg, seeds=seeds)      # DOM fallback path
+    assert len(b.items) == len(a.items) > 0
+    assert sorted(b.items["name"].to_pylist()) == sorted(a.items["name"].to_pylist())
+    assert sorted(b.items["rating"].to_pylist()) == sorted(a.items["rating"].to_pylist())
+    assert set(b.url_seen["url"].to_pylist()) == set(a.url_seen["url"].to_pylist())
