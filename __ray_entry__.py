@@ -37,12 +37,14 @@ def _registry() -> dict[str, tuple]:
     from scrapy_ray.pipelines.multimodal import MULTIMODAL_QUERIES
     from scrapy_ray.pipelines.queries import QUERIES
     from scrapy_ray.pipelines.queries2 import QUERIES2
+    from scrapy_ray.pipelines.queries3 import QUERIES3
     from scrapy_ray.pipelines.skew import SKEW_QUERIES
     from scrapy_ray.pipelines.training import TRAINING_QUERIES
 
     reg: dict[str, tuple] = {}
     reg.update(QUERIES)
     reg.update(QUERIES2)
+    reg.update(QUERIES3)
     reg.update(TRAINING_QUERIES)
     reg.update(MULTIMODAL_QUERIES)
     reg.update(SKEW_QUERIES)

@@ -1,0 +1,185 @@
+"""Third oracle-query batch (round 2) — widens SURVEY.md §2.6/§2.8 coverage:
+deterministic hash sampling, exact distributed quantiles, per-group top-k,
+and pivot-style conditional aggregation.
+
+Same conventions as pipelines/queries.py (integer-cent exact sums, identical
+column names both sides, broadcast small sides, partial aggregation before
+shuffles).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from scrapy_ray.pipelines.queries import _cents, _i64, _pq
+
+# ---------------------------------------------------------------- hash sample
+
+_SAMPLE_MULT = 2_654_435_761          # Knuth multiplicative hash constant
+_SAMPLE_MOD = 1 << 32
+_SAMPLE_PCT = 10
+
+
+def q_hash_sample_events(sf_dir: str):
+    """O4 deterministic sampling at scale: a multiplicative hash of the key
+    selects ~10% of rows identically on any partitioning / engine (unlike
+    seeded RNG sampling, which depends on block layout). Grouped count per
+    event_type keeps the oracle compact."""
+    ds = _pq(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def f(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ((eid * _SAMPLE_MULT) % _SAMPLE_MOD) % 100 < _SAMPLE_PCT
+        t = t.filter(pa.array(keep))
+        df = pd.DataFrame({"event_type": t["event_type"].to_pylist()})
+        return pa.Table.from_pandas(
+            df.groupby("event_type").size().reset_index(name="n"),
+            preserve_index=False)
+
+    out = ds.map_batches(f, batch_format="pyarrow").groupby("event_type").aggregate(
+        Sum("n", alias_name="n"))
+    return _i64(pa.Table.from_pandas(out.to_pandas()), ["n"])
+
+
+SQL_HASH_SAMPLE = f"""
+SELECT event_type, count(*)::BIGINT AS n FROM events
+WHERE ((event_id * {_SAMPLE_MULT}) % {_SAMPLE_MOD}) % 100 < {_SAMPLE_PCT}
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------- exact quantiles
+
+_QS = (0.5, 0.9, 0.99)
+
+
+def q_value_quantiles(sf_dir: str):
+    """Exact distributed quantiles without a global sort: per-batch value
+    counts on integer cents (partial agg) -> one small merged histogram ->
+    walk the cumulative counts. Matches DuckDB quantile_disc exactly
+    (element at 1-based rank ceil(q*n)) because cents are discrete."""
+    ds = _pq(sf_dir, "events", columns=["value"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        vc = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(vc, return_counts=True)
+        return pa.table({"value_c": pa.array(vals, type=pa.int64()),
+                         "n": pa.array(cnts.astype(np.int64))})
+
+    hist = ds.map_batches(counts, batch_format="pyarrow").groupby("value_c").aggregate(
+        Sum("n", alias_name="n"))
+    h = hist.to_pandas().sort_values("value_c", ignore_index=True)
+    cum = h["n"].cumsum().to_numpy()
+    total = int(cum[-1])
+    qs, out_v = [], []
+    for q in _QS:
+        rank = int(np.ceil(q * total))          # 1-based, quantile_disc rule
+        idx = int(np.searchsorted(cum, rank, side="left"))
+        qs.append(q)
+        out_v.append(int(h["value_c"].iloc[idx]))
+    return pa.table({"q": pa.array(qs, type=pa.float64()),
+                     "value_c": pa.array(out_v, type=pa.int64())})
+
+
+SQL_QUANTILES = f"""
+SELECT unnest([{", ".join(str(q) for q in _QS)}]) AS q,
+       unnest(quantile_disc(CAST(round(value * 100) AS BIGINT),
+                            [{", ".join(str(q) for q in _QS)}]))::BIGINT AS value_c
+FROM events
+"""
+
+
+# ---------------------------------------------------------------- per-group top-k
+
+_GK = 3
+
+
+def q_top_orders_per_segment(sf_dir: str):
+    """O3 per-GROUP top-k: top 3 orders by totalprice per market segment.
+    Broadcast the customer->segment dim; per-batch partial top-k per
+    segment, final exact top-k per group — no global sort."""
+    from scrapy_ray.pipelines.queries import _broadcast_lookup
+
+    dim_ref = _broadcast_lookup(sf_dir, "customer", "c_custkey", ["c_mktsegment"])
+    ds = _pq(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        dim = ray.get(dim_ref)
+        j = df.join(dim, on="o_custkey", how="inner")
+        j = j.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        return (j.groupby("c_mktsegment").head(_GK)
+                 [["c_mktsegment", "o_orderkey", "o_totalprice"]])
+
+    part = ds.map_batches(partial, batch_format="pandas")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["o_totalprice", "o_orderkey"],
+                             ascending=[False, True]).head(_GK)
+
+    out = part.groupby("c_mktsegment").map_groups(final, batch_format="pandas")
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return _i64(t, ["o_orderkey"]).select(["c_mktsegment", "o_orderkey", "o_totalprice"])
+
+
+SQL_GROUP_TOPK = f"""
+SELECT c_mktsegment, o_orderkey, o_totalprice FROM (
+  SELECT c_mktsegment, o_orderkey::BIGINT AS o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders JOIN customer ON o_custkey = c_custkey)
+WHERE rn <= {_GK}
+"""
+
+
+# ---------------------------------------------------------------- pivot
+
+_ETYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_event_type_pivot(sf_dir: str):
+    """Pivot / conditional aggregation: one row per user with per-type
+    event counts as columns (pandas crosstab partials -> groupby sum)."""
+    ds = _pq(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                           "event_type": t["event_type"].to_pylist()})
+        x = pd.crosstab(df["user_id"], df["event_type"])
+        for et in _ETYPES:
+            if et not in x.columns:
+                x[et] = 0
+        x = x[list(_ETYPES)].reset_index()
+        x.columns = ["user_id"] + [f"n_{et}" for et in _ETYPES]
+        return pa.Table.from_pandas(x, preserve_index=False)
+
+    aggs = [Sum(f"n_{et}", alias_name=f"n_{et}") for et in _ETYPES]
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby("user_id").aggregate(*aggs)
+    return _i64(pa.Table.from_pandas(out.to_pandas()),
+                [f"n_{et}" for et in _ETYPES])
+
+
+SQL_PIVOT = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click')::BIGINT AS n_click,
+       count(*) FILTER (WHERE event_type = 'error')::BIGINT AS n_error,
+       count(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup')::BIGINT AS n_signup,
+       count(*) FILTER (WHERE event_type = 'view')::BIGINT AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+QUERIES3: dict[str, tuple] = {
+    "hash_sample_events": (q_hash_sample_events, SQL_HASH_SAMPLE),
+    "value_quantiles": (q_value_quantiles, SQL_QUANTILES),
+    "top_orders_per_segment": (q_top_orders_per_segment, SQL_GROUP_TOPK),
+    "event_type_pivot": (q_event_type_pivot, SQL_PIVOT),
+}

@@ -32,6 +32,10 @@ SUBSET = [
     "revenue_by_region",
     "embedding_neardup",
     "salted_count_event_type",
+    "hash_sample_events",
+    "value_quantiles",
+    "top_orders_per_segment",
+    "event_type_pivot",
 ]
 
 
