@@ -1,12 +1,17 @@
-"""Multimodal column plumbing (round-1 mandate): opaque binary payloads +
-typed metadata, decoded by an actor-pool ``map_batches`` stage.
+"""Multimodal columns (round-1 mandate, upgraded round 2): opaque binary
+payloads + typed metadata, decoded by actor-pool ``map_batches`` stages.
 
-No image/audio libraries exist in this container, so the decode kernel is a
-clearly-marked deterministic STUB (``FakeImageDecoder``) — but the Ray-side
-plumbing is real and oracle-tested: binary column handling stays in
-``batch_format="pyarrow"`` (binary doesn't round-trip pandas cleanly), small
-batch sizes for wide binary rows, stateful decoder constructed once per
-actor. Swap ``_decode_stub`` for PIL/ffmpeg when available.
+Round 2: the decode path is REAL for two formats that need no external
+libraries — 24bpp BMP images and PCM16 WAV audio (functions/codecs.py,
+stdlib + numpy). ``ImageDecoder`` / ``AudioDecoder`` parse actual bytes and
+compute actual pixel / sample statistics; pytest pins byte-exact codec
+round-trips and stats against a numpy reference. The ``FakeImageDecoder``
+stub remains only as the oracle-checkable SQL-replayable plumbing exercise
+(and as the swap-in point for PIL/ffmpeg formats this container lacks).
+
+Ray-side conventions: binary columns stay in ``batch_format="pyarrow"``
+(binary doesn't round-trip pandas cleanly), small batch sizes for wide
+binary rows, decoder state constructed once per actor.
 """
 
 from __future__ import annotations
@@ -83,6 +88,115 @@ SELECT doc_id::BIGINT AS doc_id,
 FROM documents
 """
 
+
+# --- REAL decode path (round 2): BMP images / WAV audio, no external libs ---
+
+def synth_image(doc_id: int) -> np.ndarray:
+    """Deterministic test image for doc_id: gradient-ish pattern, varied dims."""
+    w = 8 + doc_id % 24
+    h = 8 + (doc_id * 7) % 24
+    r = np.arange(h, dtype=np.int64)[:, None]
+    c = np.arange(w, dtype=np.int64)[None, :]
+    base = (r * 3 + c * 5 + doc_id) % 256
+    return np.stack([base, (base + 85) % 256, (base + 170) % 256],
+                    axis=2).astype(np.uint8)
+
+
+def synth_audio(doc_id: int) -> np.ndarray:
+    n = 400 + doc_id % 800
+    t = np.arange(n, dtype=np.int64)
+    return (((t * (doc_id % 17 + 1)) % 2003 - 1001) * 16).astype(np.int16)
+
+
+class ImageDecoder:
+    """Actor-pool stage: parse REAL BMP bytes, emit dims + per-channel pixel
+    means (exact integer sums -> float mean rounded to 4)."""
+
+    def __init__(self):
+        from scrapy_ray.functions.codecs import decode_bmp
+
+        self._decode = decode_bmp  # codec bound once per actor
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        widths, heights, mean_r = [], [], []
+        for payload in t["payload"].to_pylist():
+            img = self._decode(payload)
+            h, w, _ = img.shape
+            widths.append(w)
+            heights.append(h)
+            mean_r.append(round(float(img[:, :, 0].astype(np.int64).sum())
+                                / (h * w), 4))
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "width": pa.array(widths, type=pa.int64()),
+            "height": pa.array(heights, type=pa.int64()),
+            "mean_r": pa.array(mean_r, type=pa.float64()),
+        })
+
+
+class AudioDecoder:
+    """Actor-pool stage: parse REAL PCM16 WAV bytes, emit rate/duration/rms."""
+
+    def __init__(self):
+        from scrapy_ray.functions.codecs import decode_wav
+
+        self._decode = decode_wav
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rates, nsamp, rms = [], [], []
+        for payload in t["payload"].to_pylist():
+            rate, samples = self._decode(payload)
+            rates.append(rate)
+            nsamp.append(len(samples))
+            s = samples.astype(np.float64)
+            rms.append(round(float(np.sqrt(np.mean(s * s))), 4))
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "sample_rate": pa.array(rates, type=pa.int64()),
+            "n_samples": pa.array(nsamp, type=pa.int64()),
+            "rms": pa.array(rms, type=pa.float64()),
+        })
+
+
+def _payload_ds(sf_dir: str, synth, encode) -> "ray.data.Dataset":
+    import os
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id"])
+
+    def gen(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "payload": pa.array([encode(synth(int(i))) for i in ids],
+                                             type=pa.binary())})
+
+    return ds.map_batches(gen, batch_format="pyarrow")
+
+
+def q_image_decode_stats(sf_dir: str):
+    """Encode a deterministic BMP per document, decode it in an actor pool,
+    emit real pixel statistics. Rows-only (pixel math is not SQL); byte-
+    exact codec round-trip + stats vs a numpy reference are pytest-pinned."""
+    from scrapy_ray.functions.codecs import encode_bmp
+
+    ds = _payload_ds(sf_dir, synth_image, encode_bmp)
+    out = ds.map_batches(ImageDecoder, batch_format="pyarrow",
+                         batch_size=256, concurrency=2)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def q_audio_decode_stats(sf_dir: str):
+    """Same shape for PCM16 WAV audio (stdlib wave + numpy)."""
+    from scrapy_ray.functions.codecs import encode_wav
+
+    ds = _payload_ds(sf_dir, synth_audio, encode_wav)
+    out = ds.map_batches(AudioDecoder, batch_format="pyarrow",
+                         batch_size=256, concurrency=2)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
 MULTIMODAL_QUERIES = {
     "multimodal_decode_meta": (q_multimodal_decode_meta, SQL_MULTIMODAL),
+    "image_decode_stats": (q_image_decode_stats, None),
+    "audio_decode_stats": (q_audio_decode_stats, None),
 }

@@ -1,0 +1,67 @@
+"""Real multimodal decode (S6, round 2): byte-exact codec round-trips and
+actor-pool decode stats vs a numpy reference — no PIL/ffmpeg, pure
+stdlib + numpy codecs (functions/codecs.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from scrapy_ray.functions.codecs import decode_bmp, decode_wav, encode_bmp, encode_wav
+from scrapy_ray.pipelines.multimodal import synth_audio, synth_image
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bmp_roundtrip_exact():
+    for doc_id in (0, 7, 123, 4096):
+        img = synth_image(doc_id)
+        back = decode_bmp(encode_bmp(img))
+        assert back.shape == img.shape
+        assert np.array_equal(back, img), doc_id
+    # non-4-multiple widths exercise row padding
+    odd = np.arange(11 * 5 * 3, dtype=np.uint8).reshape(11, 5, 3)
+    assert np.array_equal(decode_bmp(encode_bmp(odd)), odd)
+
+
+def test_wav_roundtrip_exact():
+    for doc_id in (0, 3, 999):
+        s = synth_audio(doc_id)
+        rate, back = decode_wav(encode_wav(s, rate=8000))
+        assert rate == 8000
+        assert np.array_equal(back, s), doc_id
+
+
+def test_bmp_rejects_garbage():
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_bmp(b"not an image at all")
+
+
+def test_image_decode_stats_match_reference(ray_session):
+    from scrapy_ray.pipelines.multimodal import q_image_decode_stats
+
+    t = q_image_decode_stats(SF)
+    assert len(t) > 0
+    by_id = {d: (w, h, m) for d, w, h, m in zip(
+        t["doc_id"].to_pylist(), t["width"].to_pylist(),
+        t["height"].to_pylist(), t["mean_r"].to_pylist())}
+    for doc_id in list(by_id)[:25]:
+        img = synth_image(doc_id)
+        h, w, _ = img.shape
+        ref_mean = round(float(img[:, :, 0].astype(np.int64).sum()) / (h * w), 4)
+        assert by_id[doc_id] == (w, h, ref_mean), doc_id
+
+
+def test_audio_decode_stats_match_reference(ray_session):
+    from scrapy_ray.pipelines.multimodal import q_audio_decode_stats
+
+    t = q_audio_decode_stats(SF)
+    assert len(t) > 0
+    by_id = {d: (r, n, x) for d, r, n, x in zip(
+        t["doc_id"].to_pylist(), t["sample_rate"].to_pylist(),
+        t["n_samples"].to_pylist(), t["rms"].to_pylist())}
+    for doc_id in list(by_id)[:25]:
+        s = synth_audio(doc_id).astype(np.float64)
+        ref = round(float(np.sqrt(np.mean(s * s))), 4)
+        assert by_id[doc_id] == (8000, len(s), ref), doc_id
