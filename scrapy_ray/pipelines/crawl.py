@@ -326,7 +326,7 @@ class CrawlEngine:
         _t0 = _time.perf_counter()
         items, links, n_fetched, hstats = fetch_parse_wave(
             self.root, wave, self.n_buckets, cache=self._bucket_cache,
-            registry_ref=self._registry_ref)
+            registry_ref=self._registry_ref, want_stats=cfg.autothrottle)
         self.phase_times["fetch_parse"] += _time.perf_counter() - _t0
 
         if cfg.autothrottle and len(hstats):

@@ -585,30 +585,35 @@ class TrigramLangId:
                            columns=["doc_id", "text", "lang"])
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         train = t.filter(pa.array(ids % 10 < 3))
-        profs: dict[str, np.ndarray] = {}
-        for lang, text in zip(train["lang"].to_pylist(), train["text"].to_pylist()):
-            v = profs.setdefault(lang, np.zeros(self.BUCKETS))
-            v += self._vec(text)
-        self.langs = sorted(profs)
-        P = np.stack([profs[l] for l in self.langs])
+        M = self._matrix(train["text"].to_pylist())
+        langs_col = np.asarray(train["lang"].to_pylist(), dtype=object)
+        self.langs = sorted(set(langs_col))
+        P = np.stack([M[langs_col == lang].sum(axis=0) for lang in self.langs])
         norm = np.linalg.norm(P, axis=1, keepdims=True)
         self.P = P / np.maximum(norm, 1e-12)
 
-    def _vec(self, text: str) -> np.ndarray:
-        tg = [text[i:i + 3] for i in range(len(text) - 2)]
-        v = np.zeros(self.BUCKETS)
-        if tg:
-            h = hash64(tg) % np.uint64(self.BUCKETS)
-            np.add.at(v, h.astype(np.int64), 1.0)
-        return v
+    def _matrix(self, texts: list[str]) -> np.ndarray:
+        """(n_texts, BUCKETS) trigram count matrix — ONE hash64 call over
+        every trigram of every row plus a single scatter-add (round 2:
+        replaces the per-row python scoring loop)."""
+        tgs: list[str] = []
+        counts: list[int] = []
+        for text in texts:
+            k = max(0, len(text) - 2)
+            tgs.extend(text[j:j + 3] for j in range(k))
+            counts.append(k)
+        M = np.zeros((len(texts), self.BUCKETS))
+        if tgs:
+            row_idx = np.repeat(np.arange(len(texts)), counts)
+            h = (hash64(tgs) % np.uint64(self.BUCKETS)).astype(np.int64)
+            np.add.at(M, (row_idx, h), 1.0)
+        return M
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        preds = []
-        for text in t["text"].to_pylist():
-            v = self._vec(text)
-            n = np.linalg.norm(v)
-            sims = self.P @ (v / n) if n > 0 else np.zeros(len(self.langs))
-            preds.append(self.langs[int(np.argmax(sims))])
+        M = self._matrix(t["text"].to_pylist())
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        sims = (M / np.maximum(norms, 1e-12)) @ self.P.T   # (n, n_langs)
+        preds = [self.langs[i] for i in sims.argmax(axis=1)]
         return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
                          "lang_pred": pa.array(preds, type=pa.string()),
                          "lang_true": t["lang"]})
@@ -616,7 +621,14 @@ class TrigramLangId:
 
 def q_lang_id_trigram(sf_dir: str):
     """Language-ID over documents via a TrigramLangId actor pool. Rows-only
-    (model scoring is not SQL-expressible); determinism pinned in pytest."""
+    (model scoring is not SQL-expressible); determinism pinned in pytest.
+
+    Honesty note: the synthetic ``documents.text`` is the same English-ish
+    token soup for every ``lang`` label, so accuracy on THIS table is chance
+    (~0.2-0.3) by construction — the driver check covers the distributed
+    mechanics. The classifier itself separates genuinely distinct character
+    distributions at >0.95 (tests/test_training.py
+    test_trigram_langid_separates_real_signal)."""
     ds = _pq(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     return pa.Table.from_pandas(
         ds.map_batches(TrigramLangId, batch_format="pyarrow", batch_size=1024,

@@ -81,7 +81,8 @@ def _empty_fetched(page_schema: pa.Schema) -> pa.Table:
 
 
 @ray.remote
-def _fetch_parse_bucket(path: str, sub: pa.Table, registry_ref=None) -> tuple:
+def _fetch_parse_bucket(path: str, sub: pa.Table, registry_ref=None,
+                        want_stats: bool = False) -> tuple:
     """Read one corpus bucket with an ``url IN (...)`` parquet filter
     (row-group pruning — bucket files are written sorted by url and ``sub``
     is a url-sorted contiguous wave slice, so a chunk touches few row
@@ -105,7 +106,7 @@ def _fetch_parse_bucket(path: str, sub: pa.Table, registry_ref=None) -> tuple:
     if len(t) == 0:
         return (schemas.ITEMS.empty_table(), schemas.LINKS.empty_table(), 0,
                 HOST_STATS_SCHEMA.empty_table())
-    stats = _host_stats(t)
+    stats = _host_stats(t) if want_stats else HOST_STATS_SCHEMA.empty_table()
     t = t.join(sub, keys="url", join_type="inner")
     parsed = parse_page_batch(t, handlers=handlers, routes=routes)
     return split_items(parsed), split_links(parsed, routes=routes), len(parsed), stats
@@ -120,7 +121,8 @@ def _load_bucket(path: str) -> pa.Table:
 
 
 @ray.remote
-def _fetch_parse_cached(bucket: pa.Table, sub: pa.Table, registry_ref=None) -> tuple:
+def _fetch_parse_cached(bucket: pa.Table, sub: pa.Table, registry_ref=None,
+                        want_stats: bool = False) -> tuple:
     """In-memory probe variant of _fetch_parse_bucket: ``bucket`` arrives as
     a zero-copy plasma reference; filter + join + parse + split in-task."""
     from scrapy_ray import schemas
@@ -136,7 +138,7 @@ def _fetch_parse_cached(bucket: pa.Table, sub: pa.Table, registry_ref=None) -> t
     if len(t) == 0:
         return (schemas.ITEMS.empty_table(), schemas.LINKS.empty_table(), 0,
                 HOST_STATS_SCHEMA.empty_table())
-    stats = _host_stats(t)
+    stats = _host_stats(t) if want_stats else HOST_STATS_SCHEMA.empty_table()
     t = t.join(sub, keys="url", join_type="inner")
     parsed = parse_page_batch(t, handlers=handlers, routes=routes)
     return split_items(parsed), split_links(parsed, routes=routes), len(parsed), stats
@@ -161,7 +163,8 @@ class BucketCache:
 
 
 def fetch_parse_wave(corpus_root: str, wave: pa.Table, n_buckets: int,
-                     cache: "BucketCache | None" = None, registry_ref=None) -> tuple:
+                     cache: "BucketCache | None" = None, registry_ref=None,
+                     want_stats: bool = False) -> tuple:
     """Wave-loop fast path (SURVEY §7.4.3): the per-wave fetch-join is a
     repeated *small indexed lookup*, for which per-wave ``read_parquet``
     Dataset construction costs seconds (fragment sampling). Raw Ray tasks —
@@ -207,10 +210,10 @@ def fetch_parse_wave(corpus_root: str, wave: pa.Table, n_buckets: int,
             sub = sub_sorted.slice(int(lo), int(hi - lo))
             if cache is not None:
                 futs.append(_fetch_parse_cached.remote(cache.get(int(b)), sub,
-                                                       registry_ref))
+                                                       registry_ref, want_stats))
             else:
                 futs.append(_fetch_parse_bucket.remote(paths[int(b)], sub,
-                                                       registry_ref))
+                                                       registry_ref, want_stats))
     items_p, links_p, stats_p, n = [], [], [], 0
     # consume incrementally: driver-side deserialization + concat overlap
     # with still-running tasks instead of waiting for the full barrier

@@ -168,3 +168,36 @@ def test_approx_distinct_users_vs_exact(ray_session):
         f"SELECT count(DISTINCT user_id) FROM read_parquet('{SF}/events.parquet')"
     ).fetchone()[0]
     assert abs(est - exact) / exact < 0.06, (est, exact)
+
+
+def test_trigram_langid_separates_real_signal(tmp_path):
+    """The synthetic documents table carries no language signal (same token
+    soup under every label — accuracy there is chance by construction).
+    This pins that the classifier itself works: three fake 'languages' with
+    distinct character distributions classify at >0.95."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scrapy_ray.pipelines.training import TrigramLangId
+
+    alphabets = {"aa": "aeioubcdfg", "bb": "xyzwvqrstk", "cc": "0123456789"}
+    rng = random.Random(7)
+    rows = {"doc_id": [], "text": [], "lang": []}
+    for i in range(300):
+        lang = list(alphabets)[i % 3]
+        text = " ".join("".join(rng.choice(alphabets[lang]) for _ in range(6))
+                        for _ in range(30))
+        rows["doc_id"].append(i)
+        rows["text"].append(text)
+        rows["lang"].append(lang)
+    d = str(tmp_path)
+    pq.write_table(pa.table(rows), f"{d}/documents.parquet")
+
+    m = TrigramLangId(d)
+    t = pq.read_table(f"{d}/documents.parquet")
+    out = m(t)
+    acc = sum(a == b for a, b in zip(out["lang_pred"].to_pylist(),
+                                     out["lang_true"].to_pylist())) / len(out)
+    assert acc > 0.95, acc
