@@ -37,6 +37,8 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--no-robots", action="store_true")
     c.add_argument("--autothrottle", action="store_true",
                    help="F4 adaptive per-host delay (deterministic virtual latency)")
+    c.add_argument("--retry-max", type=int, default=0,
+                   help="retry 5xx fetches up to N times with lowered priority")
     c.add_argument("--frontier-shards", type=int, default=4)
     c.add_argument("--filter-shards", type=int, default=4)
     c.add_argument("--num-cpus", type=int, default=None)
@@ -83,6 +85,7 @@ def main(argv: list[str] | None = None) -> int:
                 n_frontier_shards=args.frontier_shards,
                 checkpoint_dir=args.checkpoint,
                 autothrottle=args.autothrottle,
+                retry_max=args.retry_max,
             )
             res = run_crawl(args.corpus, cfg, resume=args.resume)
             export_items(res.items, args.out, fmt=args.format)

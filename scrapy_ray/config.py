@@ -47,6 +47,15 @@ class CrawlConfig:
     at_target_concurrency: float = 4.0  # AUTOTHROTTLE_TARGET_CONCURRENCY
     at_bytes_per_sec: float = 1_000_000.0  # virtual bandwidth for the latency proxy
 
+    # Retry middleware ([S:scrapy/downloadermiddlewares/retry.py]): fetches
+    # with a retryable status are re-enqueued with lowered priority up to
+    # retry_max times, bypassing the dupefilter (Scrapy copies the request
+    # with dont_filter=True). Deterministic contract: a wave's retries are
+    # assigned seqs AFTER that wave's fresh links, ordered by original seq.
+    retry_max: int = 0               # RETRY_TIMES (0 = middleware off)
+    retry_priority_adjust: int = -1  # RETRY_PRIORITY_ADJUST
+    retry_codes: tuple[int, ...] = (500, 502, 503, 504, 408, 429)
+
     # spider-middleware filters ([S:scrapy/spidermiddlewares/*])
     depth_limit: int = 0             # DEPTH_LIMIT, 0 = unlimited
     depth_priority: int = 0          # DEPTH_PRIORITY: priority += depth * this

@@ -70,6 +70,28 @@ def _links_to_frontier(links: pa.Table, next_seq: int) -> pa.Table:
             "parent_url": links["parent_url"],
             "callback": links["callback"],
             "dont_filter": pa.array(np.zeros(n, dtype=bool)),
+            "retries": pa.array(np.zeros(n, dtype=np.int32)),
+        },
+        schema=schemas.FRONTIER,
+    )
+
+
+def _retries_to_frontier(rr: pa.Table, next_seq: int, adjust: int) -> pa.Table:
+    """RETRY_ROWS (original-seq sorted) -> frontier rows: lowered priority,
+    incremented attempt count, dupefilter bypassed ([S:retry.py])."""
+    n = len(rr)
+    return pa.table(
+        {
+            "url": rr["url"],
+            "host": rr["host"],
+            "url_hash": rr["url_hash"],
+            "depth": rr["depth"],
+            "priority": pc.add(rr["priority"], pa.scalar(adjust, pa.int32())),
+            "seq": pa.array(np.arange(next_seq, next_seq + n, dtype=np.int64)),
+            "parent_url": pa.array([""] * n, type=pa.string()),
+            "callback": rr["callback"],
+            "dont_filter": pa.array(np.ones(n, dtype=bool)),
+            "retries": pc.add(rr["retries"], pa.scalar(1, pa.int32())),
         },
         schema=schemas.FRONTIER,
     )
@@ -324,9 +346,10 @@ class CrawlEngine:
         # parse + in-task items/links splits — neither html nor list columns
         # reach the driver (stages/fetch.py fetch_parse_wave, stages/parse.py).
         _t0 = _time.perf_counter()
-        items, links, n_fetched, hstats = fetch_parse_wave(
+        items, links, n_fetched, hstats, retry_rows = fetch_parse_wave(
             self.root, wave, self.n_buckets, cache=self._bucket_cache,
-            registry_ref=self._registry_ref, want_stats=cfg.autothrottle)
+            registry_ref=self._registry_ref, want_stats=cfg.autothrottle,
+            retry_cfg=((cfg.retry_codes, cfg.retry_max) if cfg.retry_max else None))
         self.phase_times["fetch_parse"] += _time.perf_counter() - _t0
 
         if cfg.autothrottle and len(hstats):
@@ -363,6 +386,16 @@ class CrawlEngine:
             n_new = len(rows)
         else:
             n_new = 0
+
+        if cfg.retry_max and len(retry_rows):
+            # deterministic contract: retries take seqs AFTER this wave's
+            # fresh links, ordered by ORIGINAL seq ([S:retry.py] semantics:
+            # re-scheduled with dont_filter=True and lowered priority)
+            rr = retry_rows.sort_by([("seq", "ascending")])
+            rrows = _retries_to_frontier(rr, self.next_seq, cfg.retry_priority_adjust)
+            self.next_seq += len(rrows)
+            self.frontier.push(rrows)
+            n_new += len(rrows)
 
         _t0 = _time.perf_counter()
         entry = self._sink(self.wave_idx, items, order)

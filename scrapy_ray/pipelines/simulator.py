@@ -174,6 +174,7 @@ def simulate_crawl(corpus_root: str, cfg: CrawlConfig | None = None,
         from scrapy_ray.stages.parse import _item_from_handler
 
         cands: list[dict] = []
+        retry_cands: list[dict] = []                 # [S:retry.py] mirror
         wave_host_bytes: dict[str, list[int]] = {}   # host -> [n, nbytes] (F4)
         for c in sorted(emitted, key=lambda c: c["seq"]):
             i = page_of.get(c["url"])
@@ -185,6 +186,9 @@ def simulate_crawl(corpus_root: str, cfg: CrawlConfig | None = None,
                 st[1] += len(pages["html"][i].as_py())
             pages_fetched += 1
             if not (200 <= statuses[i] < 300):   # M10
+                if (cfg.retry_max and statuses[i] in cfg.retry_codes
+                        and c.get("retries", 0) < cfg.retry_max):
+                    retry_cands.append(c)
                 continue
             html = htmls[i]
             cb = classify_callback([c["url"]])[0] if PAGE_HANDLERS else None
@@ -230,6 +234,14 @@ def simulate_crawl(corpus_root: str, cfg: CrawlConfig | None = None,
                 new = (prev + lat / cfg.at_target_concurrency) / 2.0
                 at_delay[h] = min(max(new, cfg.download_delay), cfg.at_max_delay)
         schedule2(cands)
+        # retries take seqs AFTER this wave's fresh links, original-seq
+        # order, dupefilter bypassed, priority lowered (engine mirror)
+        for c in retry_cands:
+            nc = dict(c, seq=next_seq,
+                      priority=c["priority"] + cfg.retry_priority_adjust,
+                      retries=c.get("retries", 0) + 1)
+            next_seq += 1
+            heapq.heappush(queues[nc["host"]], (-nc["priority"], nc["seq"], nc))
         wave_idx += 1
 
     order_rows_s = order_rows  # already in emission order per wave

@@ -45,6 +45,22 @@ FRONTIER = pa.schema(
         ("parent_url", pa.string()),
         ("callback", pa.string()),
         ("dont_filter", pa.bool_()),
+        ("retries", pa.int32()),    # retry middleware attempt count
+    ]
+)
+
+# Retryable fetch outcomes re-enqueued by the engine (retry middleware,
+# [S:scrapy/downloadermiddlewares/retry.py]); subset of wave columns.
+RETRY_ROWS = pa.schema(
+    [
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("url_hash", pa.uint64()),
+        ("depth", pa.int32()),
+        ("priority", pa.int32()),
+        ("seq", pa.int64()),        # ORIGINAL seq: canonical retry order
+        ("callback", pa.string()),
+        ("retries", pa.int32()),
     ]
 )
 

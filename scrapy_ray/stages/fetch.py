@@ -31,6 +31,20 @@ HOST_STATS_SCHEMA = pa.schema([("host", pa.string()), ("n", pa.int64()),
                                ("nbytes", pa.int64())])
 
 
+def _retry_rows(t: pa.Table, retry_codes: tuple, retry_max: int) -> pa.Table:
+    """Fetched rows whose status is retryable and attempt budget remains ->
+    RETRY_ROWS ([S:scrapy/downloadermiddlewares/retry.py]). Runs in-task on
+    the joined (page x wave) table."""
+    from scrapy_ray import schemas
+
+    m = pc.and_(pc.is_in(t["status"], value_set=pa.array(list(retry_codes),
+                                                         type=t["status"].type)),
+                pc.less(t["retries"], retry_max))
+    hit = t.filter(m)
+    return pa.table({k: hit[k] for k in schemas.RETRY_ROWS.names},
+                    schema=schemas.RETRY_ROWS)
+
+
 def _host_stats(t: pa.Table) -> pa.Table:
     """Per-host (responses, body bytes) partial for this task's fetched rows
     — the deterministic virtual-latency signal for AutoThrottle (F4)."""
@@ -82,7 +96,7 @@ def _empty_fetched(page_schema: pa.Schema) -> pa.Table:
 
 @ray.remote
 def _fetch_parse_bucket(path: str, sub: pa.Table, registry_ref=None,
-                        want_stats: bool = False) -> tuple:
+                        want_stats: bool = False, retry_cfg=None) -> tuple:
     """Read one corpus bucket with an ``url IN (...)`` parquet filter
     (row-group pruning — bucket files are written sorted by url and ``sub``
     is a url-sorted contiguous wave slice, so a chunk touches few row
@@ -105,11 +119,14 @@ def _fetch_parse_bucket(path: str, sub: pa.Table, registry_ref=None,
                       columns=["url", "html", "status"])
     if len(t) == 0:
         return (schemas.ITEMS.empty_table(), schemas.LINKS.empty_table(), 0,
-                HOST_STATS_SCHEMA.empty_table())
+                HOST_STATS_SCHEMA.empty_table(), schemas.RETRY_ROWS.empty_table())
     stats = _host_stats(t) if want_stats else HOST_STATS_SCHEMA.empty_table()
     t = t.join(sub, keys="url", join_type="inner")
+    retries = (_retry_rows(t, *retry_cfg) if retry_cfg is not None
+               else schemas.RETRY_ROWS.empty_table())
     parsed = parse_page_batch(t, handlers=handlers, routes=routes)
-    return split_items(parsed), split_links(parsed, routes=routes), len(parsed), stats
+    return (split_items(parsed), split_links(parsed, routes=routes), len(parsed),
+            stats, retries)
 
 
 @ray.remote
@@ -122,7 +139,7 @@ def _load_bucket(path: str) -> pa.Table:
 
 @ray.remote
 def _fetch_parse_cached(bucket: pa.Table, sub: pa.Table, registry_ref=None,
-                        want_stats: bool = False) -> tuple:
+                        want_stats: bool = False, retry_cfg=None) -> tuple:
     """In-memory probe variant of _fetch_parse_bucket: ``bucket`` arrives as
     a zero-copy plasma reference; filter + join + parse + split in-task."""
     from scrapy_ray import schemas
@@ -137,11 +154,14 @@ def _fetch_parse_cached(bucket: pa.Table, sub: pa.Table, registry_ref=None,
     t = bucket.filter(pc.is_in(bucket["url"], value_set=sub_urls))
     if len(t) == 0:
         return (schemas.ITEMS.empty_table(), schemas.LINKS.empty_table(), 0,
-                HOST_STATS_SCHEMA.empty_table())
+                HOST_STATS_SCHEMA.empty_table(), schemas.RETRY_ROWS.empty_table())
     stats = _host_stats(t) if want_stats else HOST_STATS_SCHEMA.empty_table()
     t = t.join(sub, keys="url", join_type="inner")
+    retries = (_retry_rows(t, *retry_cfg) if retry_cfg is not None
+               else schemas.RETRY_ROWS.empty_table())
     parsed = parse_page_batch(t, handlers=handlers, routes=routes)
-    return split_items(parsed), split_links(parsed, routes=routes), len(parsed), stats
+    return (split_items(parsed), split_links(parsed, routes=routes), len(parsed),
+            stats, retries)
 
 
 class BucketCache:
@@ -164,7 +184,7 @@ class BucketCache:
 
 def fetch_parse_wave(corpus_root: str, wave: pa.Table, n_buckets: int,
                      cache: "BucketCache | None" = None, registry_ref=None,
-                     want_stats: bool = False) -> tuple:
+                     want_stats: bool = False, retry_cfg=None) -> tuple:
     """Wave-loop fast path (SURVEY §7.4.3): the per-wave fetch-join is a
     repeated *small indexed lookup*, for which per-wave ``read_parquet``
     Dataset construction costs seconds (fragment sampling). Raw Ray tasks —
@@ -185,7 +205,8 @@ def fetch_parse_wave(corpus_root: str, wave: pa.Table, n_buckets: int,
     # per-url python structures. Sorting by url keeps each chunk a
     # contiguous url range, so the parquet isin filter prunes row groups
     # tightly (bucket files are written url-sorted).
-    sub_cols = wave.select(["url", "depth", "priority", "seq"])
+    sub_cols = wave.select(["url", "host", "url_hash", "depth",
+                            "priority", "seq", "callback", "retries"])
     tmp = sub_cols.append_column("bucket", pa.array(bucket_of))
     idx = pc.sort_indices(tmp, sort_keys=[("bucket", "ascending"),
                                           ("url", "ascending")])
@@ -210,17 +231,19 @@ def fetch_parse_wave(corpus_root: str, wave: pa.Table, n_buckets: int,
             sub = sub_sorted.slice(int(lo), int(hi - lo))
             if cache is not None:
                 futs.append(_fetch_parse_cached.remote(cache.get(int(b)), sub,
-                                                       registry_ref, want_stats))
+                                                       registry_ref, want_stats,
+                                                       retry_cfg))
             else:
                 futs.append(_fetch_parse_bucket.remote(paths[int(b)], sub,
-                                                       registry_ref, want_stats))
-    items_p, links_p, stats_p, n = [], [], [], 0
+                                                       registry_ref, want_stats,
+                                                       retry_cfg))
+    items_p, links_p, stats_p, retry_p, n = [], [], [], [], 0
     # consume incrementally: driver-side deserialization + concat overlap
     # with still-running tasks instead of waiting for the full barrier
     pending = futs
     while pending:
         done, pending = ray.wait(pending, num_returns=min(16, len(pending)))
-        for it, lk, nf, st in ray.get(done):
+        for it, lk, nf, st, rr in ray.get(done):
             n += nf
             if len(it):
                 items_p.append(it)
@@ -228,11 +251,15 @@ def fetch_parse_wave(corpus_root: str, wave: pa.Table, n_buckets: int,
                 links_p.append(lk)
             if len(st):
                 stats_p.append(st)
+            if len(rr):
+                retry_p.append(rr)
     items = pa.concat_tables(items_p) if items_p else schemas.ITEMS.empty_table()
     links = pa.concat_tables(links_p) if links_p else schemas.LINKS.empty_table()
     stats = (pa.concat_tables(stats_p) if stats_p
              else HOST_STATS_SCHEMA.empty_table())
-    return items, links, n, stats
+    retries = (pa.concat_tables(retry_p) if retry_p
+               else schemas.RETRY_ROWS.empty_table())
+    return items, links, n, stats, retries
 
 
 def fetch_wave(corpus_root: str, wave: pa.Table, n_buckets: int) -> ray.data.Dataset:

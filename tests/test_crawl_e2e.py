@@ -107,7 +107,8 @@ def test_fetch_wave_dataset_path(ray_session, e2e_corpus):
     ds_urls = set()
     for b in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
         ds_urls.update(b["url"].to_pylist())
-    items, links, n_fetched, _hstats = fetch_parse_wave(e2e_corpus, wave, eng.n_buckets)
+    items, links, n_fetched, _hstats, _rr = fetch_parse_wave(e2e_corpus, wave,
+                                                             eng.n_buckets)
     assert len(ds_urls) == n_fetched
     assert ds_urls <= set(wave["url"].to_pylist())
 
@@ -164,3 +165,25 @@ def test_autothrottle_adapts_per_host(ray_session):
     assert sh.at_delay["slow.com"] > 3.5            # converges toward 8/2=4
     assert sh.at_delay["fast.com"] < 0.2            # converges toward 0.05
     assert sh._delay("slow.com") > sh._delay("fast.com")
+
+
+def test_retry_middleware_engine_matches_simulator(ray_session, e2e_corpus):
+    """Retry middleware ([S:scrapy/downloadermiddlewares/retry.py]): 5xx
+    fetches re-enqueue with lowered priority up to retry_max times,
+    bypassing the dupefilter — engine and simulator must agree, and retried
+    URLs must appear multiple times in the crawl ordering."""
+    from collections import Counter
+
+    cfg = CrawlConfig(n_filter_shards=2, n_frontier_shards=3, retry_max=2)
+    sim = simulate_crawl(e2e_corpus, cfg)
+    eng = run_crawl(e2e_corpus, cfg)
+    _assert_equal(sim, eng)
+    counts = Counter(eng.crawl_order["url"].to_pylist())
+    retried = {u: c for u, c in counts.items() if c > 1}
+    assert retried, "corpus 5xx pages must actually be retried"
+    assert max(retried.values()) == 1 + cfg.retry_max  # original + 2 retries
+    # retries consume seqs but never duplicate the URL-seen set
+    assert len(eng.url_seen) == len(set(eng.url_seen["url"].to_pylist()))
+    # OFF by default: no URL fetched twice
+    base = run_crawl(e2e_corpus, CrawlConfig(n_filter_shards=2, n_frontier_shards=3))
+    assert max(Counter(base.crawl_order["url"].to_pylist()).values()) == 1
