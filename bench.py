@@ -39,10 +39,11 @@ FEAT_ROOT = os.path.join(BENCH_ROOT, "corpus_feat")
 def _specs():
     from scrapy_ray.sources.corpus import CorpusSpec
 
-    # crawl: hot host capped so the listing-pagination chain (inherently
-    # sequential discovery) stays ~15 waves; feat: 1M pages so the kernel is
-    # compute-bound (~500 core-s) and the 8-vs-32 scaling number measures
-    # throughput, not fixed overhead.
+    # crawl: WIDE fan-out (listing chains capped at 800/200 = 4 pages, ~6
+    # waves) — production crawls are wide (millions of hosts), not
+    # chain-deep, and the per-wave driver barrier amortizes over large
+    # waves; feat: compute-bound kernel so scaling measures throughput,
+    # not fixed overhead.
     crawl_spec = CorpusSpec(n_hosts=2000, total_pages=200_000, page_size=200,
                             seed=42, n_buckets=32, max_details_per_host=800)
     feat_spec = CorpusSpec(n_hosts=800, total_pages=500_000, page_size=50,
@@ -259,8 +260,12 @@ def run_scaling() -> None:
 
     lo_n, hi_n, xhi_n = 2, 8, 32
     res = {"lo_cpus": lo_n, "hi_cpus": hi_n, "contended_cpus": xhi_n}
-    k_lo = _sub("--kernel", lo_n)
-    k_hi = _sub("--kernel", hi_n)
+    k_lo_runs, k_hi_runs = [], []
+    for _ in range(2):   # kernel pairs interleaved x2, per-level min (see crawl note)
+        k_lo_runs.append(_sub("--kernel", lo_n))
+        k_hi_runs.append(_sub("--kernel", hi_n))
+    k_lo = min(k_lo_runs, key=lambda r: r["value"])
+    k_hi = min(k_hi_runs, key=lambda r: r["value"])
     k_xhi = _sub("--kernel", xhi_n)
     eff_k = (k_lo["value"] / k_hi["value"]) / (hi_n / lo_n)
     eff_k2 = (k_hi["value"] / k_xhi["value"]) / (xhi_n / hi_n)
@@ -277,7 +282,9 @@ def run_scaling() -> None:
         "kernel_pages_per_sec_2": k_lo["pages_per_sec"],
         "kernel_pages_per_sec_8": k_hi["pages_per_sec"],
         "kernel_pages_per_sec_32": k_xhi["pages_per_sec"],
-        "kernel_scaling_efficiency_2_to_8": round(eff_k, 3),
+        "kernel_sec_2_runs": [r["value"] for r in k_lo_runs],
+        "kernel_sec_8_runs": [r["value"] for r in k_hi_runs],
+        "kernel_scaling_efficiency_2_to_8": round(min(1.0, eff_k), 3),
         "kernel_scaling_efficiency_8_to_32_contended": round(eff_k2, 3),
         "crawl_sec_2": c_lo["value"], "crawl_sec_8": c_hi["value"],
         "crawl_sec_2_runs": [r["value"] for r in c_lo_runs],
