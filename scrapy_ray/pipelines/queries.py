@@ -388,8 +388,16 @@ def q_tpch_q3_like(sf_dir: str):
     arrive tagged is_order=1, lineitem rows carry per-batch partial revenue;
     groups without an orders row (non-BUILDING) or without lineitem rows are
     dropped after the aggregate — exact inner-join semantics, no O(fact)
-    driver state."""
+    driver state.
+
+    Bloom-filter join pushdown: per-batch partial Blooms over the BUILDING
+    orderkeys (fixed-size bitmaps) OR-merge into one small filter that
+    pre-prunes lineitem BEFORE the shuffle (~5x less exchange volume);
+    Bloom false positives are corrected exactly by the is_order check after
+    the aggregate."""
     import pyarrow.parquet as pq_
+
+    from scrapy_ray.state.bloom import BloomFilter
 
     cust = pq_.read_table(os.path.join(sf_dir, "customer.parquet"),
                           columns=["c_custkey", "c_mktsegment"])
@@ -400,36 +408,87 @@ def q_tpch_q3_like(sf_dir: str):
     ckeys_ref = ray.put(ckeys)
 
     orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    bloom_cap = max(1024, orders.count() // 4)   # BUILDING ≈ 1/5 of orders
 
-    def order_side(t: pa.Table) -> pa.Table:
+    def order_bloom(t: pa.Table) -> pa.Table:
         keys = ray.get(ckeys_ref) if isinstance(ckeys_ref, ray.ObjectRef) else ckeys_ref
         t = t.filter(pc.is_in(pc.cast(t["o_custkey"], pa.int64()), value_set=keys))
-        n = len(t)
-        return pa.table({"l_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
-                         "revenue_c": pa.array([0] * n, type=pa.int64()),
-                         "n_li": pa.array([0] * n, type=pa.int64()),
-                         "is_order": pa.array([1] * n, type=pa.int64())})
+        bf = BloomFilter(bloom_cap, 12)
+        bf.add_many(t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        return pa.table({"words": pa.array([bf.words.tobytes()], type=pa.binary())})
+
+    merged = BloomFilter(bloom_cap, 12)
+    for b in orders.map_batches(order_bloom, batch_format="pyarrow") \
+                   .iter_batches(batch_size=None, batch_format="pyarrow"):
+        for w in b["words"].to_pylist():
+            merged.words |= np.frombuffer(w, dtype=np.uint64)
+    bloom_ref = ray.put(merged)
 
     li = _pq(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def li_partial(t: pa.Table) -> pa.Table:
+        bf = ray.get(bloom_ref) if isinstance(bloom_ref, ray.ObjectRef) else bloom_ref
+        keep = bf.contains_many(
+            t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        t = t.filter(pa.array(keep))
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
         df = pa.table({"l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
                        "rev": _cents(rev)}).to_pandas()
-        g = df.groupby("l_orderkey").agg(revenue_c=("rev", "sum"),
-                                         n_li=("rev", "count")).reset_index()
-        g["is_order"] = np.int64(0)
+        g = df.groupby("l_orderkey").agg(revenue_c=("rev", "sum")).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    both = orders.map_batches(order_side, batch_format="pyarrow").union(
-        li.map_batches(li_partial, batch_format="pyarrow"))
-    out = both.groupby("l_orderkey").aggregate(
-        Sum("revenue_c", alias_name="revenue_c"), Sum("n_li", alias_name="n_li"),
-        Sum("is_order", alias_name="is_order"))
-    top = (out.filter(expr="is_order > 0 and n_li > 0")
-              .sort(["revenue_c", "l_orderkey"], descending=[True, False]).limit(10))
-    t = pa.Table.from_pandas(top.to_pandas()).select(["l_orderkey", "revenue_c"])
-    return _i64(t, ["revenue_c"])
+    agg = (li.map_batches(li_partial, batch_format="pyarrow")
+             .groupby("l_orderkey").aggregate(Sum("revenue_c", alias_name="revenue_c")))
+
+    # Per-block partial top-200, tiny driver merge. Safe bound: a global
+    # top-10 key can be outranked within its block only by other true keys
+    # (<=9 globally) plus Bloom false positives (expected ~p*|keys| ~ tens
+    # TOTAL at 12 bits/key) — nowhere near 200.
+    def part_top(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("revenue_c", "descending"),
+                                            ("l_orderkey", "ascending")])[:200]
+        return t.take(idx)
+
+    parts = list(agg.map_batches(part_top, batch_format="pyarrow")
+                    .iter_batches(batch_size=None, batch_format="pyarrow"))
+    merged = pa.concat_tables(parts) if parts else pa.table(
+        {"l_orderkey": pa.array([], pa.int64()), "revenue_c": pa.array([], pa.int64())})
+    idx = pc.sort_indices(merged, sort_keys=[("revenue_c", "descending"),
+                                             ("l_orderkey", "ascending")])
+    cands = merged.take(idx)
+
+    # Exact verification of the candidate keys (removes Bloom false
+    # positives): targeted distributed scans of orders, chunk by chunk down
+    # the revenue order until 10 verified survive — each chunk is one
+    # pruned 2-column scan, never an O(fact) driver structure.
+    def verified_keys(chunk_keys: pa.Array) -> set:
+        ref = ray.put(chunk_keys)
+
+        def probe(t: pa.Table) -> pa.Table:
+            ks = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            ck = ray.get(ckeys_ref) if isinstance(ckeys_ref, ray.ObjectRef) else ckeys_ref
+            t = t.filter(pc.and_(
+                pc.is_in(pc.cast(t["o_orderkey"], pa.int64()), value_set=ks),
+                pc.is_in(pc.cast(t["o_custkey"], pa.int64()), value_set=ck)))
+            return pa.table({"k": pc.cast(t["o_orderkey"], pa.int64())})
+
+        hits = list(orders.map_batches(probe, batch_format="pyarrow")
+                          .iter_batches(batch_size=None, batch_format="pyarrow"))
+        return set(pa.concat_tables(hits)["k"].to_pylist()) if hits else set()
+
+    keep_keys: list[int] = []
+    keep_rev: list[int] = []
+    pos, chunk = 0, 256
+    while len(keep_keys) < 10 and pos < len(cands):
+        sl = cands.slice(pos, chunk)
+        ok = verified_keys(pc.cast(sl["l_orderkey"], pa.int64()).combine_chunks())
+        for k, r in zip(sl["l_orderkey"].to_pylist(), sl["revenue_c"].to_pylist()):
+            if k in ok and len(keep_keys) < 10:
+                keep_keys.append(k)
+                keep_rev.append(r)
+        pos += chunk
+    return pa.table({"l_orderkey": pa.array(keep_keys, type=pa.int64()),
+                     "revenue_c": pa.array(keep_rev, type=pa.int64())})
 
 
 SQL_TPCH_Q3 = """
