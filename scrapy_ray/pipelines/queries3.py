@@ -177,9 +177,84 @@ FROM events GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------- training mix
+
+_MIX_MIN_TOKENS = 40
+_MIX_PCT = 50
+
+
+def q_training_mix(sf_dir: str):
+    """Flagship composed data-prep pipeline — the canonical LLM training-mix
+    shape in ONE streaming Ray pipeline with ONE SQL oracle:
+
+        quality filter (min tokens) -> exact dedup (md5, keep min doc_id)
+        -> deterministic 50% hash sample -> per-language doc/token counts.
+
+    Every stage is the scale-safe form used elsewhere: vectorized per-batch
+    predicates, partial dedup inside the batch before the hash shuffle,
+    arg-min row kept per content hash, block-layout-independent sampling."""
+    import hashlib
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def stage1(t: pa.Table) -> pa.Table:
+        n_tok = pc.cast(pc.count_substring_regex(t["text"], r"\S+"), pa.int64())
+        t = t.append_column("n_tokens", n_tok)
+        t = t.filter(pc.greater_equal(t["n_tokens"], _MIX_MIN_TOKENS))
+        hs = [hashlib.md5(s.encode()).hexdigest() for s in t["text"].to_pylist()]
+        df = pd.DataFrame({"h": hs,
+                           "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+                           "lang": t["lang"].to_pylist(),
+                           "n_tokens": t["n_tokens"].to_numpy(zero_copy_only=False)})
+        # partial dedup inside the batch before the shuffle
+        df = df.sort_values("doc_id", kind="mergesort").drop_duplicates("h")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("doc_id", kind="mergesort").head(1)
+
+    deduped = (ds.map_batches(stage1, batch_format="pyarrow")
+                 .groupby("h").map_groups(keep_min, batch_format="pandas"))
+
+    def stage3(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ((ids * _SAMPLE_MULT) % _SAMPLE_MOD) % 100 < _MIX_PCT
+        t = t.filter(pa.array(keep))
+        df = pd.DataFrame({"lang": t["lang"].to_pylist(),
+                           "n_tokens": t["n_tokens"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("lang").agg(n_docs=("n_tokens", "count"),
+                                   total_tokens=("n_tokens", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (deduped.map_batches(stage3, batch_format="pyarrow")
+                  .groupby("lang").aggregate(Sum("n_docs", alias_name="n_docs"),
+                                             Sum("total_tokens", alias_name="total_tokens")))
+    return _i64(pa.Table.from_pandas(out.to_pandas()), ["n_docs", "total_tokens"])
+
+
+SQL_TRAINING_MIX = f"""
+WITH q AS (
+  SELECT doc_id, lang,
+         array_length(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens,
+         md5(text) AS h
+  FROM documents
+  WHERE array_length(regexp_extract_all(text, '\\S+')) >= {_MIX_MIN_TOKENS}),
+d AS (
+  SELECT min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang,
+         arg_min(n_tokens, doc_id) AS n_tokens
+  FROM q GROUP BY h),
+s AS (
+  SELECT * FROM d
+  WHERE ((doc_id * {_SAMPLE_MULT}) % {_SAMPLE_MOD}) % 100 < {_MIX_PCT})
+SELECT lang, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS total_tokens
+FROM s GROUP BY lang
+"""
+
+
 QUERIES3: dict[str, tuple] = {
     "hash_sample_events": (q_hash_sample_events, SQL_HASH_SAMPLE),
     "value_quantiles": (q_value_quantiles, SQL_QUANTILES),
     "top_orders_per_segment": (q_top_orders_per_segment, SQL_GROUP_TOPK),
     "event_type_pivot": (q_event_type_pivot, SQL_PIVOT),
+    "training_mix": (q_training_mix, SQL_TRAINING_MIX),
 }

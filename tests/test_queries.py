@@ -36,6 +36,7 @@ SUBSET = [
     "value_quantiles",
     "top_orders_per_segment",
     "event_type_pivot",
+    "training_mix",
 ]
 
 
