@@ -43,7 +43,10 @@ _PRICE = re.compile(rb'<span class="price">([^<]*)</span>')
 _REVIEW_COUNT = re.compile(rb'<span class="review-count">(\d+) reviews</span>')
 _REVIEW_LI = re.compile(rb"<li>([^<]*)</li>")
 _RELATED = re.compile(rb'<a class="related-link" href="([^"]+)">')
-_ANY_HREF = re.compile(rb'<a\b[^>]*\bhref=(["\'])([^"\']+)\1')
+# Alternation excludes only the ACTIVE delimiter — a double-quoted href may
+# contain an apostrophe (and vice versa); a backreference class [^"'] would
+# silently drop those links (lxml's LinkExtractor captures them).
+_ANY_HREF = re.compile(rb'<a\b[^>]*\bhref=(?:"([^"]+)"|\'([^\']+)\')')
 
 
 def _u(b: bytes) -> str:
@@ -106,7 +109,8 @@ def extract_links(html: bytes) -> list[str]:
     links but does contain anchors (unquoted hrefs, exotic markup)."""
     seen: set[bytes] = set()
     out: list[str] = []
-    for _q, m in _ANY_HREF.findall(html):
+    for dq, sq in _ANY_HREF.findall(html):
+        m = dq or sq
         if m not in seen:
             seen.add(m)
             out.append(_u(m))

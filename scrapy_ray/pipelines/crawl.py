@@ -265,7 +265,10 @@ class CrawlEngine:
         for _ in range(20):  # restarting actors answer with
             try:             # ActorUnavailableError until they are back up
                 if self.ckpt and os.path.exists(self._manifest_path()):
-                    assert self.try_resume()
+                    # NOT an assert: under `python -O` asserts are stripped
+                    # and the restore side effect would silently be skipped
+                    if not self.try_resume():
+                        raise RuntimeError("checkpoint restore failed")
                     return
                 # no committed checkpoint: full deterministic restart
                 self.urlseen.reset()

@@ -36,8 +36,13 @@ def q_hash_sample_events(sf_dir: str):
     ds = _pq(sf_dir, "events", columns=["event_id", "event_type"])
 
     def f(t: pa.Table) -> pa.Table:
-        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = ((eid * _SAMPLE_MULT) % _SAMPLE_MOD) % 100 < _SAMPLE_PCT
+        # uint64 with an explicit pre-reduction mod 2^32: the product then
+        # fits uint64 exactly (no wrap), so numpy and DuckDB UBIGINT agree
+        # at any event_id scale (int64 multiply would wrap silently where
+        # DuckDB raises on BIGINT overflow — a latent scale divergence)
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((eid % np.uint64(_SAMPLE_MOD)) * np.uint64(_SAMPLE_MULT)) % np.uint64(_SAMPLE_MOD)
+        keep = h % np.uint64(100) < np.uint64(_SAMPLE_PCT)
         t = t.filter(pa.array(keep))
         df = pd.DataFrame({"event_type": t["event_type"].to_pylist()})
         return pa.Table.from_pandas(
@@ -51,7 +56,7 @@ def q_hash_sample_events(sf_dir: str):
 
 SQL_HASH_SAMPLE = f"""
 SELECT event_type, count(*)::BIGINT AS n FROM events
-WHERE ((event_id * {_SAMPLE_MULT}) % {_SAMPLE_MOD}) % 100 < {_SAMPLE_PCT}
+WHERE (((event_id::UBIGINT % {_SAMPLE_MOD}) * {_SAMPLE_MULT}) % {_SAMPLE_MOD}) % 100 < {_SAMPLE_PCT}
 GROUP BY event_type
 """
 

@@ -156,14 +156,15 @@ class FrontierShard:
         return len(rows)
 
     def _merge_runs(self, host: str) -> None:
+        # _run_pairs normalizes BOTH run shapes — plain (bid, 1-D row idx)
+        # and already-merged (bid=-1, (2,n) pairs) — so re-merging a host
+        # whose run list grew past the cap a second time is uniform.
         runs = self.queues[host]
         np_ = np.concatenate([r[0][r[4]:] for r in runs])
         sq = np.concatenate([r[1][r[4]:] for r in runs])
-        gbid = np.concatenate([np.full(len(r[1]) - r[4], r[2], dtype=np.int64)
-                               for r in runs])
-        gidx = np.concatenate([r[3][r[4]:] for r in runs])
+        pairs = np.concatenate([self._run_pairs(r) for r in runs], axis=1)
         o = np.lexsort((sq, np_))
-        self.queues[host] = [[np_[o], sq[o], -1, np.stack([gbid[o], gidx[o]]), 0]]
+        self.queues[host] = [[np_[o], sq[o], -1, pairs[:, o], 0]]
         # bid == -1 marks a MERGED run whose idx field is a (2, n) array of
         # (block_id, row_idx) pairs instead of row indices into one block
 

@@ -254,3 +254,34 @@ def test_links_survive_perturbation(e2e_corpus):
     assert base
     for name, ph in _perturbations(html).items():
         assert extract_links(ph) == base, name
+
+
+def test_extract_links_quote_inside_other_delimiter():
+    """Regression (r3 ADVICE): a double-quoted href containing an apostrophe
+    (or vice versa) must not be dropped — only the ACTIVE delimiter ends the
+    value, matching lxml's LinkExtractor."""
+    html = (b'<a href="/o\'brien/hotel">x</a>'
+            b"<a href='/say-\"hi\"/page'>y</a>"
+            b'<a href="/plain">z</a>')
+    assert extract_links(html) == ['/o\'brien/hotel', '/say-"hi"/page', "/plain"]
+
+
+def test_hash_sample_uint64_matches_duckdb_at_large_ids():
+    """Regression (r3 ADVICE): the sampling hash must agree with the SQL
+    oracle past event_id ~3.5e9 where int64*const overflows int64 silently
+    in numpy but raises on DuckDB BIGINT."""
+    import duckdb
+    import numpy as np
+
+    from scrapy_ray.pipelines.queries3 import _SAMPLE_MOD, _SAMPLE_MULT, _SAMPLE_PCT
+
+    ids = np.array([0, 1, 3_500_000_000, 2**40 + 17, 2**62 + 5], dtype=np.uint64)
+    h = ((ids % np.uint64(_SAMPLE_MOD)) * np.uint64(_SAMPLE_MULT)) % np.uint64(_SAMPLE_MOD)
+    keep_np = (h % np.uint64(100) < np.uint64(_SAMPLE_PCT)).tolist()
+    keep_sql = [
+        bool(duckdb.sql(
+            f"SELECT ((({int(i)}::UBIGINT % {_SAMPLE_MOD}) * {_SAMPLE_MULT})"
+            f" % {_SAMPLE_MOD}) % 100 < {_SAMPLE_PCT}").fetchone()[0])
+        for i in ids
+    ]
+    assert keep_np == keep_sql

@@ -174,3 +174,41 @@ def test_frontier_emission_order_property(entries):
     # single host -> heap pop order is exactly (priority desc, seq asc)
     assert got == sorted(got, key=lambda t: (-t[0], t[1]))
     assert len(got) == len(entries)
+
+
+def test_frontier_repeated_run_merge():
+    """Regression (r3 ADVICE): a host whose run list exceeds the merge cap a
+    SECOND time mixes an already-merged run (bid=-1, (2,n) idx pairs) with
+    plain runs — the old _merge_runs concatenated 1-D and 2-D idx arrays and
+    raised ValueError, killing the crawl under politeness-capped drain."""
+    cfg = CrawlConfig(per_domain_cap=1_000_000)
+    f = FrontierShard(0, cfg)
+    n = 40  # two merge cycles at the >16-runs threshold
+    for i in range(n):
+        f.push(_rows([(f"https://a/{i}", "a", i % 7, i)]))
+    w = f.next_wave(0)
+    assert len(w) == n
+    got = sorted(zip(w["priority"].to_pylist(), w["seq"].to_pylist()))
+    assert set(w["seq"].to_pylist()) == set(range(n))
+    assert got == sorted(got)
+    assert f.size() == 0
+
+
+def test_frontier_merge_after_partial_drain():
+    """Merged runs with pos>0 (partially consumed) must re-merge correctly:
+    drain a few rows under a per-host cap, then keep pushing past the merge
+    threshold again and verify emission order and no row loss."""
+    cfg = CrawlConfig(per_domain_cap=3)
+    f = FrontierShard(0, cfg)
+    for i in range(20):
+        f.push(_rows([(f"https://a/{i}", "a", 0, i)]))
+    w0 = f.next_wave(0)
+    assert w0["seq"].to_pylist() == [0, 1, 2]
+    for i in range(20, 40):
+        f.push(_rows([(f"https://a/{i}", "a", 0, i)]))
+    seqs = []
+    wave = 1
+    while f.size():
+        seqs.extend(f.next_wave(wave)["seq"].to_pylist())
+        wave += 1
+    assert seqs == list(range(3, 40))
