@@ -237,93 +237,278 @@ WHERE jaccard >= {_JACCARD_TAU}
 """
 
 
+_EMPTY_PAIRS = {"doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64())}
+
+
+@ray.remote
+def _read_set_bucket(bucket_dir: str, need: np.ndarray) -> dict[int, np.ndarray]:
+    """Gather one scratch bucket's shingle sets restricted to ``need`` ids.
+    Runs as a task so the (bucket-pruned) parquet read + filter is off the
+    driver; returns only the chunk's O(chunk) slice."""
+    import pyarrow.parquet as pq_
+    t = pq_.read_table(bucket_dir, columns=["doc_id", "sh"])
+    t = t.filter(pc.is_in(t["doc_id"], value_set=pa.array(need, type=pa.int64())))
+    return {int(i): np.asarray(sh, dtype=np.uint64)
+            for i, sh in zip(t["doc_id"].to_pylist(), t["sh"].to_pylist())}
+
+
+@ray.remote
+def _verify_pairs(a: np.ndarray, b: np.ndarray, sets: dict[int, np.ndarray],
+                  tau: float) -> pa.Table:
+    """Exact shingle-Jaccard over one slice of candidate pairs (``sets`` is
+    the chunk's broadcast lookup, auto-dereferenced by Ray)."""
+    ja = np.empty(len(a))
+    for k in range(len(a)):
+        sa, sb = sets[int(a[k])], sets[int(b[k])]
+        denom = sa.size + sb.size
+        if denom == 0:
+            ja[k] = 0.0
+            continue
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        ja[k] = inter / (denom - inter)
+    ja = _round4(ja)
+    keep = ja >= tau
+    return pa.table({"doc_a": pa.array(a[keep], type=pa.int64()),
+                     "doc_b": pa.array(b[keep], type=pa.int64()),
+                     "jaccard": pa.array(ja[keep], type=pa.float64())})
+
+
 def q_minhash_lsh_neardup(sf_dir: str, tau: float = 0.5, n_perm: int = 64,
-                          n_bands: int = 16, max_bucket: int = 200):
+                          n_bands: int = 16, max_bucket: int = 200,
+                          chunk_pairs: int = 65536, n_set_buckets: int = 16,
+                          verify_slice: int = 8192):
     """MinHash+LSH near-duplicate pairs over ALL documents (the scale path:
     3-word shingle -> minhash -> band -> bucket groupby -> candidate pairs
     -> exact-Jaccard verify). Word shingles (not unigram sets) keep the LSH
     selective on the bag-of-words-similar testdata. Buckets larger than
     ``max_bucket`` are skipped (standard df-cutoff: an ultra-hot bucket is
     all-pairs in disguise). Rows-only (no SQL oracle); recall vs exact
-    shingle-Jaccard is pinned in tests/test_training.py."""
+    shingle-Jaccard is pinned in tests/test_training.py.
+
+    BOUNDED-MEMORY verification (round 3, VERDICT item 1): nothing
+    proportional to the candidate count lives on the driver or in a single
+    object-store value.
+
+    1. Shingle sets are computed ONCE in a streaming pass and written to a
+       doc_id-hash-bucketed scratch parquet layout (same convention as the
+       corpus fetch-join, sources/corpus.py) — no recompute per chunk, and
+       chunk gathers read only the buckets they touch.
+    2. Candidate pairs are deduplicated DISTRIBUTED (groupby aggregate on
+       (doc_a, doc_b) — duplicates across bands never reach the driver).
+    3. The driver then streams candidates in fixed-size chunks
+       (``iter_batches(chunk_pairs)``): per chunk it gathers only that
+       chunk's shingle sets from the bucketed layout (tasks), broadcasts
+       the O(chunk) lookup once, verifies in parallel slices, and appends
+       only the surviving pairs (O(output)).
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    import pyarrow.parquet as pq_
+
     ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
 
+    scratch = tempfile.mkdtemp(prefix="lsh_sets_", dir="/tmp")
+    for b in range(n_set_buckets):
+        os.makedirs(os.path.join(scratch, f"bucket={b}"), exist_ok=True)
+
     def sig_bands(t: pa.Table) -> pa.Table:
+        ids64 = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         sets = [shingle_hash_set(s) for s in t["text"].to_pylist()]
+        # side-effect: persist this block's shingle sets into the bucketed
+        # scratch layout (ONE corpus read computes signatures AND sets; the
+        # downstream groupby is a barrier, so every write completes before
+        # the first candidate chunk is gathered)
+        bkt = (ids64 % n_set_buckets).astype(np.int32)
+        sh_col = pa.array([s.tolist() for s in sets], type=pa.list_(pa.uint64()))
+        st = pa.table({"doc_id": pa.array(ids64), "sh": sh_col})
+        for b in np.unique(bkt):
+            sub = st.filter(pa.array(bkt == b))
+            pq_.write_table(sub, os.path.join(
+                scratch, f"bucket={int(b)}", f"{uuid.uuid4().hex}.parquet"))
         sigs = minhash_many(sets, n_perm=n_perm)
         keys = band_keys(sigs, n_bands=n_bands)
         n, bcount = keys.shape
-        ids = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64), bcount)
+        # salted partition key: ~256 coarse groups instead of one Ray Data
+        # group PER (band,key) bucket — per-group dispatch overhead was the
+        # measured hot spot; bucket boundaries are recovered vectorized
+        # inside each partition
+        gkey = ((keys.ravel() * np.uint64(0x9E3779B97F4A7C15))
+                >> np.uint64(56)).astype(np.int32)
         return pa.table({
             "band": pa.array(np.tile(np.arange(bcount, dtype=np.int32), n)),
             "key": pa.array(keys.ravel(), type=pa.uint64()),
-            "doc_id": pa.array(ids, type=pa.int64()),
+            "doc_id": pa.array(np.repeat(ids64, bcount)),
+            "gkey": pa.array(gkey),
         })
 
     bands = ds.map_batches(sig_bands, batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        d = np.unique(g["doc_id"].to_numpy())
-        if len(d) < 2 or len(d) > max_bucket:
+    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """All candidate pairs of one salted partition: vectorized (band,key)
+        boundary detection, then triu pairs per real bucket."""
+        band = g["band"].to_numpy()
+        key = g["key"].to_numpy()
+        doc = g["doc_id"].to_numpy()
+        order = np.lexsort((doc, key, band))
+        band, key, doc = band[order], key[order], doc[order]
+        new = np.empty(len(band), dtype=bool)
+        new[0] = True
+        new[1:] = (band[1:] != band[:-1]) | (key[1:] != key[:-1])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(band))
+        outs_a, outs_b = [], []
+        for lo, hi in zip(starts, ends):
+            n_d = hi - lo
+            if n_d < 2 or n_d > max_bucket:
+                continue
+            d = doc[lo:hi]
+            ii, jj = np.triu_indices(n_d, k=1)
+            outs_a.append(d[ii])
+            outs_b.append(d[jj])
+        if not outs_a:
             return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
                                  "doc_b": pd.Series(dtype=np.int64)})
-        ii, jj = np.triu_indices(len(d), k=1)
-        return pd.DataFrame({"doc_a": d[ii].astype(np.int64),
-                             "doc_b": d[jj].astype(np.int64)})
+        return pd.DataFrame({"doc_a": np.concatenate(outs_a).astype(np.int64),
+                             "doc_b": np.concatenate(outs_b).astype(np.int64)})
 
-    cand = bands.groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pandas")
+    cand = bands.groupby("gkey").map_groups(partition_pairs, batch_format="pandas")
+    # distributed pair dedup (duplicates across bands never reach the driver)
+    from ray.data.aggregate import Count
+    dedup = cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_nb"))
 
-    # Verify candidates with exact shingle-Jaccard via SEMI-JOIN REDUCTION
-    # (round 2, VERDICT item 5): no O(corpus) driver state. Candidates (the
-    # verification working set, << corpus) collect driver-side; their doc-id
-    # set broadcasts to a single streaming pass over the documents table
-    # that extracts ONLY the needed shingle sets (gather join against the
-    # distributed table); verification itself runs distributed over the
-    # candidate pairs with that O(candidates) lookup broadcast. At 1e10
-    # docs the same shape runs per candidate chunk.
-    cand_df = cand.to_pandas().drop_duplicates(ignore_index=True)
-    if len(cand_df) == 0:
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    need = np.unique(np.concatenate([cand_df["doc_a"].to_numpy(),
-                                     cand_df["doc_b"].to_numpy()]))
-    need_ref = ray.put(pa.array(need, type=pa.int64()))
+    try:
+        parts: list[pa.Table] = []
+        for chunk in dedup.iter_batches(batch_size=chunk_pairs, batch_format="pyarrow"):
+            a = chunk["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = chunk["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            need = np.unique(np.concatenate([a, b]))
+            need_ref = ray.put(need)
+            sets: dict[int, np.ndarray] = {}
+            for d in ray.get([_read_set_bucket.remote(
+                    os.path.join(scratch, f"bucket={int(k)}"), need_ref)
+                    for k in np.unique(need % n_set_buckets)]):
+                sets.update(d)
+            sets_ref = ray.put(sets)
+            futs = [_verify_pairs.remote(a[lo:lo + verify_slice],
+                                         b[lo:lo + verify_slice], sets_ref, tau)
+                    for lo in range(0, len(a), verify_slice)]
+            parts.extend(t for t in ray.get(futs) if len(t))
+            del sets_ref, sets
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
 
-    def needed_sets(t: pa.Table) -> pa.Table:
-        ids = ray.get(need_ref) if isinstance(need_ref, ray.ObjectRef) else need_ref
-        t = t.filter(pc.is_in(pc.cast(t["doc_id"], pa.int64()), value_set=ids))
-        sets = [shingle_hash_set(s).tolist() for s in t["text"].to_pylist()]
-        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
-                         "sh": pa.array(sets, type=pa.list_(pa.uint64()))})
+    if not parts:
+        return pa.table(_EMPTY_PAIRS)
+    return pa.concat_tables(parts).sort_by([("doc_a", "ascending"),
+                                            ("doc_b", "ascending")])
 
-    sh_tab = pa.concat_tables(
-        list(ds.map_batches(needed_sets, batch_format="pyarrow")
-               .iter_batches(batch_size=None, batch_format="pyarrow")))
-    sets_ref = ray.put({int(i): np.asarray(sh, dtype=np.uint64)
-                        for i, sh in zip(sh_tab["doc_id"].to_pylist(),
-                                         sh_tab["sh"].to_pylist())})
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        ss = ray.get(sets_ref) if isinstance(sets_ref, ray.ObjectRef) else sets_ref
-        ja = np.empty(len(df))
-        for k, (a, b) in enumerate(zip(df["doc_a"].to_numpy(), df["doc_b"].to_numpy())):
-            sa, sb = ss[int(a)], ss[int(b)]
-            if sa.size == 0 and sb.size == 0:
-                ja[k] = 0.0
-                continue
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            ja[k] = inter / (sa.size + sb.size - inter)
-        df = df.assign(jaccard=_round4(ja))
-        return df[df["jaccard"] >= tau]
+def connected_components_keep(doc_a: np.ndarray, doc_b: np.ndarray,
+                              all_ids: np.ndarray) -> pa.Table:
+    """Collapse a near-dup pair list into clusters: every doc maps to
+    ``keep_doc`` = the MINIMUM doc_id reachable through the undirected pair
+    graph (itself for singletons). This is the final dedup step — the kept
+    corpus is ``doc_id == keep_doc``.
 
-    ver = ray.data.from_pandas(cand_df).map_batches(verify, batch_format="pandas")
-    out = ver.to_pandas().sort_values(["doc_a", "doc_b"], ignore_index=True)
-    if len(out) == 0:
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    return pa.Table.from_pandas(out, preserve_index=False)
+    Union-find with path compression over the (small) pair list. The pair
+    list of a near-dup job is O(output), orders of magnitude below the
+    corpus; at 1e10 docs the same collapse runs as iterative min-label
+    propagation — alternating groupby-min rounds over the edge Dataset
+    (large-star/small-star, Kiveris et al. 2014) — the per-round shuffle
+    key is the same (doc -> label) shape as this in-memory version."""
+    ids = np.unique(all_ids)
+    parent = np.arange(len(ids), dtype=np.int64)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    ua = np.searchsorted(ids, doc_a)
+    ub = np.searchsorted(ids, doc_b)
+    for x, y in zip(ua, ub):
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            # union by MIN compact index == min doc_id (ids sorted)
+            if rx < ry:
+                parent[ry] = rx
+            else:
+                parent[rx] = ry
+    roots = np.array([find(int(i)) for i in range(len(ids))], dtype=np.int64)
+    keep = ids[roots]
+    sizes = np.bincount(roots, minlength=len(ids))[roots].astype(np.int64)
+    return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                     "keep_doc": pa.array(keep, type=pa.int64()),
+                     "cluster_size": pa.array(sizes, type=pa.int64())})
+
+
+def q_minhash_lsh_keep(sf_dir: str, tau: float = 0.5):
+    """The LLM-dedup deliverable: LSH near-dup pairs -> connected-components
+    collapse -> per-doc keep mapping over the WHOLE corpus (kept corpus =
+    rows where doc_id == keep_doc). Rows-only (pairs are LSH-derived);
+    the collapse itself is pinned in pytest against an independent
+    reference union-find."""
+    pairs = q_minhash_lsh_neardup(sf_dir, tau=tau)
+    all_ids = pa.concat_tables(list(
+        _pq(sf_dir, "documents", columns=["doc_id"])
+        .map_batches(lambda t: pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64())}),
+                     batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow")))["doc_id"]
+    return connected_components_keep(
+        pairs["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64),
+        pairs["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64),
+        all_ids.to_numpy(zero_copy_only=False).astype(np.int64))
+
+
+def q_neardup_cluster_keep(sf_dir: str):
+    """Oracle-checked cluster collapse: exact-Jaccard pairs on the bounded
+    subset (same definition as q_token_jaccard_pairs, SQL-replayable) ->
+    connected components -> (doc_id, keep_doc, cluster_size). The DuckDB
+    oracle replays the transitive closure with a recursive CTE."""
+    pairs = q_token_jaccard_pairs(sf_dir)
+    sub = _pq(sf_dir, "documents", columns=["doc_id"])
+
+    def ids_only(t: pa.Table) -> pa.Table:
+        d = pc.cast(t["doc_id"], pa.int64())
+        return pa.table({"doc_id": d}).filter(pc.less(d, _JACCARD_SUBSET))
+
+    all_ids = pa.concat_tables(list(
+        sub.map_batches(ids_only, batch_format="pyarrow")
+           .iter_batches(batch_size=None, batch_format="pyarrow")))["doc_id"]
+    return connected_components_keep(
+        pairs["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64),
+        pairs["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64),
+        all_ids.to_numpy(zero_copy_only=False).astype(np.int64))
+
+
+SQL_NEARDUP_CLUSTER_KEEP = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, list_distinct(regexp_extract_all(text, '\\S+')) AS toks
+  FROM documents WHERE doc_id < {_JACCARD_SUBSET}),
+pairs AS (
+  SELECT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.toks, b.toks))::DOUBLE
+        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4)
+        >= {_JACCARD_TAU}),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(d, r) AS (
+  SELECT doc_id::BIGINT, doc_id::BIGINT FROM t
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.d = e.v),
+m AS (SELECT d AS doc_id, min(r) AS keep_doc FROM reach GROUP BY d)
+SELECT m.doc_id, m.keep_doc,
+       count(*) OVER (PARTITION BY m.keep_doc)::BIGINT AS cluster_size
+FROM m
+"""
 
 
 def q_simhash64(sf_dir: str):
@@ -643,6 +828,8 @@ TRAINING_QUERIES: dict[str, tuple] = {
     "quality_score": (q_quality_score, SQL_QUALITY),
     "token_jaccard_pairs": (q_token_jaccard_pairs, SQL_JACCARD),
     "minhash_lsh_neardup": (q_minhash_lsh_neardup, None),
+    "minhash_lsh_keep": (q_minhash_lsh_keep, None),
+    "neardup_cluster_keep": (q_neardup_cluster_keep, SQL_NEARDUP_CLUSTER_KEEP),
     "simhash64": (q_simhash64, None),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN),
     "ann_ivf_topk": (q_ann_ivf_topk, None),

@@ -201,3 +201,70 @@ def test_trigram_langid_separates_real_signal(tmp_path):
     acc = sum(a == b for a, b in zip(out["lang_pred"].to_pylist(),
                                      out["lang_true"].to_pylist())) / len(out)
     assert acc > 0.95, acc
+
+
+def _ref_components(pairs, all_ids):
+    """Independent reference clustering: BFS over adjacency."""
+    from collections import defaultdict, deque
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    keep = {}
+    for start in sorted(all_ids):
+        if start in keep:
+            continue
+        comp, q = [], deque([start])
+        seen = {start}
+        while q:
+            x = q.popleft()
+            comp.append(x)
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    q.append(y)
+        m = min(comp)
+        for x in comp:
+            keep[x] = (m, len(comp))
+    return keep
+
+
+def test_connected_components_keep_vs_reference():
+    from scrapy_ray.pipelines.training import connected_components_keep
+
+    rng = np.random.default_rng(11)
+    ids = np.unique(rng.integers(0, 500, size=300, dtype=np.int64))
+    n_pairs = 120
+    a = rng.choice(ids, n_pairs)
+    b = rng.choice(ids, n_pairs)
+    m = a != b
+    a, b = a[m], b[m]
+    got = connected_components_keep(a, b, ids)
+    ref = _ref_components(list(zip(a.tolist(), b.tolist())), ids.tolist())
+    for d, k, s in zip(got["doc_id"].to_pylist(), got["keep_doc"].to_pylist(),
+                       got["cluster_size"].to_pylist()):
+        assert ref[d] == (k, s), (d, k, s, ref[d])
+    assert len(got) == len(ids)
+
+
+def test_minhash_lsh_keep_collapses_corpus(ray_session):
+    """The LSH keep mapping must (a) equal an independent clustering of the
+    SAME verified pair list, (b) cover every doc, (c) leave a kept corpus
+    with no surviving verified near-dup pair."""
+    import pyarrow.parquet as pq
+
+    from scrapy_ray.pipelines.training import q_minhash_lsh_keep, q_minhash_lsh_neardup
+
+    tau = 0.5
+    pairs = q_minhash_lsh_neardup(SF, tau=tau)
+    keep = q_minhash_lsh_keep(SF, tau=tau)
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+    all_ids = sorted(t["doc_id"].to_pylist())
+    assert keep["doc_id"].to_pylist() == all_ids
+    plist = list(zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist()))
+    ref = _ref_components(plist, all_ids)
+    got = dict(zip(keep["doc_id"].to_pylist(), keep["keep_doc"].to_pylist()))
+    assert all(got[d] == ref[d][0] for d in all_ids)
+    kept = {d for d, k in got.items() if d == k}
+    assert all(not (a in kept and b in kept) for a, b in plist)
+    assert len(kept) < len(all_ids), "testdata has near-dups; some must collapse"
