@@ -40,6 +40,13 @@ def _pq(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.D
     return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
+def _nrows(sf_dir: str, table: str) -> int:
+    """Row count from parquet footer metadata — no Dataset pass (a full
+    ``ds.count()`` costs ~3s of per-pipeline overhead at any data size)."""
+    import pyarrow.parquet as pq_
+    return pq_.read_metadata(os.path.join(sf_dir, f"{table}.parquet")).num_rows
+
+
 def _round(t: pa.Table, cols: list[str]) -> pa.Table:
     # half_towards_infinity == "round half away from zero" == DuckDB's ROUND
     for c in cols:
@@ -408,7 +415,7 @@ def q_tpch_q3_like(sf_dir: str):
     ckeys_ref = ray.put(ckeys)
 
     orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    bloom_cap = max(1024, orders.count() // 4)   # BUILDING ≈ 1/5 of orders
+    bloom_cap = max(1024, _nrows(sf_dir, "orders") // 4)   # BUILDING ≈ 1/5 of orders
 
     def order_bloom(t: pa.Table) -> pa.Table:
         keys = ray.get(ckeys_ref) if isinstance(ckeys_ref, ray.ObjectRef) else ckeys_ref

@@ -18,7 +18,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Sum
 
-from scrapy_ray.pipelines.queries import _cents, _cents_np, _i64, _pq
+from scrapy_ray.pipelines.queries import _cents, _cents_np, _i64, _nrows, _pq
 
 
 # ---------------------------------------------------------------- window fn
@@ -150,18 +150,31 @@ WHERE NOT EXISTS (SELECT 1 FROM orders
 # ---------------------------------------------------------------- multi-hop dim join
 
 def q_revenue_by_region(sf_dir: str):
-    """TPC-H Q5-shaped multi-hop dimension chain, fully distributed (round-2
-    rework per VERDICT item 2): ONLY the true dims are broadcast —
-    customer→nation→region composes driver-side into a (sorted custkey
-    array, region code array) pair (customer is the largest dim, still
-    O(rows)·12 bytes). Orders — a FACT table — streams through map_batches,
-    resolving o_custkey→region via vectorized np.searchsorted; the
-    orders→lineitem join is a union + single groupby(l_orderkey) shuffle
-    (orders rows carry the region code, lineitem rows carry per-batch
-    partial revenue cents), then a tiny groupby(region). No O(fact) driver
-    state anywhere."""
+    """TPC-H Q5-shaped multi-hop dimension chain, de-unioned (round-3 rework
+    per VERDICT item 5: Dataset.union upstream of a groupby costs 6-10s of
+    fusion-breaking overhead, and the union shape shuffled BOTH fact tables
+    on l_orderkey). New shape — region-coded Bloom pushdown, mirroring
+    tpch_q3_like:
+
+    1. True dims (customer→nation→region) compose driver-side into a
+       (sorted custkey, region code) pair — broadcast once.
+    2. One streaming pass over orders builds a mergeable Bloom PER REGION
+       over its orderkeys (partial blooms per batch, OR-merged tiny).
+    3. One streaming pass over lineitem probes each row against the R
+       blooms: exactly-one-hit rows are resolved immediately (the true
+       region's bloom always hits, so a unique hit IS the answer) and
+       pre-aggregate to (r_code, revenue, n) partials in-batch; multi-hit
+       rows (Bloom false positives, ~(R-1)*fpr of rows) emit per-orderkey
+       partials instead.
+    4. The only shuffle left is a groupby over ~R + |ambiguous keys| rows;
+       ambiguous keys are then resolved EXACTLY in driver-bounded chunks
+       (each chunk = one pruned 2-column probe of orders) and folded in.
+
+    No O(fact) shuffle, no O(fact) driver state; exact output (Bloom FPs
+    are verified, never guessed)."""
     import pyarrow.parquet as pq_
-    from ray.data.aggregate import Max
+
+    from scrapy_ray.state.bloom import BloomFilter
 
     region = pq_.read_table(os.path.join(sf_dir, "region.parquet"))
     nation = pq_.read_table(os.path.join(sf_dir, "nation.parquet"))
@@ -173,51 +186,111 @@ def q_revenue_by_region(sf_dir: str):
     ccodes = np.array([r_of_n[n] for n in cust["c_nationkey"].to_pylist()], dtype=np.int64)
     order_sorted = np.argsort(ckeys, kind="stable")
     dim_ref = ray.put((ckeys[order_sorted], ccodes[order_sorted]))
+    codes = np.array(sorted(rnames), dtype=np.int64)          # all region codes
+    code_pos = {int(c): i for i, c in enumerate(codes)}
 
     orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    bloom_cap = max(1024, _nrows(sf_dir, "orders") // max(1, len(codes)))
 
-    def order_side(t: pa.Table) -> pa.Table:
+    def order_blooms(t: pa.Table) -> pa.Table:
         sk, sc = ray.get(dim_ref) if isinstance(dim_ref, ray.ObjectRef) else dim_ref
         ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        codes = sc[np.searchsorted(sk, ck)]
-        n = len(t)
-        return pa.table({"l_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
-                         "r_code": pa.array(codes, type=pa.int64()),
-                         "revenue_c": pa.array(np.zeros(n, dtype=np.int64)),
-                         "n": pa.array(np.zeros(n, dtype=np.int64))})
+        rcode = sc[np.searchsorted(sk, ck)]
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        out_c, out_w = [], []
+        for c in np.unique(rcode):
+            bf = BloomFilter(bloom_cap, 12)
+            bf.add_many(ok[rcode == c])
+            out_c.append(int(c))
+            out_w.append(bf.words.tobytes())
+        return pa.table({"r_code": pa.array(out_c, pa.int64()),
+                         "words": pa.array(out_w, pa.binary())})
+
+    blooms = [BloomFilter(bloom_cap, 12) for _ in codes]
+    for b in orders.map_batches(order_blooms, batch_format="pyarrow") \
+                   .iter_batches(batch_size=None, batch_format="pyarrow"):
+        for c, w in zip(b["r_code"].to_pylist(), b["words"].to_pylist()):
+            blooms[code_pos[c]].words |= np.frombuffer(w, dtype=np.uint64)
+    blooms_ref = ray.put(blooms)
 
     li = _pq(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def li_partial(t: pa.Table) -> pa.Table:
+        """Emit (kind=0, key=r_code) partials for bloom-resolved rows and
+        (kind=1, key=l_orderkey) partials for ambiguous (multi-hit) rows."""
+        bfs = ray.get(blooms_ref) if isinstance(blooms_ref, ray.ObjectRef) else blooms_ref
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        hits = np.stack([bf.contains_many(ok) for bf in bfs])     # (R, n)
+        nhit = hits.sum(axis=0)
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        df = pa.table({"l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
-                       "rc": _cents(rev)}).to_pandas()
-        g = df.groupby("l_orderkey").agg(revenue_c=("rc", "sum"),
-                                         n=("rc", "count")).reset_index()
-        g["r_code"] = np.int64(-1)
-        return pa.Table.from_pandas(g[["l_orderkey", "r_code", "revenue_c", "n"]],
-                                    preserve_index=False)
+        rc = _cents(rev).to_numpy(zero_copy_only=False)
+        one = nhit == 1
+        amb = nhit > 1
+        parts = []
+        if one.any():
+            code = codes[hits[:, one].argmax(axis=0)]
+            df = pd.DataFrame({"key": code, "rc": rc[one]})
+            g = df.groupby("key").agg(revenue_c=("rc", "sum"), n=("rc", "count")).reset_index()
+            g.insert(0, "kind", np.int32(0))
+            parts.append(g)
+        if amb.any():
+            df = pd.DataFrame({"key": ok[amb].astype(np.int64), "rc": rc[amb]})
+            g = df.groupby("key").agg(revenue_c=("rc", "sum"), n=("rc", "count")).reset_index()
+            g.insert(0, "kind", np.int32(1))
+            parts.append(g)
+        if not parts:
+            return pa.table({"kind": pa.array([], pa.int32()), "key": pa.array([], pa.int64()),
+                             "revenue_c": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+        g = pd.concat(parts, ignore_index=True)
+        return pa.table({"kind": pa.array(g["kind"].to_numpy(np.int32)),
+                         "key": pa.array(g["key"].to_numpy(np.int64)),
+                         "revenue_c": pa.array(g["revenue_c"].to_numpy(np.int64)),
+                         "n": pa.array(g["n"].to_numpy(np.int64))})
 
-    both = orders.map_batches(order_side, batch_format="pyarrow").union(
-        li.map_batches(li_partial, batch_format="pyarrow"))
-    per_order = both.groupby("l_orderkey").aggregate(
-        Max("r_code", alias_name="r_code"), Sum("revenue_c", alias_name="revenue_c"),
-        Sum("n", alias_name="n"))
+    agg = (li.map_batches(li_partial, batch_format="pyarrow")
+             .groupby(["kind", "key"]).aggregate(
+                 Sum("revenue_c", alias_name="revenue_c"), Sum("n", alias_name="n")))
 
-    names_ref = rnames  # tiny dict, captured by value in the closure
+    rev_of = {int(c): 0 for c in codes}
+    n_of = {int(c): 0 for c in codes}
+    amb_keys: list[int] = []
+    amb_rev: dict[int, tuple[int, int]] = {}
+    for b in agg.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for kind, key, rv, n in zip(b["kind"].to_pylist(), b["key"].to_pylist(),
+                                    b["revenue_c"].to_pylist(), b["n"].to_pylist()):
+            if kind == 0:
+                rev_of[key] += rv
+                n_of[key] += n
+            else:
+                amb_keys.append(key)
+                amb_rev[key] = (rv, n)
 
-    def to_region(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.and_(pc.greater_equal(t["r_code"], 0), pc.greater(t["n"], 0)))
-        df = pa.table({"r_code": t["r_code"], "revenue_c": t["revenue_c"],
-                       "n": t["n"]}).to_pandas()
-        g = df.groupby("r_code").agg(revenue_c=("revenue_c", "sum"),
-                                     n=("n", "sum")).reset_index()
-        g["r_name"] = [names_ref[c] for c in g["r_code"]]
-        return pa.Table.from_pandas(g[["r_name", "revenue_c", "n"]], preserve_index=False)
+    # exact resolution of Bloom-ambiguous orderkeys, chunked probes
+    for lo in range(0, len(amb_keys), 65536):
+        chunk = pa.array(amb_keys[lo:lo + 65536], type=pa.int64())
+        chunk_ref = ray.put(chunk)
 
-    out = per_order.map_batches(to_region, batch_format="pyarrow").groupby("r_name").aggregate(
-        Sum("revenue_c", alias_name="revenue_c"), Sum("n", alias_name="n"))
-    return _i64(pa.Table.from_pandas(out.to_pandas()), ["revenue_c", "n"])
+        def probe(t: pa.Table) -> pa.Table:
+            ks = ray.get(chunk_ref) if isinstance(chunk_ref, ray.ObjectRef) else chunk_ref
+            sk, sc = ray.get(dim_ref) if isinstance(dim_ref, ray.ObjectRef) else dim_ref
+            t = t.filter(pc.is_in(pc.cast(t["o_orderkey"], pa.int64()), value_set=ks))
+            ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"key": pc.cast(t["o_orderkey"], pa.int64()),
+                             "r_code": pa.array(sc[np.searchsorted(sk, ck)], pa.int64())})
+
+        for b in orders.map_batches(probe, batch_format="pyarrow") \
+                       .iter_batches(batch_size=None, batch_format="pyarrow"):
+            for key, c in zip(b["key"].to_pylist(), b["r_code"].to_pylist()):
+                rv, n = amb_rev[key]
+                rev_of[c] += rv
+                n_of[c] += n
+
+    out_names = [rnames[int(c)] for c in codes if n_of[int(c)] > 0]
+    return pa.table({
+        "r_name": pa.array(out_names, pa.string()),
+        "revenue_c": pa.array([rev_of[int(c)] for c in codes if n_of[int(c)] > 0], pa.int64()),
+        "n": pa.array([n_of[int(c)] for c in codes if n_of[int(c)] > 0], pa.int64()),
+    })
 
 
 SQL_REGION = """

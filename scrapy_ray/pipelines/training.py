@@ -721,58 +721,91 @@ FROM embeddings GROUP BY label
 
 # ---------------------------------------------------------------- lang-id (actor pool)
 
-class TrigramLangId:
-    """Stateful lang-id stage: char-trigram profiles per language are built
-    ONCE per actor in __init__ (the load-model-per-actor pattern, SURVEY
-    §7.2); __call__ scores batches vectorized. Profiles are trained on the
-    deterministic doc_id%10<3 slice of the same table."""
+_LANGID_BUCKETS = 1 << 12
 
-    BUCKETS = 1 << 12
 
-    def __init__(self, sf_dir: str):
-        import pyarrow.parquet as pq_
+def _trigram_matrix(texts: list[str], buckets: int = _LANGID_BUCKETS) -> np.ndarray:
+    """(n_texts, buckets) trigram count matrix — ONE hash64 call over every
+    trigram of every row plus a single scatter-add."""
+    tgs: list[str] = []
+    counts: list[int] = []
+    for text in texts:
+        k = max(0, len(text) - 2)
+        tgs.extend(text[j:j + 3] for j in range(k))
+        counts.append(k)
+    M = np.zeros((len(texts), buckets))
+    if tgs:
+        row_idx = np.repeat(np.arange(len(texts)), counts)
+        h = (hash64(tgs) % np.uint64(buckets)).astype(np.int64)
+        np.add.at(M, (row_idx, h), 1.0)
+    return M
 
-        t = pq_.read_table(os.path.join(sf_dir, "documents.parquet"),
-                           columns=["doc_id", "text", "lang"])
+
+def train_trigram_profiles(sf_dir: str) -> tuple[list[str], np.ndarray]:
+    """Train the lang-id model with ONE distributed pass over the
+    deterministic doc_id%10<3 slice (round 3, VERDICT item 4: previously
+    every actor re-read the whole table — O(corpus x actors) read
+    amplification). Each batch contributes a per-lang partial trigram-count
+    matrix; the driver merges only (n_langs x buckets) partials and
+    normalizes — the classic partial+final aggregate shape."""
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        train = t.filter(pa.array(ids % 10 < 3))
-        M = self._matrix(train["text"].to_pylist())
-        langs_col = np.asarray(train["lang"].to_pylist(), dtype=object)
-        self.langs = sorted(set(langs_col))
-        P = np.stack([M[langs_col == lang].sum(axis=0) for lang in self.langs])
-        norm = np.linalg.norm(P, axis=1, keepdims=True)
-        self.P = P / np.maximum(norm, 1e-12)
+        t = t.filter(pa.array(ids % 10 < 3))
+        if len(t) == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "counts": pa.array([], pa.list_(pa.float64()))})
+        M = _trigram_matrix(t["text"].to_pylist())
+        langs_col = np.asarray(t["lang"].to_pylist(), dtype=object)
+        uniq = sorted(set(langs_col))
+        rows = [M[langs_col == lang].sum(axis=0).tolist() for lang in uniq]
+        return pa.table({"lang": pa.array(uniq, pa.string()),
+                         "counts": pa.array(rows, pa.list_(pa.float64()))})
 
-    def _matrix(self, texts: list[str]) -> np.ndarray:
-        """(n_texts, BUCKETS) trigram count matrix — ONE hash64 call over
-        every trigram of every row plus a single scatter-add (round 2:
-        replaces the per-row python scoring loop)."""
-        tgs: list[str] = []
-        counts: list[int] = []
-        for text in texts:
-            k = max(0, len(text) - 2)
-            tgs.extend(text[j:j + 3] for j in range(k))
-            counts.append(k)
-        M = np.zeros((len(texts), self.BUCKETS))
-        if tgs:
-            row_idx = np.repeat(np.arange(len(texts)), counts)
-            h = (hash64(tgs) % np.uint64(self.BUCKETS)).astype(np.int64)
-            np.add.at(M, (row_idx, h), 1.0)
-        return M
+    acc: dict[str, np.ndarray] = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"):
+        for lang, cnts in zip(b["lang"].to_pylist(), b["counts"].to_pylist()):
+            v = np.asarray(cnts)
+            acc[lang] = acc.get(lang, 0) + v
+    langs = sorted(acc)
+    P = np.stack([acc[lang] for lang in langs])
+    P = P / np.maximum(np.linalg.norm(P, axis=1, keepdims=True), 1e-12)
+    return langs, P
+
+
+class TrigramLangId:
+    """Stateful lang-id scoring stage (the load-model-per-actor pattern,
+    SURVEY §7.2): the broadcast (langs, P) profile matrix is fetched ONCE
+    per actor in __init__ from the object store; __call__ scores batches
+    vectorized. Training happens once, outside the pool
+    (train_trigram_profiles)."""
+
+    def __init__(self, profiles):
+        if isinstance(profiles, ray.ObjectRef):
+            profiles = ray.get(profiles)
+        self.langs, self.P = profiles
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        M = self._matrix(t["text"].to_pylist())
+        M = _trigram_matrix(t["text"].to_pylist())
         norms = np.linalg.norm(M, axis=1, keepdims=True)
         sims = (M / np.maximum(norms, 1e-12)) @ self.P.T   # (n, n_langs)
         preds = [self.langs[i] for i in sims.argmax(axis=1)]
+        correct = (np.asarray(preds, dtype=object)
+                   == np.asarray(t["lang"].to_pylist(), dtype=object))
         return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
                          "lang_pred": pa.array(preds, type=pa.string()),
-                         "lang_true": t["lang"]})
+                         "lang_true": t["lang"],
+                         "correct": pa.array(correct.astype(np.int64), type=pa.int64())})
 
 
 def q_lang_id_trigram(sf_dir: str):
-    """Language-ID over documents via a TrigramLangId actor pool. Rows-only
-    (model scoring is not SQL-expressible); determinism pinned in pytest.
+    """Language-ID over documents: one distributed training pass -> ray.put
+    broadcast of the profile matrix -> TrigramLangId actor pool scoring.
+    Rows-only (model scoring is not SQL-expressible); determinism pinned in
+    pytest; the ``correct`` column makes accuracy-vs-label driver-visible
+    (sum(correct)/rows is the accuracy aggregate, VERDICT r2 item 7).
 
     Honesty note: the synthetic ``documents.text`` is the same English-ish
     token soup for every ``lang`` label, so accuracy on THIS table is chance
@@ -780,10 +813,11 @@ def q_lang_id_trigram(sf_dir: str):
     mechanics. The classifier itself separates genuinely distinct character
     distributions at >0.95 (tests/test_training.py
     test_trigram_langid_separates_real_signal)."""
+    profiles_ref = ray.put(train_trigram_profiles(sf_dir))
     ds = _pq(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     return pa.Table.from_pandas(
         ds.map_batches(TrigramLangId, batch_format="pyarrow", batch_size=1024,
-                       concurrency=2, fn_constructor_args=(sf_dir,)).to_pandas(),
+                       concurrency=2, fn_constructor_args=(profiles_ref,)).to_pandas(),
         preserve_index=False)
 
 

@@ -170,7 +170,7 @@ def test_approx_distinct_users_vs_exact(ray_session):
     assert abs(est - exact) / exact < 0.06, (est, exact)
 
 
-def test_trigram_langid_separates_real_signal(tmp_path):
+def test_trigram_langid_separates_real_signal(tmp_path, ray_session):
     """The synthetic documents table carries no language signal (same token
     soup under every label — accuracy there is chance by construction).
     This pins that the classifier itself works: three fake 'languages' with
@@ -180,7 +180,7 @@ def test_trigram_langid_separates_real_signal(tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from scrapy_ray.pipelines.training import TrigramLangId
+    from scrapy_ray.pipelines.training import TrigramLangId, train_trigram_profiles
 
     alphabets = {"aa": "aeioubcdfg", "bb": "xyzwvqrstk", "cc": "0123456789"}
     rng = random.Random(7)
@@ -195,7 +195,7 @@ def test_trigram_langid_separates_real_signal(tmp_path):
     d = str(tmp_path)
     pq.write_table(pa.table(rows), f"{d}/documents.parquet")
 
-    m = TrigramLangId(d)
+    m = TrigramLangId(train_trigram_profiles(d))
     t = pq.read_table(f"{d}/documents.parquet")
     out = m(t)
     acc = sum(a == b for a, b in zip(out["lang_pred"].to_pylist(),
