@@ -388,20 +388,16 @@ GROUP BY p_brand
 
 
 def q_tpch_q3_like(sf_dir: str):
-    """3-way join + groupby + top-k, fully distributed (round-2 rework per
-    VERDICT item 3): only the TRUE dim (customer segment keys) is broadcast;
-    orders (a fact table) is NOT collected driver-side. The orders→lineitem
-    semi-join is a union + single groupby(l_orderkey) shuffle: orders rows
-    arrive tagged is_order=1, lineitem rows carry per-batch partial revenue;
-    groups without an orders row (non-BUILDING) or without lineitem rows are
-    dropped after the aggregate — exact inner-join semantics, no O(fact)
-    driver state.
-
-    Bloom-filter join pushdown: per-batch partial Blooms over the BUILDING
-    orderkeys (fixed-size bitmaps) OR-merge into one small filter that
-    pre-prunes lineitem BEFORE the shuffle (~5x less exchange volume);
-    Bloom false positives are corrected exactly by the is_order check after
-    the aggregate."""
+    """3-way join + groupby + top-k via Bloom semi-join pushdown, fully
+    distributed: only the TRUE dim (customer segment keys) is broadcast;
+    orders (a fact table) is NOT collected driver-side. One streaming pass
+    over orders builds mergeable partial Blooms over the BUILDING orderkeys
+    (OR-merged into one small filter); the Bloom pre-prunes lineitem BEFORE
+    the groupby(l_orderkey) shuffle (~5x less exchange volume). Per-block
+    partial top-k bounds the driver merge, and Bloom false positives are
+    removed by EXACT chunked verification probes of orders down the revenue
+    order until the top 10 are confirmed — never an O(fact) driver
+    structure."""
     import pyarrow.parquet as pq_
 
     from scrapy_ray.state.bloom import BloomFilter

@@ -389,10 +389,23 @@ def q_embedding_neardup_lsh(sf_dir: str, n_tables: int = 16, n_planes: int = 3):
 
     rng = np.random.default_rng(11)
     t0 = pq_.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                        columns=["embedding"])
+                        columns=["vec_id", "embedding"])
     dim = len(t0["embedding"][0])
     planes = rng.standard_normal((n_tables, dim, n_planes))
     p_ref = ray.put(planes)
+
+    # SLIM SHUFFLE (round 3, VERDICT item 6): only (table, bucket, vec_id)
+    # — 20 bytes/row — moves through the exchange; the old shape replicated
+    # the 512-byte embedding x n_tables copies (~26x more bytes). Vectors
+    # are reconstructed inside the bucket stage from a broadcast
+    # (sorted vec_id, normalized matrix) lookup — small side today; at
+    # corpus scale the same stage gathers per-bucket from a vec_id-bucketed
+    # layout (build_ivf_layout's convention) instead of a broadcast.
+    vids_all = t0["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    E_all = np.stack(t0["embedding"].to_pylist()).astype(np.float64)
+    order = np.argsort(vids_all, kind="stable")
+    En_all = E_all[order] / np.linalg.norm(E_all[order], axis=1, keepdims=True)
+    emb_ref = ray.put((vids_all[order], En_all))
 
     ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
@@ -400,21 +413,19 @@ def q_embedding_neardup_lsh(sf_dir: str, n_tables: int = 16, n_planes: int = 3):
         P = ray.get(p_ref) if isinstance(p_ref, ray.ObjectRef) else p_ref
         E = np.stack(tt["embedding"].to_pylist()).astype(np.float64)
         En = E / np.linalg.norm(E, axis=1, keepdims=True)
-        tabs, keys, vids, embs = [], [], [], []
-        vid = pc.cast(tt["vec_id"], pa.int64()).to_pylist()
+        vid = pc.cast(tt["vec_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(En)
+        keys = np.empty((P.shape[0], n), dtype=np.uint64)
         for tab in range(P.shape[0]):
             sig = ((En @ P[tab]) > 0).astype(np.uint64)
-            key = np.zeros(len(En), dtype=np.uint64)
+            key = np.zeros(n, dtype=np.uint64)
             for b in range(sig.shape[1]):
                 key = (key << np.uint64(1)) | sig[:, b]
-            tabs.extend([tab] * len(En))
-            keys.extend(key.tolist())
-            vids.extend(vid)
-            embs.extend(tt["embedding"].to_pylist())
-        return pa.table({"table": pa.array(tabs, type=pa.int32()),
-                         "bucket": pa.array(keys, type=pa.uint64()),
-                         "vec_id": pa.array(vids, type=pa.int64()),
-                         "embedding": pa.array(embs, type=tt["embedding"].type)})
+            keys[tab] = key
+        return pa.table({
+            "table": pa.array(np.repeat(np.arange(P.shape[0], dtype=np.int32), n)),
+            "bucket": pa.array(keys.ravel(), type=pa.uint64()),
+            "vec_id": pa.array(np.tile(vid, P.shape[0]), type=pa.int64())})
 
     bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
 
@@ -423,9 +434,9 @@ def q_embedding_neardup_lsh(sf_dir: str, n_tables: int = 16, n_planes: int = 3):
             return pd.DataFrame({"vec_a": pd.Series(dtype=np.int64),
                                  "vec_b": pd.Series(dtype=np.int64),
                                  "cos_sim": pd.Series(dtype=np.float64)})
+        sk, Em = ray.get(emb_ref) if isinstance(emb_ref, ray.ObjectRef) else emb_ref
         ids = g["vec_id"].to_numpy()
-        E = np.stack(g["embedding"].to_numpy()).astype(np.float64)
-        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        En = Em[np.searchsorted(sk, ids)]
         S = En @ En.T
         sims = np.sign(S) * np.floor(np.abs(S) * 1e4 + 0.5) / 1e4
         ii, jj = np.triu_indices(len(ids), k=1)
@@ -441,6 +452,27 @@ def q_embedding_neardup_lsh(sf_dir: str, n_tables: int = 16, n_planes: int = 3):
                                 preserve_index=False)
 
 
+def q_embedding_lsh_recall(sf_dir: str):
+    """Driver-visible LSH quality (round 3, VERDICT item 7): recall and
+    false-positive count of the hyperplane-LSH pair set against the exact
+    brute-force pair set, computed in-pipeline; the pytest bars (recall
+    >= 0.8, zero false positives) are asserted HERE so a silent quality
+    regression fails the query itself."""
+    bf = q_embedding_neardup(sf_dir)
+    lsh = q_embedding_neardup_lsh(sf_dir)
+    bf_pairs = set(zip(bf["vec_a"].to_pylist(), bf["vec_b"].to_pylist()))
+    lsh_pairs = set(zip(lsh["vec_a"].to_pylist(), lsh["vec_b"].to_pylist()))
+    fp = len(lsh_pairs - bf_pairs)
+    recall = len(lsh_pairs & bf_pairs) / max(1, len(bf_pairs))
+    assert fp == 0, f"LSH emitted unverified pairs: {fp}"
+    assert recall >= 0.8, f"LSH recall collapsed: {recall}"
+    r4 = np.sign(recall) * np.floor(abs(recall) * 1e4 + 0.5) / 1e4
+    return pa.table({"n_true_pairs": pa.array([len(bf_pairs)], pa.int64()),
+                     "n_lsh_pairs": pa.array([len(lsh_pairs)], pa.int64()),
+                     "n_false_pos": pa.array([fp], pa.int64()),
+                     "recall": pa.array([float(r4)], pa.float64())})
+
+
 QUERIES2: dict[str, tuple] = {
     "window_running_sum": (q_window_running_sum, SQL_WINDOW),
     "case_bucket_orders": (q_case_bucket_orders, SQL_CASE),
@@ -450,6 +482,7 @@ QUERIES2: dict[str, tuple] = {
     "heavy_users_having": (q_heavy_users_having, SQL_HAVING),
     "embedding_neardup": (q_embedding_neardup, SQL_EMB_ND),
     "embedding_neardup_lsh": (q_embedding_neardup_lsh, None),
+    "embedding_lsh_recall": (q_embedding_lsh_recall, None),
 }
 
 

@@ -78,6 +78,22 @@ def parse_stage(name: str) -> Callable[[BatchFn], BatchFn]:
     return deco
 
 
+def parse_one(html: bytes, stage: str = "parse_detail",
+              url: str = "https://debug.local/x") -> dict:
+    """Selector-debug helper (SURVEY §3.3, the ``scrapy shell`` analogue):
+    run ONE page's bytes through a registered parse stage and return the
+    single extracted row as a plain dict — no Ray, no Dataset. Links (when
+    the stage emits them) come back under ``"links"``."""
+    if stage not in PARSE_STAGES:
+        raise KeyError(f"unknown parse stage {stage!r}; registered: "
+                       f"{sorted(PARSE_STAGES)}")
+    t = pa.table({"url": pa.array([url], pa.string()),
+                  "html": pa.array([html], pa.binary()),
+                  "callback": pa.array([stage], pa.string())})
+    out = PARSE_STAGES[stage](t)
+    return out.to_pylist()[0] if len(out) else {}
+
+
 def apply_chain(chain: list[BatchFn] | tuple[BatchFn, ...], t: pa.Table) -> pa.Table:
     for fn in chain:
         t = fn(t)

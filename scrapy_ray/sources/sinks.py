@@ -1,9 +1,15 @@
 """Feed exports (SURVEY.md §2.1 S5) — the FeedExporter surface
-([S:scrapy/exporters.py JSON/JSON-lines/CSV], [S:scrapy/extensions/
-feedexport.py]) as Ray Data sinks. Parquet is the primary format (partitioned
-= resumable); JSON-lines and CSV cover the reference's interchange formats."""
+([S:scrapy/exporters.py JSON/JSON-lines/CSV/XML/marshal/pickle],
+[S:scrapy/extensions/feedexport.py]) as Ray Data sinks. Parquet is the
+primary format (partitioned = resumable); JSON-lines and CSV cover the
+reference's interchange formats; XML / marshal / pickle mirror the
+remaining exporters — each is ONE feed file written by streaming batches
+through the driver (a single feed file is inherently serial, exactly the
+reference's shape; parquet is the scale path)."""
 
 from __future__ import annotations
+
+import os
 
 import pyarrow as pa
 import ray.data
@@ -11,6 +17,42 @@ import ray.data
 
 def _to_ds(items: "pa.Table | ray.data.Dataset") -> ray.data.Dataset:
     return ray.data.from_arrow(items) if isinstance(items, pa.Table) else items
+
+
+def _iter_row_dicts(items: "pa.Table | ray.data.Dataset"):
+    for b in _to_ds(items).iter_batches(batch_size=4096, batch_format="pyarrow"):
+        yield from b.to_pylist()
+
+
+def _write_xml(items, out_dir: str) -> None:
+    """[S:scrapy/exporters.py XmlItemExporter]: <items><item><f>v</f>...
+    </item></items>; list values nest as <value> elements."""
+    from xml.sax.saxutils import escape
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "items.xml"), "w", encoding="utf-8") as fh:
+        fh.write('<?xml version="1.0" encoding="utf-8"?>\n<items>\n')
+        for row in _iter_row_dicts(items):
+            fh.write("<item>")
+            for k, v in row.items():
+                if isinstance(v, list):
+                    fh.write(f"<{k}>")
+                    for x in v:
+                        fh.write(f"<value>{escape('' if x is None else str(x))}</value>")
+                    fh.write(f"</{k}>")
+                else:
+                    fh.write(f"<{k}>{escape('' if v is None else str(v))}</{k}>")
+            fh.write("</item>\n")
+        fh.write("</items>\n")
+
+
+def _write_seq(items, out_dir: str, fname: str, dump) -> None:
+    """Record-sequence feeds ([S:scrapy/exporters.py Marshal/PickleItemExporter]:
+    one dump per item, concatenated)."""
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, fname), "wb") as fh:
+        for row in _iter_row_dicts(items):
+            dump(row, fh)
 
 
 def export_items(items: "pa.Table | ray.data.Dataset", out_dir: str,
@@ -32,5 +74,17 @@ def export_items(items: "pa.Table | ray.data.Dataset", out_dir: str,
             return t
 
         _to_ds(items).map_batches(flatten, batch_format="pyarrow").write_csv(out_dir)
+    elif fmt == "xml":
+        _write_xml(items, out_dir)
+    elif fmt == "marshal":
+        import marshal
+
+        # marshal can't serialize pa timestamps etc. beyond primitives;
+        # rows here are plain str/int/float/list — matches the exporter
+        _write_seq(items, out_dir, "items.marshal", marshal.dump)
+    elif fmt == "pickle":
+        import pickle
+
+        _write_seq(items, out_dir, "items.pickle", pickle.dump)
     else:
         raise ValueError(f"unknown export format: {fmt}")

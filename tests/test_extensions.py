@@ -55,12 +55,29 @@ def test_exports(ray_session, e2e_corpus, tmp_path):
 
     cfg = CrawlConfig(n_filter_shards=2, n_frontier_shards=2, max_waves=3)
     res = run_crawl(e2e_corpus, cfg)
-    for fmt in ("parquet", "json", "csv"):
+    for fmt in ("parquet", "json", "csv", "xml", "marshal", "pickle"):
         out = str(tmp_path / fmt)
         export_items(res.items, out, fmt=fmt)
         files = os.listdir(out)
         assert files, fmt
     import pyarrow.parquet as pq
+
+    # xml round-trip sanity: well-formed, one <item> per row
+    import xml.etree.ElementTree as ET
+    tree = ET.parse(str(tmp_path / "xml" / "items.xml"))
+    assert len(tree.getroot().findall("item")) == len(res.items)
+    # pickle stream decodes to the same number of row dicts
+    import pickle
+    n = 0
+    with open(tmp_path / "pickle" / "items.pickle", "rb") as fh:
+        while True:
+            try:
+                row = pickle.load(fh)
+                assert isinstance(row, dict) and "url" in row
+                n += 1
+            except EOFError:
+                break
+    assert n == len(res.items)
 
     back = pa.concat_tables([pq.read_table(str(tmp_path / "parquet" / f))
                              for f in os.listdir(tmp_path / "parquet")])
@@ -172,3 +189,19 @@ def test_custom_page_handler_crawls_through_engine(ray_session, tmp_path):
         registry.PAGE_HANDLERS.pop("parse_cafe", None)
         registry.URL_ROUTES[:] = [(p, t) for p, t in registry.URL_ROUTES
                                   if t != "parse_cafe"]
+
+
+def test_parse_one_debug_helper():
+    """SURVEY §3.3: the scrapy-shell analogue runs one page through a
+    registered stage without Ray."""
+    from scrapy_ray.registry import parse_one
+    from scrapy_ray.sources.corpus import detail_fields, render_detail
+
+    f = detail_fields(0, "h0.example.com", 7)
+    html = render_detail("h0.example.com", f, [])
+    row = parse_one(html, "parse_detail")
+    assert row["name"] == f["name"]
+    assert row["extracted_text"]
+    import pytest as _pt
+    with _pt.raises(KeyError):
+        parse_one(b"<html></html>", "nope")

@@ -268,3 +268,39 @@ def test_minhash_lsh_keep_collapses_corpus(ray_session):
     kept = {d for d, k in got.items() if d == k}
     assert all(not (a in kept and b in kept) for a, b in plist)
     assert len(kept) < len(all_ids), "testdata has near-dups; some must collapse"
+
+
+def test_ivf_physical_layout_prunes_io(ray_session):
+    """The inverted file must exist on disk and the probe plan must read
+    strictly fewer bucket dirs than n_clusters (I/O pruning, not just
+    skipped dot products)."""
+    import os
+
+    from scrapy_ray.pipelines.training import build_ivf_layout, ivf_probe_plan
+
+    C, root = build_ivf_layout(SF)
+    n_buckets = len([d for d in os.listdir(root) if d.startswith("bucket=")])
+    assert n_buckets == len(C)
+    _C, q_ids, _Qn, probe, files = ivf_probe_plan(SF)
+    assert probe.shape == (len(q_ids), 4)
+    probed = {os.path.basename(os.path.dirname(f)) for f in files}
+    assert 0 < len(probed) < n_buckets, (len(probed), n_buckets)
+
+
+def test_ann_ivf_recall_query(ray_session):
+    from scrapy_ray.pipelines.training import q_ann_ivf_recall
+
+    t = q_ann_ivf_recall(SF)
+    rec = t["recall"].to_pylist()
+    assert len(rec) > 0
+    assert all(0.0 <= r <= 1.0 for r in rec)
+    assert float(np.mean(rec)) >= 0.5
+
+
+def test_embedding_lsh_recall_query(ray_session):
+    from scrapy_ray.pipelines.queries2 import q_embedding_lsh_recall
+
+    t = q_embedding_lsh_recall(SF)
+    assert len(t) == 1
+    assert t["n_false_pos"].to_pylist() == [0]
+    assert t["recall"].to_pylist()[0] >= 0.8
