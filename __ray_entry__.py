@@ -39,6 +39,7 @@ def _registry() -> dict[str, tuple]:
     from scrapy_ray.pipelines.queries2 import QUERIES2
     from scrapy_ray.pipelines.queries3 import QUERIES3
     from scrapy_ray.pipelines.skew import SKEW_QUERIES
+    from scrapy_ray.pipelines.textqual import TEXTQUAL_QUERIES
     from scrapy_ray.pipelines.training import TRAINING_QUERIES
 
     reg: dict[str, tuple] = {}
@@ -46,6 +47,7 @@ def _registry() -> dict[str, tuple]:
     reg.update(QUERIES2)
     reg.update(QUERIES3)
     reg.update(TRAINING_QUERIES)
+    reg.update(TEXTQUAL_QUERIES)
     reg.update(MULTIMODAL_QUERIES)
     reg.update(SKEW_QUERIES)
     reg.update(CRAWL_QUERIES)

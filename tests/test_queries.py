@@ -37,6 +37,9 @@ SUBSET = [
     "top_orders_per_segment",
     "event_type_pivot",
     "training_mix",
+    "neardup_cluster_keep",
+    "gopher_repetition",
+    "benchmark_decontaminate",
 ]
 
 
