@@ -256,8 +256,132 @@ FROM s GROUP BY lang
 """
 
 
+# ------------------------------------------------------- stratified sampling
+
+# target sampling rate (percent) per language — the "training mix" knob:
+# downsample dominant languages, keep the rest
+_STRAT_RATES = {"en": 40, "de": 80, "fr": 80, "es": 100, "zh": 100}
+_STRAT_DEFAULT = 100
+
+
+def q_stratified_sample_by_lang(sf_dir: str):
+    """Training-mix resampling: deterministic per-language hash sampling —
+    each doc kept iff hash(doc_id) lands under its language's target rate.
+    Same uint64 mod-2^32 multiplicative hash as q_hash_sample_events, so
+    the kept set is identical on any engine/partitioning; grouped counts
+    keep the oracle compact (per-lang kept vs total)."""
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((ids % np.uint64(_SAMPLE_MOD)) * np.uint64(_SAMPLE_MULT)) \
+            % np.uint64(_SAMPLE_MOD) % np.uint64(100)
+        langs = np.asarray(t["lang"].to_pylist(), dtype=object)
+        rates = np.array([_STRAT_RATES.get(x, _STRAT_DEFAULT) for x in langs],
+                         dtype=np.uint64)
+        kept = (h < rates).astype(np.int64)
+        df = pd.DataFrame({"lang": langs, "kept": kept})
+        g = df.groupby("lang").agg(n_total=("kept", "count"),
+                                   n_kept=("kept", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = ds.map_batches(f, batch_format="pyarrow").groupby("lang").aggregate(
+        Sum("n_total", alias_name="n_total"), Sum("n_kept", alias_name="n_kept"))
+    return _i64(pa.Table.from_pandas(out.to_pandas()), ["n_total", "n_kept"])
+
+
+_STRAT_CASE = " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(_STRAT_RATES.items()))
+SQL_STRATIFIED = f"""
+SELECT lang, count(*)::BIGINT AS n_total,
+       sum(CASE WHEN (((doc_id::UBIGINT % {_SAMPLE_MOD}) * {_SAMPLE_MULT})
+                 % {_SAMPLE_MOD}) % 100
+                < (CASE lang {_STRAT_CASE} ELSE {_STRAT_DEFAULT} END)
+           THEN 1 ELSE 0 END)::BIGINT AS n_kept
+FROM documents GROUP BY lang
+"""
+
+
+# ------------------------------------------------------- text normalization
+
+def q_normalize_text(sf_dir: str):
+    """Document normalization pass (the canonical-form step before exact
+    dedup): lowercase + collapse internal whitespace + trim, emitted as an
+    md5 so the oracle row stays small. Pure vectorized map (pyarrow RE2
+    kernels + hashlib)."""
+    import hashlib
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        s = pc.utf8_lower(t["text"])
+        s = pc.replace_substring_regex(s, r"\s+", " ")
+        s = pc.utf8_trim_whitespace(s)
+        hs = [hashlib.md5(x.encode()).hexdigest() for x in s.to_pylist()]
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "norm_len": pc.cast(pc.utf8_length(s), pa.int64()),
+                         "norm_md5": pa.array(hs, pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+SQL_NORMALIZE = """
+SELECT doc_id,
+       length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))::BIGINT AS norm_len,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm_md5
+FROM documents
+"""
+
+
+# ------------------------------------------------------- inverted index stats
+
+def q_token_postings_stats(sf_dir: str):
+    """Inverted-index build shape (token -> postings): per-batch partial
+    (token, df, tf) after in-batch dedup of (doc, token), then one
+    groupby(token) — exactly the shuffle an index build performs; emitting
+    (df, tf_total, min/max doc) keeps the oracle scalar. At 100 TB the same
+    pipeline writes postings lists instead of stats."""
+    from ray.data.aggregate import Max, Min
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = [s.split() for s in t["text"].to_pylist()]
+        lens = np.array([len(x) for x in toks], dtype=np.int64)
+        row = np.repeat(np.arange(len(toks)), lens)
+        flat = np.concatenate([np.asarray(x, dtype=object) for x in toks]) \
+            if len(toks) else np.array([], dtype=object)
+        df = pd.DataFrame({"doc": ids[row], "token": flat})
+        g = df.groupby(["doc", "token"]).size().reset_index(name="tf")
+        p = g.groupby("token").agg(df_=("doc", "nunique"), tf=("tf", "sum"),
+                                   dmin=("doc", "min"), dmax=("doc", "max")).reset_index()
+        return pa.table({"token": pa.array(p["token"], pa.string()),
+                         "df": pa.array(p["df_"].to_numpy(np.int64)),
+                         "tf": pa.array(p["tf"].to_numpy(np.int64)),
+                         "dmin": pa.array(p["dmin"].to_numpy(np.int64)),
+                         "dmax": pa.array(p["dmax"].to_numpy(np.int64))})
+
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby("token").aggregate(
+        Sum("df", alias_name="df"), Sum("tf", alias_name="tf"),
+        Min("dmin", alias_name="min_doc"), Max("dmax", alias_name="max_doc"))
+    return _i64(pa.Table.from_pandas(out.to_pandas()),
+                ["df", "tf", "min_doc", "max_doc"])
+
+
+SQL_POSTINGS = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents)
+SELECT token, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS tf,
+       min(doc_id)::BIGINT AS min_doc, max(doc_id)::BIGINT AS max_doc
+FROM tok GROUP BY token
+"""
+
+
 QUERIES3: dict[str, tuple] = {
     "hash_sample_events": (q_hash_sample_events, SQL_HASH_SAMPLE),
+    "stratified_sample_by_lang": (q_stratified_sample_by_lang, SQL_STRATIFIED),
+    "normalize_text": (q_normalize_text, SQL_NORMALIZE),
+    "token_postings_stats": (q_token_postings_stats, SQL_POSTINGS),
     "value_quantiles": (q_value_quantiles, SQL_QUANTILES),
     "top_orders_per_segment": (q_top_orders_per_segment, SQL_GROUP_TOPK),
     "event_type_pivot": (q_event_type_pivot, SQL_PIVOT),

@@ -40,6 +40,9 @@ SUBSET = [
     "neardup_cluster_keep",
     "gopher_repetition",
     "benchmark_decontaminate",
+    "stratified_sample_by_lang",
+    "normalize_text",
+    "token_postings_stats",
 ]
 
 
