@@ -43,6 +43,7 @@ SUBSET = [
     "stratified_sample_by_lang",
     "normalize_text",
     "token_postings_stats",
+    "volume_shipping",
 ]
 
 
