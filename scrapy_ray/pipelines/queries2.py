@@ -171,10 +171,12 @@ def q_revenue_by_region(sf_dir: str):
        (each chunk = one pruned 2-column probe of orders) and folded in.
 
     No O(fact) shuffle, no O(fact) driver state; exact output (Bloom FPs
-    are verified, never guessed)."""
+    are verified, never guessed). Built on the reusable coded-Bloom join
+    core (pipelines/bloomjoin.py — also used by volume_shipping)."""
     import pyarrow.parquet as pq_
 
-    from scrapy_ray.state.bloom import BloomFilter
+    from scrapy_ray.pipelines.bloomjoin import (build_coded_blooms, probe_codes,
+                                                resolve_exact)
 
     region = pq_.read_table(os.path.join(sf_dir, "region.parquet"))
     nation = pq_.read_table(os.path.join(sf_dir, "nation.parquet"))
@@ -187,31 +189,17 @@ def q_revenue_by_region(sf_dir: str):
     order_sorted = np.argsort(ckeys, kind="stable")
     dim_ref = ray.put((ckeys[order_sorted], ccodes[order_sorted]))
     codes = np.array(sorted(rnames), dtype=np.int64)          # all region codes
-    code_pos = {int(c): i for i, c in enumerate(codes)}
 
     orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    bloom_cap = max(1024, _nrows(sf_dir, "orders") // max(1, len(codes)))
 
-    def order_blooms(t: pa.Table) -> pa.Table:
+    def order_code(t: pa.Table) -> np.ndarray:
         sk, sc = ray.get(dim_ref) if isinstance(dim_ref, ray.ObjectRef) else dim_ref
         ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        rcode = sc[np.searchsorted(sk, ck)]
-        ok = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        out_c, out_w = [], []
-        for c in np.unique(rcode):
-            bf = BloomFilter(bloom_cap, 12)
-            bf.add_many(ok[rcode == c])
-            out_c.append(int(c))
-            out_w.append(bf.words.tobytes())
-        return pa.table({"r_code": pa.array(out_c, pa.int64()),
-                         "words": pa.array(out_w, pa.binary())})
+        return sc[np.searchsorted(sk, ck)]
 
-    blooms = [BloomFilter(bloom_cap, 12) for _ in codes]
-    for b in orders.map_batches(order_blooms, batch_format="pyarrow") \
-                   .iter_batches(batch_size=None, batch_format="pyarrow"):
-        for c, w in zip(b["r_code"].to_pylist(), b["words"].to_pylist()):
-            blooms[code_pos[c]].words |= np.frombuffer(w, dtype=np.uint64)
-    blooms_ref = ray.put(blooms)
+    bloom_cap = max(1024, _nrows(sf_dir, "orders") // max(1, len(codes)))
+    blooms_ref = ray.put(build_coded_blooms(orders, "o_orderkey", order_code,
+                                            codes, bloom_cap))
 
     li = _pq(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
@@ -219,22 +207,18 @@ def q_revenue_by_region(sf_dir: str):
         """Emit (kind=0, key=r_code) partials for bloom-resolved rows and
         (kind=1, key=l_orderkey) partials for ambiguous (multi-hit) rows."""
         bfs = ray.get(blooms_ref) if isinstance(blooms_ref, ray.ObjectRef) else blooms_ref
-        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        hits = np.stack([bf.contains_many(ok) for bf in bfs])     # (R, n)
-        nhit = hits.sum(axis=0)
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        one, code, amb = probe_codes(bfs, codes, ok)
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
         rc = _cents(rev).to_numpy(zero_copy_only=False)
-        one = nhit == 1
-        amb = nhit > 1
         parts = []
         if one.any():
-            code = codes[hits[:, one].argmax(axis=0)]
-            df = pd.DataFrame({"key": code, "rc": rc[one]})
+            df = pd.DataFrame({"key": code[one], "rc": rc[one]})
             g = df.groupby("key").agg(revenue_c=("rc", "sum"), n=("rc", "count")).reset_index()
             g.insert(0, "kind", np.int32(0))
             parts.append(g)
         if amb.any():
-            df = pd.DataFrame({"key": ok[amb].astype(np.int64), "rc": rc[amb]})
+            df = pd.DataFrame({"key": ok[amb], "rc": rc[amb]})
             g = df.groupby("key").agg(revenue_c=("rc", "sum"), n=("rc", "count")).reset_index()
             g.insert(0, "kind", np.int32(1))
             parts.append(g)
@@ -253,7 +237,6 @@ def q_revenue_by_region(sf_dir: str):
 
     rev_of = {int(c): 0 for c in codes}
     n_of = {int(c): 0 for c in codes}
-    amb_keys: list[int] = []
     amb_rev: dict[int, tuple[int, int]] = {}
     for b in agg.iter_batches(batch_size=None, batch_format="pyarrow"):
         for kind, key, rv, n in zip(b["kind"].to_pylist(), b["key"].to_pylist(),
@@ -262,28 +245,14 @@ def q_revenue_by_region(sf_dir: str):
                 rev_of[key] += rv
                 n_of[key] += n
             else:
-                amb_keys.append(key)
                 amb_rev[key] = (rv, n)
 
-    # exact resolution of Bloom-ambiguous orderkeys, chunked probes
-    for lo in range(0, len(amb_keys), 65536):
-        chunk = pa.array(amb_keys[lo:lo + 65536], type=pa.int64())
-        chunk_ref = ray.put(chunk)
-
-        def probe(t: pa.Table) -> pa.Table:
-            ks = ray.get(chunk_ref) if isinstance(chunk_ref, ray.ObjectRef) else chunk_ref
-            sk, sc = ray.get(dim_ref) if isinstance(dim_ref, ray.ObjectRef) else dim_ref
-            t = t.filter(pc.is_in(pc.cast(t["o_orderkey"], pa.int64()), value_set=ks))
-            ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-            return pa.table({"key": pc.cast(t["o_orderkey"], pa.int64()),
-                             "r_code": pa.array(sc[np.searchsorted(sk, ck)], pa.int64())})
-
-        for b in orders.map_batches(probe, batch_format="pyarrow") \
-                       .iter_batches(batch_size=None, batch_format="pyarrow"):
-            for key, c in zip(b["key"].to_pylist(), b["r_code"].to_pylist()):
-                rv, n = amb_rev[key]
-                rev_of[c] += rv
-                n_of[c] += n
+    if amb_rev:
+        code_of = resolve_exact(orders, "o_orderkey", order_code, sorted(amb_rev))
+        for key, c in code_of.items():
+            rv, n = amb_rev[key]
+            rev_of[c] += rv
+            n_of[c] += n
 
     out_names = [rnames[int(c)] for c in codes if n_of[int(c)] > 0]
     return pa.table({
