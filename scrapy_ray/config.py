@@ -56,6 +56,17 @@ class CrawlConfig:
     retry_priority_adjust: int = -1  # RETRY_PRIORITY_ADJUST
     retry_codes: tuple[int, ...] = (500, 502, 503, 504, 408, 429)
 
+    # Redirect middleware ([S:scrapy/downloadermiddlewares/redirect.py]):
+    # a 3xx fetch with a Location re-enqueues the TARGET url (same depth,
+    # same priority — Scrapy copies the request) up to redirect_max hops.
+    # Targets pass the dupefilter like any scheduled request but SKIP the
+    # spider-middleware filters (M7/M8/M9 run on callback output, and a
+    # downloader-level reschedule never reaches spider middlewares).
+    # Deterministic contract: a wave's redirect targets take seqs AFTER the
+    # wave's fresh links and BEFORE its retries, ordered by original seq.
+    redirect_max: int = 20           # REDIRECT_MAX_TIMES
+    redirect_codes: tuple[int, ...] = (301, 302, 303, 307, 308)
+
     # spider-middleware filters ([S:scrapy/spidermiddlewares/*])
     depth_limit: int = 0             # DEPTH_LIMIT, 0 = unlimited
     depth_priority: int = 0          # DEPTH_PRIORITY: priority += depth * this

@@ -71,6 +71,31 @@ def _links_to_frontier(links: pa.Table, next_seq: int) -> pa.Table:
             "callback": links["callback"],
             "dont_filter": pa.array(np.zeros(n, dtype=bool)),
             "retries": pa.array(np.zeros(n, dtype=np.int32)),
+            "redirects": pa.array(np.zeros(n, dtype=np.int32)),
+        },
+        schema=schemas.FRONTIER,
+    )
+
+
+def _redirects_to_frontier(rd: pa.Table, next_seq: int) -> pa.Table:
+    """REDIRECT_ROWS (original-seq sorted, already deduped by the caller)
+    -> frontier rows at the TARGET url: same depth/priority (Scrapy copies
+    the request), hop count carried, normal dupefilter semantics
+    ([S:redirect.py])."""
+    n = len(rd)
+    return pa.table(
+        {
+            "url": rd["url"],
+            "host": rd["host"],
+            "url_hash": rd["url_hash"],
+            "depth": rd["depth"],
+            "priority": rd["priority"],
+            "seq": pa.array(np.arange(next_seq, next_seq + n, dtype=np.int64)),
+            "parent_url": pa.array([""] * n, type=pa.string()),
+            "callback": rd["callback"],
+            "dont_filter": pa.array(np.zeros(n, dtype=bool)),
+            "retries": pa.array(np.zeros(n, dtype=np.int32)),
+            "redirects": rd["redirects"],
         },
         schema=schemas.FRONTIER,
     )
@@ -92,6 +117,7 @@ def _retries_to_frontier(rr: pa.Table, next_seq: int, adjust: int) -> pa.Table:
             "callback": rr["callback"],
             "dont_filter": pa.array(np.ones(n, dtype=bool)),
             "retries": pc.add(rr["retries"], pa.scalar(1, pa.int32())),
+            "redirects": pa.array(np.zeros(n, dtype=np.int32)),
         },
         schema=schemas.FRONTIER,
     )
@@ -349,10 +375,12 @@ class CrawlEngine:
         # parse + in-task items/links splits — neither html nor list columns
         # reach the driver (stages/fetch.py fetch_parse_wave, stages/parse.py).
         _t0 = _time.perf_counter()
-        items, links, n_fetched, hstats, retry_rows = fetch_parse_wave(
+        items, links, n_fetched, hstats, retry_rows, redirect_rows = fetch_parse_wave(
             self.root, wave, self.n_buckets, cache=self._bucket_cache,
             registry_ref=self._registry_ref, want_stats=cfg.autothrottle,
-            retry_cfg=((cfg.retry_codes, cfg.retry_max) if cfg.retry_max else None))
+            retry_cfg=((cfg.retry_codes, cfg.retry_max) if cfg.retry_max else None),
+            redirect_cfg=((cfg.redirect_codes, cfg.redirect_max)
+                          if cfg.redirect_max else None))
         self.phase_times["fetch_parse"] += _time.perf_counter() - _t0
 
         if cfg.autothrottle and len(hstats):
@@ -389,6 +417,20 @@ class CrawlEngine:
             n_new = len(rows)
         else:
             n_new = 0
+
+        if cfg.redirect_max and len(redirect_rows):
+            # deterministic contract (config.py): redirect targets take seqs
+            # AFTER this wave's fresh links and BEFORE its retries, ordered
+            # by the ORIGINAL request seq; they pass the dupefilter like any
+            # scheduled request but skip the spider-middleware filters
+            rd = redirect_rows.sort_by([("seq", "ascending")])
+            rd = rd.append_column("dont_filter",
+                                  pa.array(np.zeros(len(rd), dtype=bool)))
+            fresh_rd = self.urlseen.filter_new(rd)
+            rrows = _redirects_to_frontier(fresh_rd, self.next_seq)
+            self.next_seq += len(rrows)
+            self.frontier.push(rrows)
+            n_new += len(rrows)
 
         if cfg.retry_max and len(retry_rows):
             # deterministic contract: retries take seqs AFTER this wave's

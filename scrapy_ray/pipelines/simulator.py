@@ -57,6 +57,8 @@ def simulate_crawl(corpus_root: str, cfg: CrawlConfig | None = None,
     # same bytes or an ingested gzip corpus silently diverges.
     htmls = [maybe_decompress(h) for h in pages["html"].to_pylist()]
     statuses = pages["status"].to_pylist()
+    locations = (pages["location"].to_pylist() if "location" in pages.column_names
+                 else [""] * len(pages))
     robots = {}
     if cfg.obey_robots:
         rt = pq.read_table(paths["robots"])
@@ -175,6 +177,7 @@ def simulate_crawl(corpus_root: str, cfg: CrawlConfig | None = None,
 
         cands: list[dict] = []
         retry_cands: list[dict] = []                 # [S:retry.py] mirror
+        redirect_cands: list[dict] = []              # [S:redirect.py] mirror
         wave_host_bytes: dict[str, list[int]] = {}   # host -> [n, nbytes] (F4)
         for c in sorted(emitted, key=lambda c: c["seq"]):
             i = page_of.get(c["url"])
@@ -186,7 +189,16 @@ def simulate_crawl(corpus_root: str, cfg: CrawlConfig | None = None,
                 st[1] += len(pages["html"][i].as_py())
             pages_fetched += 1
             if not (200 <= statuses[i] < 300):   # M10
-                if (cfg.retry_max and statuses[i] in cfg.retry_codes
+                if (cfg.redirect_max and statuses[i] in cfg.redirect_codes
+                        and locations[i]
+                        and c.get("redirects", 0) < cfg.redirect_max):
+                    from urllib.parse import urljoin
+                    tu = canonicalize_url(urljoin(c["url"], locations[i]))
+                    redirect_cands.append({"url": tu, "host": host_of(tu),
+                                           "depth": c["depth"],
+                                           "priority": c["priority"],
+                                           "redirects": c.get("redirects", 0) + 1})
+                elif (cfg.retry_max and statuses[i] in cfg.retry_codes
                         and c.get("retries", 0) < cfg.retry_max):
                     retry_cands.append(c)
                 continue
@@ -234,6 +246,10 @@ def simulate_crawl(corpus_root: str, cfg: CrawlConfig | None = None,
                 new = (prev + lat / cfg.at_target_concurrency) / 2.0
                 at_delay[h] = min(max(new, cfg.download_delay), cfg.at_max_delay)
         schedule2(cands)
+        # redirect targets take seqs AFTER this wave's fresh links and
+        # BEFORE its retries; normal dedup, NO spider-middleware filters
+        # (engine mirror — config.py contract)
+        schedule2(redirect_cands, filters=False)
         # retries take seqs AFTER this wave's fresh links, original-seq
         # order, dupefilter bypassed, priority lowered (engine mirror)
         for c in retry_cands:

@@ -27,6 +27,7 @@ PAGES_FULL = pa.schema(
     + [
         ("host", pa.string()),
         ("status", pa.int16()),
+        ("location", pa.string()),   # 3xx redirect target ("" otherwise)
         ("url_hash", pa.uint64()),
         ("bucket", pa.int32()),
     ]
@@ -46,6 +47,7 @@ FRONTIER = pa.schema(
         ("callback", pa.string()),
         ("dont_filter", pa.bool_()),
         ("retries", pa.int32()),    # retry middleware attempt count
+        ("redirects", pa.int32()),  # redirect middleware hop count
     ]
 )
 
@@ -61,6 +63,24 @@ RETRY_ROWS = pa.schema(
         ("seq", pa.int64()),        # ORIGINAL seq: canonical retry order
         ("callback", pa.string()),
         ("retries", pa.int32()),
+    ]
+)
+
+# 3xx fetch outcomes re-enqueued at their Location target (redirect
+# middleware, [S:scrapy/downloadermiddlewares/redirect.py]): url columns
+# describe the TARGET (already urljoined + canonicalized + hashed in-task);
+# seq is the ORIGINAL request's seq = canonical redirect order; depth and
+# priority carry over unchanged (Scrapy copies the request).
+REDIRECT_ROWS = pa.schema(
+    [
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("url_hash", pa.uint64()),
+        ("depth", pa.int32()),
+        ("priority", pa.int32()),
+        ("seq", pa.int64()),
+        ("callback", pa.string()),
+        ("redirects", pa.int32()),  # hops taken INCLUDING this one
     ]
 )
 

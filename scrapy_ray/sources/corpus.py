@@ -60,6 +60,9 @@ class CorpusSpec:
     n_buckets: int = 8
     dangling_frac: float = 0.05    # fraction of cross-links that 404 on fetch-join
     error_frac: float = 0.02       # detail pages with status 404/500 (M10)
+    redirect_frac: float = 0.0     # detail pages reachable only via a 301
+                                   # "/moved/<id>" alias (redirect middleware);
+                                   # 0 keeps pre-round-3 corpora byte-stable
     max_details_per_host: int = 0  # 0 = uncapped Zipf; bench caps the hot host
                                    # so listing-chain depth (sequential waves)
                                    # stays bounded
@@ -89,6 +92,19 @@ def detail_kind(host_idx: int, detail_id: int) -> str:
 
 def detail_url(host: str, kind: str, detail_id: int) -> str:
     return f"https://{host}/{kind}/{detail_id:05d}"
+
+
+def moved_url(host: str, detail_id: int) -> str:
+    return f"https://{host}/moved/{detail_id:05d}"
+
+
+def is_moved(spec: "CorpusSpec", host_idx: int, detail_id: int) -> bool:
+    """Deterministic per-detail redirect decision (independent of RNG call
+    order so listing and detail loops agree)."""
+    if spec.redirect_frac <= 0:
+        return False
+    h = hash64([f"{spec.seed}:{host_idx}:{detail_id}:moved"])[0]
+    return int(h % np.uint64(1000)) < int(spec.redirect_frac * 1000)
 
 
 def listing_url(host: str, page: int) -> str:
@@ -166,6 +182,7 @@ def gen_host_pages(spec: CorpusSpec, host_idx: int, n_details: list[int], ts_off
     urls: list[str] = []
     htmls: list[bytes] = []
     statuses: list[int] = []
+    locations: list[str] = []
 
     # listing chain: listing/p -> cards + next ([B:north_star] listing pages)
     for p in range(n_listing):
@@ -173,14 +190,17 @@ def gen_host_pages(spec: CorpusSpec, host_idx: int, n_details: list[int], ts_off
         cards = []
         for d in ids:
             f = detail_fields(host_idx, host, d)
+            href = (f"/moved/{d:05d}" if is_moved(spec, host_idx, d)
+                    else f"/{f['kind']}/{d:05d}")
             cards.append(
-                {"detail_href": f"/{f['kind']}/{d:05d}", "name": f["name"],
+                {"detail_href": href, "name": f["name"],
                  "rating": f["rating"], "price": f["price"]}
             )
         nxt = f"/listing/{p + 1:05d}" if p + 1 < n_listing else None
         urls.append(listing_url(host, p))
         htmls.append(render_listing(host, p, cards, nxt))
         statuses.append(200)
+        locations.append("")
 
     # detail pages with 0–2 cross-links (dup / offsite / dangling / overlong)
     for d in range(nd):
@@ -204,6 +224,16 @@ def gen_host_pages(spec: CorpusSpec, host_idx: int, n_details: list[int], ts_off
         urls.append(detail_url(host, f["kind"], d))
         htmls.append(render_detail(host, f, rel))
         statuses.append(rng.choice([404, 500]) if rng.random() < spec.error_frac else 200)
+        locations.append("")
+
+    # 301 alias pages for moved details (redirect middleware, round 3):
+    # empty body, Location = relative canonical path (engine must urljoin)
+    for d in range(nd):
+        if is_moved(spec, host_idx, d):
+            urls.append(moved_url(host, d))
+            htmls.append(b"")
+            statuses.append(301)
+            locations.append(f"/{detail_kind(host_idx, d)}/{d:05d}")
 
     n = len(urls)
     ts = pa.array((np.arange(n, dtype=np.int64) + ts_offset) * 7_000_000 + _EPOCH_US,
@@ -218,6 +248,7 @@ def gen_host_pages(spec: CorpusSpec, host_idx: int, n_details: list[int], ts_off
             "lang": pa.array([lang] * n, type=pa.string()),
             "host": pa.array([host] * n, type=pa.string()),
             "status": pa.array(statuses, type=pa.int16()),
+            "location": pa.array(locations, type=pa.string()),
         }
     )
 
@@ -237,7 +268,7 @@ def generate_corpus(root: str, spec: CorpusSpec, use_ray: bool = True) -> dict:
     partition-pruned fetch-joins (SURVEY.md §2.4 J1).
     """
     meta_path = os.path.join(root, "meta.json")
-    want = {"spec": asdict(spec), "version": 3}
+    want = {"spec": asdict(spec), "version": 4}
     if os.path.exists(meta_path):
         with open(meta_path) as fh:
             if json.load(fh) == want:

@@ -47,6 +47,8 @@ def _normalize_batch(t: pa.Table, n_buckets: int) -> pa.Table:
             else pa.array(["und"] * n, type=pa.string()))
     status = (pc.cast(t["status"], pa.int16()) if "status" in t.column_names
               else pa.array(np.full(n, 200, dtype=np.int16)))
+    location = (pc.cast(t["location"], pa.string()) if "location" in t.column_names
+                else pa.array([""] * n, type=pa.string()))
     h = hash64(urls) if urls else np.empty(0, dtype=np.uint64)
     return pa.table({
         "url": pa.array(urls, type=pa.string()),
@@ -56,6 +58,7 @@ def _normalize_batch(t: pa.Table, n_buckets: int) -> pa.Table:
         "lang": lang,
         "host": pa.array(hosts_of(urls), type=pa.string()),
         "status": status,
+        "location": location,
         "url_hash": pa.array(h, type=pa.uint64()),
         "bucket": pa.array((h % np.uint64(n_buckets)).astype(np.int32)),
     })

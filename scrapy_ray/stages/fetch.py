@@ -45,6 +45,42 @@ def _retry_rows(t: pa.Table, retry_codes: tuple, retry_max: int) -> pa.Table:
                     schema=schemas.RETRY_ROWS)
 
 
+def _redirect_rows(t: pa.Table, redirect_codes: tuple, redirect_max: int) -> pa.Table:
+    """3xx rows with a Location and hop budget left -> REDIRECT_ROWS at the
+    TARGET url ([S:scrapy/downloadermiddlewares/redirect.py]): urljoin +
+    canonicalize + hash happen here in-task, so the driver receives
+    ready-to-dedup frontier candidates. Runs on the joined (page x wave)
+    table; a corpus without a location column never redirects."""
+    from scrapy_ray import schemas
+    from scrapy_ray.functions.hashing import hash64
+    from scrapy_ray.functions.urlnorm import canonicalize_urls, hosts_of
+
+    if "location" not in t.column_names:
+        return schemas.REDIRECT_ROWS.empty_table()
+    m = pc.and_(pc.and_(
+        pc.is_in(t["status"], value_set=pa.array(list(redirect_codes),
+                                                 type=t["status"].type)),
+        pc.not_equal(t["location"], "")),
+        pc.less(t["redirects"], redirect_max))
+    hit = t.filter(m)
+    if len(hit) == 0:
+        return schemas.REDIRECT_ROWS.empty_table()
+    from urllib.parse import urljoin
+    targets = canonicalize_urls([urljoin(b, loc) for b, loc in
+                                 zip(hit["url"].to_pylist(),
+                                     hit["location"].to_pylist())])
+    return pa.table({
+        "url": pa.array(targets, type=pa.string()),
+        "host": pa.array(hosts_of(targets), type=pa.string()),
+        "url_hash": pa.array(hash64(targets), type=pa.uint64()),
+        "depth": hit["depth"],
+        "priority": hit["priority"],
+        "seq": hit["seq"],
+        "callback": pa.array([""] * len(hit), type=pa.string()),
+        "redirects": pc.add(hit["redirects"], pa.scalar(1, pa.int32())),
+    }, schema=schemas.REDIRECT_ROWS)
+
+
 def _host_stats(t: pa.Table) -> pa.Table:
     """Per-host (responses, body bytes) partial for this task's fetched rows
     — the deterministic virtual-latency signal for AutoThrottle (F4)."""
@@ -60,6 +96,21 @@ def _host_stats(t: pa.Table) -> pa.Table:
                      "n": pa.array(g["n"].to_numpy(), type=pa.int64()),
                      "nbytes": pa.array(g["nbytes"].to_numpy(), type=pa.int64())},
                     schema=HOST_STATS_SCHEMA)
+
+
+def _schema_names(path: str) -> list[str]:
+    """Column names of a bucket path (file OR hive dir) via one footer read."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    p = path
+    if os.path.isdir(p):
+        fs = sorted(f for f in os.listdir(p) if f.endswith(".parquet"))
+        if not fs:
+            return []
+        p = os.path.join(p, fs[0])
+    return pq.read_schema(p).names
 
 
 def _cap_arrow_threads() -> None:
@@ -96,7 +147,8 @@ def _empty_fetched(page_schema: pa.Schema) -> pa.Table:
 
 @ray.remote
 def _fetch_parse_bucket(path: str, sub: pa.Table, registry_ref=None,
-                        want_stats: bool = False, retry_cfg=None) -> tuple:
+                        want_stats: bool = False, retry_cfg=None,
+                        redirect_cfg=None) -> tuple:
     """Read one corpus bucket with an ``url IN (...)`` parquet filter
     (row-group pruning — bucket files are written sorted by url and ``sub``
     is a url-sorted contiguous wave slice, so a chunk touches few row
@@ -115,18 +167,23 @@ def _fetch_parse_bucket(path: str, sub: pa.Table, registry_ref=None,
     # NB: Ray auto-dereferences ObjectRef args — the task receives the
     # snapshot tuple itself.
     handlers, routes = registry_ref if registry_ref is not None else ({}, [])
-    t = pq.read_table(path, filters=pc.field("url").isin(sub["url"]),
-                      columns=["url", "html", "status"])
+    cols = ["url", "html", "status"]
+    if redirect_cfg is not None and "location" in _schema_names(path):
+        cols.append("location")   # older/ingested corpora may lack it
+    t = pq.read_table(path, filters=pc.field("url").isin(sub["url"]), columns=cols)
     if len(t) == 0:
         return (schemas.ITEMS.empty_table(), schemas.LINKS.empty_table(), 0,
-                HOST_STATS_SCHEMA.empty_table(), schemas.RETRY_ROWS.empty_table())
+                HOST_STATS_SCHEMA.empty_table(), schemas.RETRY_ROWS.empty_table(),
+                schemas.REDIRECT_ROWS.empty_table())
     stats = _host_stats(t) if want_stats else HOST_STATS_SCHEMA.empty_table()
     t = t.join(sub, keys="url", join_type="inner")
     retries = (_retry_rows(t, *retry_cfg) if retry_cfg is not None
                else schemas.RETRY_ROWS.empty_table())
+    redirects = (_redirect_rows(t, *redirect_cfg) if redirect_cfg is not None
+                 else schemas.REDIRECT_ROWS.empty_table())
     parsed = parse_page_batch(t, handlers=handlers, routes=routes)
     return (split_items(parsed), split_links(parsed, routes=routes), len(parsed),
-            stats, retries)
+            stats, retries, redirects)
 
 
 @ray.remote
@@ -134,12 +191,16 @@ def _load_bucket(path: str) -> pa.Table:
     """Decode one bucket into the object store (once; immutable input)."""
     import pyarrow.parquet as pq
 
-    return pq.read_table(path, columns=["url", "html", "status"])
+    cols = ["url", "html", "status"]
+    if "location" in _schema_names(path):
+        cols.append("location")
+    return pq.read_table(path, columns=cols)
 
 
 @ray.remote
 def _fetch_parse_cached(bucket: pa.Table, sub: pa.Table, registry_ref=None,
-                        want_stats: bool = False, retry_cfg=None) -> tuple:
+                        want_stats: bool = False, retry_cfg=None,
+                        redirect_cfg=None) -> tuple:
     """In-memory probe variant of _fetch_parse_bucket: ``bucket`` arrives as
     a zero-copy plasma reference; filter + join + parse + split in-task."""
     from scrapy_ray import schemas
@@ -154,14 +215,17 @@ def _fetch_parse_cached(bucket: pa.Table, sub: pa.Table, registry_ref=None,
     t = bucket.filter(pc.is_in(bucket["url"], value_set=sub_urls))
     if len(t) == 0:
         return (schemas.ITEMS.empty_table(), schemas.LINKS.empty_table(), 0,
-                HOST_STATS_SCHEMA.empty_table(), schemas.RETRY_ROWS.empty_table())
+                HOST_STATS_SCHEMA.empty_table(), schemas.RETRY_ROWS.empty_table(),
+                schemas.REDIRECT_ROWS.empty_table())
     stats = _host_stats(t) if want_stats else HOST_STATS_SCHEMA.empty_table()
     t = t.join(sub, keys="url", join_type="inner")
     retries = (_retry_rows(t, *retry_cfg) if retry_cfg is not None
                else schemas.RETRY_ROWS.empty_table())
+    redirects = (_redirect_rows(t, *redirect_cfg) if redirect_cfg is not None
+                 else schemas.REDIRECT_ROWS.empty_table())
     parsed = parse_page_batch(t, handlers=handlers, routes=routes)
     return (split_items(parsed), split_links(parsed, routes=routes), len(parsed),
-            stats, retries)
+            stats, retries, redirects)
 
 
 class BucketCache:
@@ -184,7 +248,8 @@ class BucketCache:
 
 def fetch_parse_wave(corpus_root: str, wave: pa.Table, n_buckets: int,
                      cache: "BucketCache | None" = None, registry_ref=None,
-                     want_stats: bool = False, retry_cfg=None) -> tuple:
+                     want_stats: bool = False, retry_cfg=None,
+                     redirect_cfg=None) -> tuple:
     """Wave-loop fast path (SURVEY §7.4.3): the per-wave fetch-join is a
     repeated *small indexed lookup*, for which per-wave ``read_parquet``
     Dataset construction costs seconds (fragment sampling). Raw Ray tasks —
@@ -206,7 +271,8 @@ def fetch_parse_wave(corpus_root: str, wave: pa.Table, n_buckets: int,
     # contiguous url range, so the parquet isin filter prunes row groups
     # tightly (bucket files are written url-sorted).
     sub_cols = wave.select(["url", "host", "url_hash", "depth",
-                            "priority", "seq", "callback", "retries"])
+                            "priority", "seq", "callback", "retries",
+                            "redirects"])
     tmp = sub_cols.append_column("bucket", pa.array(bucket_of))
     idx = pc.sort_indices(tmp, sort_keys=[("bucket", "ascending"),
                                           ("url", "ascending")])
@@ -232,18 +298,18 @@ def fetch_parse_wave(corpus_root: str, wave: pa.Table, n_buckets: int,
             if cache is not None:
                 futs.append(_fetch_parse_cached.remote(cache.get(int(b)), sub,
                                                        registry_ref, want_stats,
-                                                       retry_cfg))
+                                                       retry_cfg, redirect_cfg))
             else:
                 futs.append(_fetch_parse_bucket.remote(paths[int(b)], sub,
                                                        registry_ref, want_stats,
-                                                       retry_cfg))
-    items_p, links_p, stats_p, retry_p, n = [], [], [], [], 0
+                                                       retry_cfg, redirect_cfg))
+    items_p, links_p, stats_p, retry_p, redir_p, n = [], [], [], [], [], 0
     # consume incrementally: driver-side deserialization + concat overlap
     # with still-running tasks instead of waiting for the full barrier
     pending = futs
     while pending:
         done, pending = ray.wait(pending, num_returns=min(16, len(pending)))
-        for it, lk, nf, st, rr in ray.get(done):
+        for it, lk, nf, st, rr, rd in ray.get(done):
             n += nf
             if len(it):
                 items_p.append(it)
@@ -253,13 +319,17 @@ def fetch_parse_wave(corpus_root: str, wave: pa.Table, n_buckets: int,
                 stats_p.append(st)
             if len(rr):
                 retry_p.append(rr)
+            if len(rd):
+                redir_p.append(rd)
     items = pa.concat_tables(items_p) if items_p else schemas.ITEMS.empty_table()
     links = pa.concat_tables(links_p) if links_p else schemas.LINKS.empty_table()
     stats = (pa.concat_tables(stats_p) if stats_p
              else HOST_STATS_SCHEMA.empty_table())
     retries = (pa.concat_tables(retry_p) if retry_p
                else schemas.RETRY_ROWS.empty_table())
-    return items, links, n, stats, retries
+    redirects = (pa.concat_tables(redir_p) if redir_p
+                 else schemas.REDIRECT_ROWS.empty_table())
+    return items, links, n, stats, retries, redirects
 
 
 def fetch_wave(corpus_root: str, wave: pa.Table, n_buckets: int) -> ray.data.Dataset:

@@ -105,6 +105,7 @@ def _rows(specs):
             "callback": ["parse_detail"] * len(specs),
             "dont_filter": [False] * len(specs),
             "retries": pa.array(np.zeros(len(specs), dtype=np.int32)),
+            "redirects": pa.array(np.zeros(len(specs), dtype=np.int32)),
         },
         schema=schemas.FRONTIER,
     )
