@@ -301,6 +301,53 @@ FROM documents GROUP BY lang
 """
 
 
+# ------------------------------------------------------- sliding window
+
+_SLIDE_MIN = 15
+_WINDOW_MIN = 60
+
+
+def q_sliding_window_counts(sf_dir: str):
+    """Sliding event-time window aggregate (the streaming-window custom op
+    from the brief's list; Ray Data has no native windows): 60-minute
+    windows sliding every 15 minutes. Each event explodes into the
+    WINDOW/SLIDE = 4 windows containing it inside the batch (pure
+    vectorized arithmetic on epoch microseconds), partials pre-aggregate
+    per (window_start) in-batch, one small groupby finishes. Same shape at
+    any scale — the explode factor is the constant 4."""
+    ds = _pq(sf_dir, "events", columns=["ts", "value"])
+    slide_us = _SLIDE_MIN * 60 * 1_000_000
+    k = _WINDOW_MIN // _SLIDE_MIN
+
+    def f(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        base = (us // slide_us) * slide_us
+        from scrapy_ray.pipelines.queries import _cents_np
+        vc = _cents_np(t["value"].to_numpy(zero_copy_only=False))
+        starts = np.concatenate([base - i * slide_us for i in range(k)])
+        vals = np.tile(vc, k)
+        df = pd.DataFrame({"ws": starts, "vc": vals})
+        g = df.groupby("ws").agg(n=("vc", "count"), value_sum_c=("vc", "sum")).reset_index()
+        return pa.table({"window_start": pa.array(g["ws"].to_numpy(), pa.int64()).cast(
+                             pa.timestamp("us")),
+                         "n": pa.array(g["n"].to_numpy(np.int64)),
+                         "value_sum_c": pa.array(g["value_sum_c"].to_numpy(np.int64))})
+
+    out = ds.map_batches(f, batch_format="pyarrow").groupby("window_start").aggregate(
+        Sum("n", alias_name="n"), Sum("value_sum_c", alias_name="value_sum_c"))
+    return _i64(pa.Table.from_pandas(out.to_pandas()), ["n", "value_sum_c"])
+
+
+SQL_SLIDING = f"""
+SELECT time_bucket(INTERVAL '{_SLIDE_MIN} minutes', ts)
+         - (k.k * INTERVAL '{_SLIDE_MIN} minutes') AS window_start,
+       count(*)::BIGINT AS n,
+       sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS value_sum_c
+FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+GROUP BY 1
+"""
+
+
 # ------------------------------------------------------- text normalization
 
 def q_normalize_text(sf_dir: str):
@@ -381,6 +428,7 @@ QUERIES3: dict[str, tuple] = {
     "hash_sample_events": (q_hash_sample_events, SQL_HASH_SAMPLE),
     "stratified_sample_by_lang": (q_stratified_sample_by_lang, SQL_STRATIFIED),
     "normalize_text": (q_normalize_text, SQL_NORMALIZE),
+    "sliding_window_counts": (q_sliding_window_counts, SQL_SLIDING),
     "token_postings_stats": (q_token_postings_stats, SQL_POSTINGS),
     "value_quantiles": (q_value_quantiles, SQL_QUANTILES),
     "top_orders_per_segment": (q_top_orders_per_segment, SQL_GROUP_TOPK),

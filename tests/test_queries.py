@@ -44,6 +44,7 @@ SUBSET = [
     "normalize_text",
     "token_postings_stats",
     "volume_shipping",
+    "sliding_window_counts",
 ]
 
 
