@@ -268,7 +268,8 @@ def generate_corpus(root: str, spec: CorpusSpec, use_ray: bool = True) -> dict:
     partition-pruned fetch-joins (SURVEY.md §2.4 J1).
     """
     meta_path = os.path.join(root, "meta.json")
-    want = {"spec": asdict(spec), "version": 4}
+    want = {"spec": asdict(spec), "version": 4,
+            "has_redirects": spec.redirect_frac > 0}
     if os.path.exists(meta_path):
         with open(meta_path) as fh:
             if json.load(fh) == want:

@@ -47,10 +47,12 @@ def _normalize_batch(t: pa.Table, n_buckets: int) -> pa.Table:
             else pa.array(["und"] * n, type=pa.string()))
     status = (pc.cast(t["status"], pa.int16()) if "status" in t.column_names
               else pa.array(np.full(n, 200, dtype=np.int16)))
-    location = (pc.cast(t["location"], pa.string()) if "location" in t.column_names
-                else pa.array([""] * n, type=pa.string()))
+    # location only when the source carries it: a location-less layout lets
+    # the fetch stage skip the redirect column entirely (meta has_redirects)
+    location = (pc.cast(t["location"], pa.string())
+                if "location" in t.column_names else None)
     h = hash64(urls) if urls else np.empty(0, dtype=np.uint64)
-    return pa.table({
+    cols = {
         "url": pa.array(urls, type=pa.string()),
         "warc_ts": ts,
         "html": html_col,
@@ -58,10 +60,12 @@ def _normalize_batch(t: pa.Table, n_buckets: int) -> pa.Table:
         "lang": lang,
         "host": pa.array(hosts_of(urls), type=pa.string()),
         "status": status,
-        "location": location,
         "url_hash": pa.array(h, type=pa.uint64()),
         "bucket": pa.array((h % np.uint64(n_buckets)).astype(np.int32)),
-    })
+    }
+    if location is not None:
+        cols["location"] = location
+    return pa.table(cols)
 
 
 def import_pages(src: str | list[str], out_root: str, n_buckets: int = 16,
@@ -100,7 +104,11 @@ def import_pages(src: str | list[str], out_root: str, n_buckets: int = 16,
                             schema=schemas.SEEDS),
                    os.path.join(out_root, "seeds.parquet"))
     pq.write_table(schemas.ROBOTS.empty_table(), os.path.join(out_root, "robots.parquet"))
-    meta = {"spec": {"n_buckets": n_buckets, "imported_from": str(src)}, "version": "import-1"}
+    has_loc = any("location" in pq.read_schema(os.path.join(pages_dir, d, f)).names
+                  for d in sorted(os.listdir(pages_dir))[:1] if d.startswith("bucket=")
+                  for f in sorted(os.listdir(os.path.join(pages_dir, d)))[:1])
+    meta = {"spec": {"n_buckets": n_buckets, "imported_from": str(src)},
+            "version": "import-1", "has_redirects": has_loc}
     with open(os.path.join(out_root, "meta.json"), "w") as fh:
         json.dump(meta, fh)
     return meta
