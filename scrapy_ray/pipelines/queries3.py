@@ -301,6 +301,51 @@ FROM documents GROUP BY lang
 """
 
 
+# ------------------------------------------------------- per-group sample
+
+_GROUP_SAMPLE_K = 5
+
+
+def q_group_sample_docs(sf_dir: str):
+    """Deterministic uniform-ish per-group sample: the K docs with the
+    smallest multiplicative hash of doc_id per language — the distributed
+    form is per-batch partial top-K-smallest + a tiny final merge (same
+    shape as per-group top-k), and the sample is identical on any
+    partitioning, unlike reservoir/seeded-RNG sampling. Oracle replays it
+    with a ROW_NUMBER window."""
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((ids % np.uint64(_SAMPLE_MOD)) * np.uint64(_SAMPLE_MULT)) % np.uint64(_SAMPLE_MOD)
+        df = pd.DataFrame({"lang": t["lang"].to_pylist(),
+                           "doc_id": ids.astype(np.int64), "h": h.astype(np.int64)})
+        return pa.Table.from_pandas(
+            df.sort_values(["h", "doc_id"]).groupby("lang").head(_GROUP_SAMPLE_K),
+            preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["h", "doc_id"]).head(_GROUP_SAMPLE_K)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("lang").map_groups(final, batch_format="pandas"))
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return _i64(t.select(["lang", "doc_id", "h"]), ["doc_id", "h"])
+
+
+SQL_GROUP_SAMPLE = f"""
+WITH h AS (
+  SELECT lang, doc_id,
+         (((doc_id::UBIGINT % {_SAMPLE_MOD}) * {_SAMPLE_MULT}) % {_SAMPLE_MOD})::BIGINT AS h
+  FROM documents),
+r AS (
+  SELECT lang, doc_id, h,
+         row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+  FROM h)
+SELECT lang, doc_id::BIGINT AS doc_id, h FROM r WHERE rn <= {_GROUP_SAMPLE_K}
+"""
+
+
 # ------------------------------------------------------- sliding window
 
 _SLIDE_MIN = 15
@@ -429,6 +474,7 @@ QUERIES3: dict[str, tuple] = {
     "stratified_sample_by_lang": (q_stratified_sample_by_lang, SQL_STRATIFIED),
     "normalize_text": (q_normalize_text, SQL_NORMALIZE),
     "sliding_window_counts": (q_sliding_window_counts, SQL_SLIDING),
+    "group_sample_docs": (q_group_sample_docs, SQL_GROUP_SAMPLE),
     "token_postings_stats": (q_token_postings_stats, SQL_POSTINGS),
     "value_quantiles": (q_value_quantiles, SQL_QUANTILES),
     "top_orders_per_segment": (q_top_orders_per_segment, SQL_GROUP_TOPK),

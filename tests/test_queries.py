@@ -45,6 +45,7 @@ SUBSET = [
     "token_postings_stats",
     "volume_shipping",
     "sliding_window_counts",
+    "group_sample_docs",
 ]
 
 
