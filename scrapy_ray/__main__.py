@@ -26,7 +26,7 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("crawl", help="run the wave-loop crawl over a pages corpus")
     c.add_argument("--corpus", required=True)
     c.add_argument("--out", required=True, help="items export directory")
-    c.add_argument("--format", default="parquet", choices=["parquet", "json", "csv"])
+    c.add_argument("--format", default="parquet", choices=["parquet", "json", "csv", "xml", "marshal", "pickle"])
     c.add_argument("--checkpoint", default=None)
     c.add_argument("--resume", action="store_true")
     c.add_argument("--max-pages", type=int, default=0)
@@ -37,6 +37,9 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--no-robots", action="store_true")
     c.add_argument("--autothrottle", action="store_true",
                    help="F4 adaptive per-host delay (deterministic virtual latency)")
+    c.add_argument("--sitemap-seeds", default=None, metavar="PATH",
+                   help="seed from a sitemap.xml / index / directory instead "
+                        "of the corpus seeds.parquet ([S:SitemapSpider])")
     c.add_argument("--retry-max", type=int, default=0,
                    help="retry 5xx fetches up to N times with lowered priority")
     c.add_argument("--frontier-shards", type=int, default=4)
@@ -87,7 +90,11 @@ def main(argv: list[str] | None = None) -> int:
                 autothrottle=args.autothrottle,
                 retry_max=args.retry_max,
             )
-            res = run_crawl(args.corpus, cfg, resume=args.resume)
+            seeds = None
+            if args.sitemap_seeds:
+                from scrapy_ray.sources.sitemap import read_sitemap_seeds
+                seeds = read_sitemap_seeds(args.sitemap_seeds)
+            res = run_crawl(args.corpus, cfg, seeds=seeds, resume=args.resume)
             export_items(res.items, args.out, fmt=args.format)
             print(json.dumps(res.metrics))
     finally:
