@@ -159,3 +159,45 @@ class HLL:
     @classmethod
     def from_bytes(cls, raw: bytes) -> "HLL":
         return cls(np.frombuffer(raw, dtype=np.uint8).copy())
+
+
+class MisraGries:
+    """Mergeable heavy-hitters summary (Misra-Gries / frequent; merge rule
+    per Agarwal et al. 2012 "Mergeable Summaries"): at most ``k`` counters;
+    every key with true frequency > n/(k+1) is guaranteed present, and each
+    stored count underestimates truth by at most the accumulated decrement
+    ``self.err`` (so truth is within [count, count + err]). The per-shard
+    sketch is a tiny dict — the A2 hot-key detection path at 10^10 rows."""
+
+    def __init__(self, k: int = 256):
+        self.k = k
+        self.counters: dict = {}
+        self.err = 0            # total decrement applied (per-key error bound)
+
+    def add_many(self, keys, counts=None) -> "MisraGries":
+        import numpy as np
+        uk, uc = (np.unique(np.asarray(keys), return_counts=True)
+                  if counts is None else (np.asarray(keys), np.asarray(counts)))
+        for key, c in zip(uk.tolist(), uc.tolist()):
+            self.counters[key] = self.counters.get(key, 0) + int(c)
+        self._shrink()
+        return self
+
+    def _shrink(self) -> None:
+        if len(self.counters) <= self.k:
+            return
+        # subtract the (k+1)-th largest count from everyone, drop <=0
+        vals = sorted(self.counters.values(), reverse=True)
+        dec = vals[self.k]
+        self.err += dec
+        self.counters = {key: c - dec for key, c in self.counters.items() if c > dec}
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        for key, c in other.counters.items():
+            self.counters[key] = self.counters.get(key, 0) + c
+        self.err += other.err
+        self._shrink()
+        return self
+
+    def top(self, n: int) -> list[tuple]:
+        return sorted(self.counters.items(), key=lambda kv: (-kv[1], kv[0]))[:n]

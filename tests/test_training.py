@@ -304,3 +304,47 @@ def test_embedding_lsh_recall_query(ray_session):
     assert len(t) == 1
     assert t["n_false_pos"].to_pylist() == [0]
     assert t["recall"].to_pylist()[0] >= 0.8
+
+
+def test_misra_gries_bounds_and_merge():
+    """MG guarantees under forced decrements (k << distinct): every key with
+    freq > n/(k+1) present; stored count underestimates by <= err; merge of
+    halves obeys the same bounds."""
+    from collections import Counter
+
+    from scrapy_ray.functions.sketch import MisraGries
+
+    rng = np.random.default_rng(21)
+    zipf = rng.zipf(1.5, size=50_000)
+    keys = zipf[zipf < 5000]
+    truth = Counter(keys.tolist())
+    n = len(keys)
+    k = 32
+    mg = MisraGries(k).add_many(keys)
+    assert len(mg.counters) <= k
+    assert mg.err > 0, "test must exercise decrements"
+    for key, c in mg.counters.items():
+        assert c <= truth[key] <= c + mg.err, (key, c, truth[key], mg.err)
+    thresh = n / (k + 1)
+    for key, f in truth.items():
+        if f > thresh:
+            assert key in mg.counters, (key, f, thresh)
+    a = MisraGries(k).add_many(keys[: n // 2])
+    b = MisraGries(k).add_many(keys[n // 2:])
+    m = a.merge(b)
+    for key, c in m.counters.items():
+        assert c <= truth[key] <= c + m.err
+    for key, f in truth.items():
+        if f > thresh:
+            assert key in m.counters
+
+
+def test_heavy_hitters_users_query(ray_session):
+    from scrapy_ray.pipelines.skew import q_heavy_hitters_users
+
+    t = q_heavy_hitters_users(SF)
+    assert len(t) == 10
+    est = t["est_n"].to_pylist()
+    exact = t["exact_n"].to_pylist()
+    assert all(e <= x for e, x in zip(est, exact))
+    assert est == sorted(est, reverse=True)
