@@ -7,6 +7,8 @@ stdlib + numpy alone:
   struct headers + a bottom-up padded pixel array — full encode/decode here,
   byte-exact round-trip (pytest-pinned).
 - **WAV** (PCM16): stdlib ``wave`` + numpy frombuffer.
+- **PPM (P6) / PGM (P5)** (binary netpbm): ASCII header + raw pixel array —
+  the formats ImageMagick/netpbm pipelines interchange.
 
 These make the S6 media pipeline a GENUINE decode path, not a stub: the
 actor-pool stage parses real image/audio bytes and computes real pixel /
@@ -53,6 +55,74 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     rows = np.frombuffer(payload, dtype=np.uint8, offset=off,
                          count=stride * h).reshape(h, stride)
     return rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1].copy()
+
+
+_WS = b" \t\r\n"
+
+
+def _pnm_header(payload: bytes, magic: bytes, n_fields: int) -> tuple[list[int], int]:
+    """Parse a netpbm header (magic + n_fields ints, '#' comments allowed);
+    returns (fields, data_offset)."""
+    if payload[:2] != magic:
+        raise ValueError(f"not a {magic.decode()} payload")
+    i, fields = 2, []
+    while len(fields) < n_fields:
+        while i < len(payload) and payload[i:i + 1] in (b" ", b"\t", b"\r", b"\n"):
+            i += 1
+        if payload[i:i + 1] == b"#":
+            while i < len(payload) and payload[i:i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and payload[j:j + 1] not in (b" ", b"\t", b"\r", b"\n"):
+            j += 1
+        fields.append(int(payload[i:j]))
+        i = j
+    return fields, i + 1   # single whitespace after maxval
+
+
+def encode_ppm(rgb: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> binary PPM (P6)."""
+    h, w, c = rgb.shape
+    assert c == 3 and rgb.dtype == np.uint8
+    return b"P6\n%d %d\n255\n" % (w, h) + rgb.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> (h, w, 3) uint8 RGB."""
+    (w, h, maxval), off = _pnm_header(payload, b"P6", 3)
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    return np.frombuffer(payload, np.uint8, count=h * w * 3, offset=off).reshape(h, w, 3).copy()
+
+
+def encode_pgm(gray: np.ndarray) -> bytes:
+    """(h, w) uint8 grayscale -> binary PGM (P5)."""
+    h, w = gray.shape
+    assert gray.dtype == np.uint8
+    return b"P5\n%d %d\n255\n" % (w, h) + gray.tobytes()
+
+
+def decode_pgm(payload: bytes) -> np.ndarray:
+    """Binary PGM (P5) -> (h, w) uint8 grayscale."""
+    (w, h, maxval), off = _pnm_header(payload, b"P5", 3)
+    if maxval != 255:
+        raise ValueError(f"unsupported PGM maxval {maxval}")
+    return np.frombuffer(payload, np.uint8, count=h * w, offset=off).reshape(h, w).copy()
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Magic-sniffed image decode (BMP / PPM / PGM) -> (h, w, 3) uint8 RGB
+    (grayscale expands to 3 identical channels) — the dispatch a media
+    pipeline's downloader applies per content type."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:2] == b"P5":
+        g = decode_pgm(payload)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    raise ValueError(f"unknown image magic {payload[:2]!r}")
 
 
 def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:

@@ -109,13 +109,14 @@ def synth_audio(doc_id: int) -> np.ndarray:
 
 
 class ImageDecoder:
-    """Actor-pool stage: parse REAL BMP bytes, emit dims + per-channel pixel
-    means (exact integer sums -> float mean rounded to 4)."""
+    """Actor-pool stage: magic-sniffed REAL image decode (BMP / PPM / PGM),
+    emitting dims + per-channel pixel means (exact integer sums -> float
+    mean rounded to 4)."""
 
     def __init__(self):
-        from scrapy_ray.functions.codecs import decode_bmp
+        from scrapy_ray.functions.codecs import decode_image
 
-        self._decode = decode_bmp  # codec bound once per actor
+        self._decode = decode_image  # codec dispatch bound once per actor
 
     def __call__(self, t: pa.Table) -> pa.Table:
         widths, heights, mean_r = [], [], []
@@ -174,12 +175,22 @@ def _payload_ds(sf_dir: str, synth, encode) -> "ray.data.Dataset":
 
 
 def q_image_decode_stats(sf_dir: str):
-    """Encode a deterministic BMP per document, decode it in an actor pool,
-    emit real pixel statistics. Rows-only (pixel math is not SQL); byte-
-    exact codec round-trip + stats vs a numpy reference are pytest-pinned."""
-    from scrapy_ray.functions.codecs import encode_bmp
+    """Encode a deterministic image per document — format rotates
+    BMP / PPM / PGM by doc_id so the actor's magic-sniff dispatch is
+    exercised — decode in an actor pool, emit real pixel statistics.
+    Rows-only (pixel math is not SQL); byte-exact codec round-trips +
+    stats vs a numpy reference are pytest-pinned."""
+    from scrapy_ray.functions.codecs import encode_bmp, encode_pgm, encode_ppm
 
-    ds = _payload_ds(sf_dir, synth_image, encode_bmp)
+    def encode_mixed(img: np.ndarray) -> bytes:
+        k = int(img[0, 0, 0]) % 3     # deterministic per-image format pick
+        if k == 0:
+            return encode_bmp(img)
+        if k == 1:
+            return encode_ppm(img)
+        return encode_pgm(img[:, :, 0].copy())
+
+    ds = _payload_ds(sf_dir, synth_image, encode_mixed)
     out = ds.map_batches(ImageDecoder, batch_format="pyarrow",
                          batch_size=256, concurrency=2)
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)

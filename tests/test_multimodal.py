@@ -65,3 +65,42 @@ def test_audio_decode_stats_match_reference(ray_session):
         s = synth_audio(doc_id).astype(np.float64)
         ref = round(float(np.sqrt(np.mean(s * s))), 4)
         assert by_id[doc_id] == (8000, len(s), ref), doc_id
+
+
+def test_ppm_pgm_roundtrip_and_sniff():
+    """Round 3: netpbm codecs + magic-sniffed dispatch (BMP/PPM/PGM)."""
+    import numpy as np
+
+    from scrapy_ray.functions.codecs import (decode_image, decode_pgm, decode_ppm,
+                                             encode_bmp, encode_pgm, encode_ppm)
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (11, 7, 3), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+    assert (decode_image(encode_ppm(img)) == img).all()
+    assert (decode_image(encode_bmp(img)) == img).all()
+    g = rng.integers(0, 256, (5, 9), dtype=np.uint8)
+    assert (decode_pgm(encode_pgm(g)) == g).all()
+    out = decode_image(encode_pgm(g))
+    assert out.shape == (5, 9, 3) and (out[:, :, 1] == g).all()
+    # comment-bearing header (netpbm allows them)
+    assert (decode_pgm(b"P5\n# c\n9 5\n255\n" + g.tobytes()) == g).all()
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        decode_image(b"GIF89a....")
+
+
+def test_image_decode_stats_format_invariant(ray_session):
+    """The mixed-format query must produce the same stats as an all-BMP
+    encode (channel 0 survives every codec identically)."""
+    from scrapy_ray.functions.codecs import encode_bmp
+    from scrapy_ray.pipelines.multimodal import (ImageDecoder, _payload_ds,
+                                                 q_image_decode_stats, synth_image)
+
+    mixed = q_image_decode_stats("/root/testdata/sf0.001").sort_by("doc_id")
+    bmp_only = (
+        _payload_ds("/root/testdata/sf0.001", synth_image, encode_bmp)
+        .map_batches(ImageDecoder, batch_format="pyarrow", batch_size=256,
+                     concurrency=2).to_pandas().sort_values("doc_id", ignore_index=True))
+    import pyarrow as pa
+    assert mixed.equals(pa.Table.from_pandas(bmp_only, preserve_index=False))
