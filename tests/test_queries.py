@@ -46,6 +46,7 @@ SUBSET = [
     "volume_shipping",
     "sliding_window_counts",
     "group_sample_docs",
+    "native_join_revenue_by_status",
 ]
 
 
