@@ -346,6 +346,120 @@ SELECT lang, doc_id::BIGINT AS doc_id, h FROM r WHERE rn <= {_GROUP_SAMPLE_K}
 """
 
 
+# ------------------------------------------------------- token-budget sample
+
+_BUDGET_TOKENS = 2_000
+
+
+def q_token_budget_sample(sf_dir: str):
+    """Token-budgeted per-language sampling (the LLM data-mix primitive:
+    "take ~N tokens per language, deterministically"): docs are virtually
+    ordered by (hash, doc_id) per language and taken while the running
+    token total stays under the budget — the LAST doc may cross it (the
+    greedy rule every mix pipeline uses).
+
+    Distributed shape: NO global sort — one pass emits per-(lang,
+    hash-bucket) token partials; the driver merges the tiny histogram,
+    walks it to a per-lang BUCKET threshold, and resolves only the single
+    boundary bucket's docs exactly (a second pruned pass). Same
+    partial-histogram trick as q_value_quantiles. Output: per-lang kept
+    doc/token totals."""
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    nb = 256   # hash buckets per lang; boundary bucket resolved exactly
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((ids % np.uint64(_SAMPLE_MOD)) * np.uint64(_SAMPLE_MULT)) % np.uint64(_SAMPLE_MOD)
+        bkt = (h // np.uint64(_SAMPLE_MOD // nb)).astype(np.int64)
+        ntok = np.array([len(s.split()) for s in t["text"].to_pylist()], dtype=np.int64)
+        df = pd.DataFrame({"lang": t["lang"].to_pylist(), "bkt": bkt,
+                           "tok": ntok})
+        g = df.groupby(["lang", "bkt"]).agg(tok=("tok", "sum"),
+                                            n=("tok", "count")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["lang", "bkt"]).aggregate(
+                  Sum("tok", alias_name="tok"), Sum("n", alias_name="n"))
+              .to_pandas().sort_values(["lang", "bkt"], ignore_index=True))
+
+    # per-lang walk: full buckets below the threshold, boundary bucket id
+    state: dict[str, dict] = {}
+    for lang, grp in hist.groupby("lang"):
+        cum_t, cum_n = 0, 0
+        boundary = None
+        for _, row in grp.iterrows():
+            if cum_t >= _BUDGET_TOKENS:
+                break
+            if cum_t + row["tok"] >= _BUDGET_TOKENS:
+                boundary = int(row["bkt"])
+                break
+            cum_t += int(row["tok"])
+            cum_n += int(row["n"])
+        state[lang] = {"tok": cum_t, "n": cum_n, "boundary": boundary}
+
+    # resolve boundary buckets exactly: only those (lang, bkt) docs re-read
+    bpairs = [(lang, s["boundary"]) for lang, s in state.items()
+              if s["boundary"] is not None]
+    if bpairs:
+        bref = ray.put(set(bpairs))
+
+        def boundary_docs(t: pa.Table) -> pa.Table:
+            bp = ray.get(bref) if isinstance(bref, ray.ObjectRef) else bref
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = ((ids % np.uint64(_SAMPLE_MOD)) * np.uint64(_SAMPLE_MULT)) % np.uint64(_SAMPLE_MOD)
+            bkt = (h // np.uint64(_SAMPLE_MOD // nb)).astype(np.int64)
+            langs = t["lang"].to_pylist()
+            keep = np.array([(lang, int(b)) in bp for lang, b in zip(langs, bkt)])
+            if not keep.any():
+                return pa.table({"lang": pa.array([], pa.string()),
+                                 "h": pa.array([], pa.int64()),
+                                 "doc_id": pa.array([], pa.int64()),
+                                 "tok": pa.array([], pa.int64())})
+            ntok = np.array([len(s.split()) for s, k in
+                             zip(t["text"].to_pylist(), keep) if k], dtype=np.int64)
+            return pa.table({
+                "lang": pa.array([x for x, k in zip(langs, keep) if k], pa.string()),
+                "h": pa.array(h[keep].astype(np.int64)),
+                "doc_id": pa.array(ids[keep].astype(np.int64)),
+                "tok": pa.array(ntok)})
+
+        bd = pa.concat_tables(list(
+            ds.map_batches(boundary_docs, batch_format="pyarrow")
+              .iter_batches(batch_size=None, batch_format="pyarrow"))).to_pandas()
+        for lang, grp in bd.groupby("lang"):
+            s = state[lang]
+            for _, row in grp.sort_values(["h", "doc_id"]).iterrows():
+                if s["tok"] >= _BUDGET_TOKENS:
+                    break
+                s["tok"] += int(row["tok"])     # greedy: last doc may cross
+                s["n"] += 1
+
+    langs = sorted(state)
+    return pa.table({
+        "lang": pa.array(langs, pa.string()),
+        "n_docs": pa.array([state[x]["n"] for x in langs], pa.int64()),
+        "n_tokens": pa.array([state[x]["tok"] for x in langs], pa.int64()),
+    })
+
+
+SQL_TOKEN_BUDGET = f"""
+WITH t AS (
+  SELECT lang, doc_id,
+         (((doc_id::UBIGINT % {_SAMPLE_MOD}) * {_SAMPLE_MULT}) % {_SAMPLE_MOD})::BIGINT AS h,
+         len(regexp_extract_all(text, '\\S+'))::BIGINT AS tok
+  FROM documents),
+r AS (
+  SELECT lang, tok,
+         sum(tok) OVER (PARTITION BY lang ORDER BY h, doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t)
+SELECT lang, count(*)::BIGINT AS n_docs, sum(tok)::BIGINT AS n_tokens
+FROM r WHERE cum - tok < {_BUDGET_TOKENS}
+GROUP BY lang
+"""
+
+
 # ------------------------------------------------------- sliding window
 
 _SLIDE_MIN = 15
@@ -475,6 +589,7 @@ QUERIES3: dict[str, tuple] = {
     "normalize_text": (q_normalize_text, SQL_NORMALIZE),
     "sliding_window_counts": (q_sliding_window_counts, SQL_SLIDING),
     "group_sample_docs": (q_group_sample_docs, SQL_GROUP_SAMPLE),
+    "token_budget_sample": (q_token_budget_sample, SQL_TOKEN_BUDGET),
     "token_postings_stats": (q_token_postings_stats, SQL_POSTINGS),
     "value_quantiles": (q_value_quantiles, SQL_QUANTILES),
     "top_orders_per_segment": (q_top_orders_per_segment, SQL_GROUP_TOPK),

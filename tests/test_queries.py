@@ -47,6 +47,7 @@ SUBSET = [
     "sliding_window_counts",
     "group_sample_docs",
     "native_join_revenue_by_status",
+    "token_budget_sample",
 ]
 
 
