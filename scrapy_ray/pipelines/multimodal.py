@@ -206,8 +206,44 @@ def q_audio_decode_stats(sf_dir: str):
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
+def q_media_checksum_dedup(sf_dir: str):
+    """S6 media-pipeline checksum dedup ([S:scrapy/pipelines/files.py]:
+    assets are stored once per checksum): payloads hash to md5 in the
+    decode pool, exact dedup = groupby(checksum) keep min doc_id + copy
+    count — the same hash-partition + arg-min shape as text dedup. The
+    synthetic payloads repeat every 50 doc_ids so the dedup is exercised
+    (500 docs -> 50 distinct assets at sf0.01). Rows-only; counts pinned
+    in pytest."""
+    import hashlib
+
+    from ray.data.aggregate import Min, Sum
+
+    from scrapy_ray.functions.codecs import encode_bmp
+
+    ds = _payload_ds(sf_dir, lambda i: synth_image(i % 50), encode_bmp)
+
+    def partial(t: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(p).hexdigest() for p in t["payload"].to_pylist()]
+        import pandas as pd
+        df = pd.DataFrame({"checksum": hs,
+                           "doc_id": t["doc_id"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("checksum").agg(keep_doc=("doc_id", "min"),
+                                       n_copies=("doc_id", "count")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("checksum").aggregate(
+                 Min("keep_doc", alias_name="keep_doc"),
+                 Sum("n_copies", alias_name="n_copies")))
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    for c in ("keep_doc", "n_copies"):
+        t = t.set_column(t.schema.get_field_index(c), c, pc.cast(t[c], pa.int64()))
+    return t.sort_by("checksum")
+
+
 MULTIMODAL_QUERIES = {
     "multimodal_decode_meta": (q_multimodal_decode_meta, SQL_MULTIMODAL),
     "image_decode_stats": (q_image_decode_stats, None),
     "audio_decode_stats": (q_audio_decode_stats, None),
+    "media_checksum_dedup": (q_media_checksum_dedup, None),
 }

@@ -246,22 +246,28 @@ class BucketCache:
         return self.refs[b]
 
 
-_REDIRECT_SUPPORT: dict[str, bool] = {}
+_REDIRECT_SUPPORT: dict[tuple, bool] = {}
 
 
 def _corpus_has_redirects(corpus_root: str, paths: dict) -> bool:
-    """ONE driver-side check per corpus root per process: meta.json's
+    """ONE driver-side check per corpus per process: meta.json's
     has_redirects when present (generator v4+ / ingest), else a single
     bucket-footer sniff for the location column. Keeps per-task work free
-    of footer reads (measured ~0.4-1s per 6-wave crawl)."""
-    got = _REDIRECT_SUPPORT.get(corpus_root)
-    if got is not None:
-        return got
+    of footer reads (measured ~0.4-1s per 6-wave crawl). Cache key
+    includes meta.json's mtime so a regenerated corpus at the same path
+    is re-checked."""
     import json as _json
     import os as _os
 
-    ans = None
     mp = _os.path.join(corpus_root, "meta.json")
+    try:
+        key = (corpus_root, _os.stat(mp).st_mtime_ns)
+    except OSError:
+        key = (corpus_root, 0)
+    got = _REDIRECT_SUPPORT.get(key)
+    if got is not None:
+        return got
+    ans = None
     if _os.path.exists(mp):
         try:
             with open(mp) as fh:
@@ -270,7 +276,7 @@ def _corpus_has_redirects(corpus_root: str, paths: dict) -> bool:
             ans = None
     if ans is None:
         ans = any("location" in _schema_names(p) for p in list(paths.values())[:1])
-    _REDIRECT_SUPPORT[corpus_root] = bool(ans)
+    _REDIRECT_SUPPORT[key] = bool(ans)
     return bool(ans)
 
 

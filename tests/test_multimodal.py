@@ -104,3 +104,14 @@ def test_image_decode_stats_format_invariant(ray_session):
                      concurrency=2).to_pandas().sort_values("doc_id", ignore_index=True))
     import pyarrow as pa
     assert mixed.equals(pa.Table.from_pandas(bmp_only, preserve_index=False))
+
+
+def test_media_checksum_dedup(ray_session):
+    """S6 checksum dedup: 500 docs share 50 distinct payloads; keep_doc is
+    the minimum doc_id of each copy group (doc_id % 50 layout)."""
+    from scrapy_ray.pipelines.multimodal import q_media_checksum_dedup
+
+    t = q_media_checksum_dedup("/root/testdata/sf0.001")
+    assert len(t) == 50
+    assert sum(t["n_copies"].to_pylist()) == 500
+    assert sorted(t["keep_doc"].to_pylist()) == list(range(50))
