@@ -95,3 +95,16 @@ def test_redirect_rows_unit():
     assert out["url_hash"].to_pylist() == hash64(out["url"].to_pylist()).tolist()
     # corpus without a location column -> never redirects
     assert len(_redirect_rows(t.drop_columns(["location"]), (301,), 20)) == 0
+
+
+def test_all_middlewares_together(ray_session, redirect_corpus):
+    """Interaction coverage: redirects + politeness delay + depth limit +
+    depth-priority + retries + autothrottle in ONE config — engine must
+    still equal the simulator exactly (ordering, url-seen, items)."""
+    cfg = CrawlConfig(n_filter_shards=2, n_frontier_shards=3,
+                      download_delay=0.5, depth_limit=4, depth_priority=-1,
+                      retry_max=1, autothrottle=True, max_pages=300)
+    sim = simulate_crawl(redirect_corpus, cfg)
+    eng = run_crawl(redirect_corpus, cfg)
+    _assert_equal(sim, eng)
+    assert any("/moved/" in u for u in eng.url_seen["url"].to_pylist())
