@@ -77,10 +77,45 @@ def q_crawl_items_dedup(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).sort_by("url")
 
 
+def q_crawl_redirects(sf_dir: str) -> pa.Table:
+    """Redirect-middleware crawl, driver-visible (round 3): crawl a corpus
+    with 301 '/moved/' aliases and emit per-host (aliases scheduled,
+    redirect targets extracted). Rows-only; exact engine==simulator
+    equality on this corpus is pinned in tests/test_redirects.py; the
+    in-query assertion makes a dead redirect path loud."""
+    from scrapy_ray.functions.urlnorm import hosts_of
+    from scrapy_ray.pipelines.crawl import run_crawl
+
+    root = "/tmp/scrapy_ray_cache/corpus_redirq"
+    spec = CorpusSpec(n_hosts=8, total_pages=400, seed=77, redirect_frac=0.25)
+    generate_corpus(root, spec)
+    res = run_crawl(root, CrawlConfig(n_filter_shards=2, n_frontier_shards=2))
+    import pandas as pd
+    seen = res.url_seen["url"].to_pylist()
+    moved = [u for u in seen if "/moved/" in u]
+    assert moved, "redirect corpus produced no scheduled aliases"
+    df = pd.DataFrame({"host": hosts_of(moved)})
+    g = df.groupby("host").size().reset_index(name="n_aliases")
+    item_urls = res.items["url"].to_pylist()
+    from scrapy_ray.sources.corpus import is_moved
+    tgt = pd.DataFrame({"host": hosts_of(item_urls),
+                        "is_tgt": [is_moved(spec, int(h.split(".")[0][1:]),
+                                            int(u.rsplit("/", 1)[1]))
+                                   for h, u in zip(hosts_of(item_urls), item_urls)]})
+    t2 = tgt[tgt.is_tgt].groupby("host").size().reset_index(name="n_redirected_items")
+    out = g.merge(t2, on="host", how="left").fillna(0)
+    out["n_redirected_items"] = out["n_redirected_items"].astype("int64")
+    out["n_aliases"] = out["n_aliases"].astype("int64")
+    assert out["n_redirected_items"].sum() > 0, "no redirect target extracted"
+    return pa.Table.from_pandas(out.sort_values("host", ignore_index=True),
+                                preserve_index=False)
+
+
 CRAWL_QUERIES = {
     "crawl_items": (q_crawl_items, None),
     "crawl_order": (q_crawl_order, None),
     "crawl_url_seen": (q_crawl_url_seen, None),
+    "crawl_redirects": (q_crawl_redirects, None),
     "crawl_items_dedup": (q_crawl_items_dedup, None),
     "extract_items_corpus": (q_extract_items_corpus, None),
 }

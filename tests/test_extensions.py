@@ -205,3 +205,21 @@ def test_parse_one_debug_helper():
     import pytest as _pt
     with _pt.raises(KeyError):
         parse_one(b"<html></html>", "nope")
+
+
+def test_library_api_crawl(ray_session, e2e_corpus):
+    """SURVEY §3.3 library surface: api.crawl returns a Ray Dataset of
+    items equal to the engine result."""
+    import ray.data
+
+    from scrapy_ray import api
+
+    cfg = CrawlConfig(n_filter_shards=2, n_frontier_shards=2, max_pages=80)
+    ds = api.crawl(e2e_corpus, cfg)
+    assert isinstance(ds, ray.data.Dataset)
+    res = api.crawl_result(e2e_corpus, cfg)
+    import pyarrow as _pa
+    got = _pa.concat_tables(list(ds.iter_batches(batch_size=None,
+                                                 batch_format="pyarrow")))
+    assert got.sort_by("url").equals(res.items.sort_by("url"))
+    assert api.parse_one(b"<html><body></body></html>", "parse_listing") is not None
