@@ -208,7 +208,12 @@ def run_full() -> None:
     ensure_corpora("both")
     _warm_workers(NUM_CPUS)
     t_start = time.time()
-    crawl = bench_crawl()
+    # crawl runs x2, min reported: the suite's 32-wide query phases leave
+    # the oversubscribed host throttled for tens of seconds and a single
+    # cold sample can read 5x the engine floor (BENCH/BASELINE.md round-3
+    # note); both raw samples are always emitted
+    crawl_runs = [bench_crawl(), bench_crawl()]
+    crawl = min(crawl_runs, key=lambda r: r["sec"])
     kernel = bench_kernel(NUM_CPUS)
     queries = bench_queries(SF_DIR)
     queries["crawl_200k_pages"] = round(crawl["sec"], 3)
@@ -223,6 +228,7 @@ def run_full() -> None:
         "num_cpus": NUM_CPUS,
         "pages_per_sec": round(crawl["pages_per_sec"], 1),
         "frontier_urls_per_sec": round(crawl["frontier_urls_per_sec"], 1),
+        "crawl_sec_runs": [round(r["sec"], 3) for r in crawl_runs],
         "featurize_pages_per_sec": round(kernel["pages_per_sec"], 1),
     }))
     import ray
