@@ -2,16 +2,30 @@
 
 The reference gates requests through RobotsTxtMiddleware with a per-netloc
 parser cache ([S:scrapy/downloadermiddlewares/robotstxt.py],
-[S:scrapy/robotstxt.py]). Semantics here follow the de-facto standard the
-stock parsers implement: within the ``User-agent: *`` group, longest-prefix
-match wins between Allow and Disallow; a tie prefers Allow; an empty
-Disallow value allows everything; ``Crawl-delay`` feeds the politeness
-budget (config.CrawlConfig.waves_per_emit).
+[S:scrapy/robotstxt.py] — Protego by default). Semantics here follow the
+REP de-facto standard Protego implements: within the ``User-agent: *``
+group, the longest (most specific) matching rule wins between Allow and
+Disallow, a tie prefers Allow, an empty Disallow allows everything,
+``*`` matches any char run and ``$`` anchors the end of the path
+(round 3 — previously prefix-only), and ``Crawl-delay`` feeds the
+politeness budget (config.CrawlConfig.waves_per_emit). Engine and
+simulator share THIS implementation, so the mirror holds by construction.
 """
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
+
+
+def _rule_matcher(pattern: str):
+    """Compile one REP rule: plain prefix when literal, regex for * / $."""
+    if "*" not in pattern and not pattern.endswith("$"):
+        return None                      # startswith fast path
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = "".join(".*" if ch == "*" else re.escape(ch) for ch in body)
+    return re.compile("^" + rx + ("$" if anchored else ""))
 
 
 @dataclass
@@ -19,14 +33,21 @@ class RobotsRules:
     allow: list[str] = field(default_factory=list)
     disallow: list[str] = field(default_factory=list)
     crawl_delay: float = 0.0
+    _m: dict = field(default_factory=dict, repr=False, compare=False)
+
+    def _matches(self, pattern: str, path: str) -> bool:
+        if pattern not in self._m:
+            self._m[pattern] = _rule_matcher(pattern)
+        rx = self._m[pattern]
+        return path.startswith(pattern) if rx is None else rx.match(path) is not None
 
     def is_allowed(self, path: str) -> bool:
         best_len, best_allow = -1, True
         for p in self.disallow:
-            if p and path.startswith(p) and len(p) > best_len:
+            if p and len(p) > best_len and self._matches(p, path):
                 best_len, best_allow = len(p), False
         for p in self.allow:
-            if p and path.startswith(p) and len(p) >= best_len:
+            if p and len(p) >= best_len and self._matches(p, path):
                 best_len, best_allow = len(p), True
         return best_allow
 

@@ -213,3 +213,28 @@ def test_frontier_merge_after_partial_drain():
         seqs.extend(f.next_wave(wave)["seq"].to_pylist())
         wave += 1
     assert seqs == list(range(3, 40))
+
+
+def test_robots_wildcards_and_anchors():
+    """REP wildcard semantics (round 3, Protego parity): * spans, $ anchors,
+    longest rule wins, tie prefers Allow."""
+    r = parse_robots("User-agent: *\n"
+                     "Disallow: /*.pdf$\n"
+                     "Disallow: /private*\n"
+                     "Allow: /private/ok\n"
+                     "Disallow: /exact$\n")
+    assert not r.is_allowed("/docs/file.pdf")
+    assert r.is_allowed("/docs/file.pdfx")          # $ anchor
+    assert not r.is_allowed("/private/stuff")
+    assert r.is_allowed("/private/ok/page")          # longer Allow wins
+    assert not r.is_allowed("/exact")
+    assert r.is_allowed("/exact/sub")
+    # star inside the path
+    r2 = parse_robots("User-agent: *\nDisallow: /a/*/c\n")
+    assert not r2.is_allowed("/a/b/c")
+    assert not r2.is_allowed("/a/xx/yy/c")
+    assert r2.is_allowed("/a/b/d")
+    # plain prefixes unchanged
+    r3 = parse_robots("User-agent: *\nDisallow: /hotel/\n")
+    assert not r3.is_allowed("/hotel/1")
+    assert r3.is_allowed("/restaurant/1")
