@@ -39,6 +39,7 @@ def _registry() -> dict[str, tuple]:
     from scrapy_ray.pipelines.queries2 import QUERIES2
     from scrapy_ray.pipelines.queries3 import QUERIES3
     from scrapy_ray.pipelines.queries4 import QUERIES4
+    from scrapy_ray.pipelines.queries5 import QUERIES5
     from scrapy_ray.pipelines.skew import SKEW_QUERIES
     from scrapy_ray.pipelines.textqual import TEXTQUAL_QUERIES
     from scrapy_ray.pipelines.training import TRAINING_QUERIES
@@ -48,6 +49,7 @@ def _registry() -> dict[str, tuple]:
     reg.update(QUERIES2)
     reg.update(QUERIES3)
     reg.update(QUERIES4)
+    reg.update(QUERIES5)
     reg.update(TRAINING_QUERIES)
     reg.update(TEXTQUAL_QUERIES)
     reg.update(MULTIMODAL_QUERIES)

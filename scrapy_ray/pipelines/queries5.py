@@ -1,0 +1,261 @@
+"""Fifth oracle-query batch (round 3, cont.): LLM-corpus hygiene operators
+— paragraph-level exact dedup with document reassembly (the Dolma/C4-style
+"drop repeated paragraphs corpus-wide" pass), PII redaction (regex scrub +
+per-kind counts), and a ROLLUP aggregate (distributed fine-grained cells +
+driver-side rollup of the tiny cell table).
+
+All three are oracle-checked against DuckDB on the same parquet inputs.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import polars as pl
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Sum
+
+from scrapy_ray.pipelines.queries import _cents, _pq
+
+# ---------------------------------------------------------------------------
+# paragraph (chunk) level exact dedup
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 8          # synthetic docs are single-line token soup; a
+                           # "paragraph" is a disjoint 8-token window (the
+                           # operator shape — explode -> corpus-wide
+                           # keep-first -> reassemble — is what matters)
+_IDX_BASE = 100_000        # rank = doc_id*_IDX_BASE + chunk_idx; docs are
+                           # far below 100k chunks, doc_ids far below 9e13
+_N_PARTS = 256             # salted coarse partitions (per-group dispatch over
+                           # millions of tiny chunk groups is the measured
+                           # hot spot — see training.py sig_bands)
+
+
+def q_paragraph_dedup(sf_dir: str):
+    """Corpus-wide paragraph-level exact dedup + reassembly: explode docs
+    into disjoint 8-token chunks, keep only the FIRST occurrence of each
+    distinct chunk (min (doc_id, chunk_idx) across the whole corpus), then
+    rebuild each document from its surviving chunks in order.
+
+    Scale shape: two hash shuffles, no driver state — (1) chunks shuffle by
+    a salted chunk-hash key, keep-first resolved vectorized inside each of
+    ~256 coarse partitions; (2) survivors shuffle by a coarse doc key and
+    reassemble vectorized. Documents losing every chunk drop entirely
+    (both sides). At 100 TB each partition holds 1/256 of distinct chunks —
+    block-sized; skew on a mega-duplicated chunk is bounded because only
+    (chunk, min-rank) survives the in-partition groupby.
+    """
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t["text"].to_pylist()
+        chunks: list[str] = []
+        n_per = np.empty(len(ids), dtype=np.int64)
+        for i, s in enumerate(texts):
+            toks = s.split(" ")
+            n = (len(toks) + _CHUNK_TOKENS - 1) // _CHUNK_TOKENS
+            n_per[i] = n
+            for g in range(n):
+                chunks.append(" ".join(toks[g * _CHUNK_TOKENS:(g + 1) * _CHUNK_TOKENS]))
+        ids_r = np.repeat(ids, n_per)
+        idx_r = np.concatenate([np.arange(n) for n in n_per]) if len(ids) else np.empty(0, np.int64)
+        gkey = (pl.Series(chunks).hash(seed=42).to_numpy() % _N_PARTS).astype(np.int32) \
+            if chunks else np.empty(0, np.int32)
+        return pa.table({
+            "doc_id": pa.array(ids_r),
+            "chunk_idx": pa.array(idx_r.astype(np.int64)),
+            "chunk": pa.array(chunks, type=pa.string()),
+            "n_chunks": pa.array(np.repeat(n_per, n_per)),
+            "rnk": pa.array(ids_r * _IDX_BASE + idx_r),
+            "gkey": pa.array(gkey),
+        })
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+
+    def keep_first(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df.groupby("chunk")["rnk"].transform("min") == df["rnk"]
+        out = df.loc[keep, ["doc_id", "chunk_idx", "chunk", "n_chunks"]].copy()
+        out["dkey"] = (out["doc_id"] % _N_PARTS).astype(np.int32)
+        return out
+
+    survivors = exploded.groupby("gkey").map_groups(keep_first, batch_format="pandas")
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "chunk_idx"], kind="mergesort")
+        g = df.groupby("doc_id")
+        out = g.agg(dedup_text=("chunk", " ".join),
+                    n_chunks=("n_chunks", "first"),
+                    n_kept=("chunk", "size")).reset_index()
+        return out
+
+    out = survivors.groupby("dkey").map_groups(reassemble, batch_format="pandas")
+    df = out.to_pandas()
+    for c in ("doc_id", "n_chunks", "n_kept"):
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_PARAGRAPH_DEDUP = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), chunks AS (
+  SELECT doc_id, gs.g AS chunk_idx,
+         array_to_string(ts[(gs.g*8+1):(gs.g*8+8)], ' ') AS chunk,
+         CAST(ceil(len(ts)/8.0) AS BIGINT) AS n_chunks,
+         doc_id*100000 + gs.g AS rnk
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(0, CAST(ceil(len(ts)/8.0) AS INT) - 1)) AS g
+  ) gs
+), keep AS (
+  SELECT chunk, min(rnk) AS krnk FROM chunks GROUP BY chunk
+)
+SELECT c.doc_id,
+       string_agg(c.chunk, ' ' ORDER BY c.chunk_idx) AS dedup_text,
+       any_value(c.n_chunks) AS n_chunks,
+       COUNT(*)::BIGINT AS n_kept
+FROM chunks c JOIN keep k ON c.chunk = k.chunk AND c.rnk = k.krnk
+GROUP BY c.doc_id
+ORDER BY c.doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Patterns chosen to behave identically under Python re and DuckDB's RE2
+# (ASCII classes, \b, bounded quantifiers only).
+_PAT_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PAT_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PAT_PHONE = r"\b\d{3}-\d{4}\b"
+
+_RE_EMAIL = re.compile(_PAT_EMAIL)
+_RE_IP = re.compile(_PAT_IP)
+_RE_PHONE = re.compile(_PAT_PHONE)
+
+
+def q_pii_redact(sf_dir: str):
+    """PII redaction pass (the CCNet/Dolma-style scrub before training):
+    mask emails, IPv4 addresses and phone-shaped numbers, emitting the
+    redacted text plus per-kind match counts. The synthetic token-soup
+    corpus contains no organic PII, so both sides append a deterministic
+    doc_id-derived contact line first — the regexes are exercised on every
+    row and the oracle replays the identical construction.
+
+    Pure map (compiled regexes, pandas vectorized str ops) — embarrassingly
+    parallel, no shuffle; the scale cost is exactly one pass over text.
+    """
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def red(df: pd.DataFrame) -> pd.DataFrame:
+        did = df["doc_id"].astype(np.int64)
+        aug = (df["text"] + " contact user" + did.astype(str)
+               + "@mail.example.com from 10." + (did % 200).astype(str)
+               + ".3.7 call 555-" + (1000 + did % 9000).astype(str))
+        n_emails = aug.str.count(_RE_EMAIL)
+        s1 = aug.str.replace(_RE_EMAIL, "<EMAIL>", regex=True)
+        n_ips = s1.str.count(_RE_IP)
+        s2 = s1.str.replace(_RE_IP, "<IP>", regex=True)
+        n_phones = s2.str.count(_RE_PHONE)
+        s3 = s2.str.replace(_RE_PHONE, "<PHONE>", regex=True)
+        return pd.DataFrame({
+            "doc_id": did,
+            "n_emails": n_emails.astype(np.int64),
+            "n_ips": n_ips.astype(np.int64),
+            "n_phones": n_phones.astype(np.int64),
+            "redacted": s3,
+        })
+
+    df = ds.map_batches(red, batch_format="pandas").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_PII_REDACT = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@mail.example.com from 10.'
+              || (doc_id % 200) || '.3.7 call 555-' || (1000 + doc_id % 9000) AS a
+  FROM documents
+), e AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(a, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+         regexp_replace(a, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS s1
+  FROM aug
+), i AS (
+  SELECT doc_id, n_emails,
+         CAST(len(regexp_extract_all(s1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+         regexp_replace(s1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS s2
+  FROM e
+)
+SELECT doc_id, n_emails, n_ips,
+       CAST(len(regexp_extract_all(s2, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+       regexp_replace(s2, '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
+FROM i
+ORDER BY doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# ROLLUP aggregate
+# ---------------------------------------------------------------------------
+
+
+def q_revenue_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(status, priority) over orders: revenue + counts at
+    three granularities (cell, per-status, grand total), 'ALL' as the
+    rolled-up sentinel. Scale shape: ONE distributed groupby at the finest
+    granularity; coarser levels are re-aggregated driver-side from the tiny
+    cell table (|statuses| x |priorities| rows) — the standard rollup
+    optimization, no second pass over the fact table.
+    """
+    ds = _pq(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pa.table({
+            "o_orderstatus": t["o_orderstatus"],
+            "o_orderpriority": t["o_orderpriority"],
+            "pc": _cents(t["o_totalprice"]),
+        }).to_pandas()
+        g = (df.groupby(["o_orderstatus", "o_orderpriority"])
+               .agg(n_orders=("pc", "size"), sum_price_cents=("pc", "sum"))
+               .reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    fine = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["o_orderstatus", "o_orderpriority"])
+              .aggregate(Sum("n_orders", alias_name="n_orders"),
+                         Sum("sum_price_cents", alias_name="sum_price_cents")))
+    df = fine.to_pandas()   # tiny: one row per (status, priority) cell
+
+    lvl1 = (df.groupby("o_orderstatus", as_index=False)[["n_orders", "sum_price_cents"]]
+              .sum())
+    lvl1["o_orderpriority"] = "ALL"
+    total = pd.DataFrame({"o_orderstatus": ["ALL"], "o_orderpriority": ["ALL"],
+                          "n_orders": [df["n_orders"].sum()],
+                          "sum_price_cents": [df["sum_price_cents"].sum()]})
+    out = pd.concat([df, lvl1, total], ignore_index=True)
+    for c in ("n_orders", "sum_price_cents"):
+        out[c] = out[c].astype(np.int64)
+    return (out[["o_orderstatus", "o_orderpriority", "n_orders", "sum_price_cents"]]
+            .sort_values(["o_orderstatus", "o_orderpriority"]).reset_index(drop=True))
+
+
+SQL_REVENUE_ROLLUP = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       COUNT(*)::BIGINT AS n_orders,
+       SUM(CAST(round(o_totalprice*100) AS BIGINT))::BIGINT AS sum_price_cents
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+ORDER BY 1, 2
+"""
+
+
+QUERIES5 = {
+    "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
+    "pii_redact": (q_pii_redact, SQL_PII_REDACT),
+    "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
+}

@@ -48,6 +48,9 @@ SUBSET = [
     "group_sample_docs",
     "native_join_revenue_by_status",
     "token_budget_sample",
+    "paragraph_dedup",
+    "pii_redact",
+    "revenue_rollup",
 ]
 
 
