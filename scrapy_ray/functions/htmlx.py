@@ -47,6 +47,25 @@ _RELATED = re.compile(rb'<a class="related-link" href="([^"]+)">')
 # contain an apostrophe (and vice versa); a backreference class [^"'] would
 # silently drop those links (lxml's LinkExtractor captures them).
 _ANY_HREF = re.compile(rb'<a\b[^>]*\bhref=(?:"([^"]+)"|\'([^\']+)\')')
+# Only the FIRST <base href> counts (HTML spec; [S:scrapy/utils/response.py
+# get_base_url] via w3lib.html.get_base_url — Scrapy resolves every relative
+# link against it). Quoted or unquoted attribute value.
+_BASE_HREF = re.compile(
+    rb'<base\b[^>]*\bhref\s*=\s*(?:"([^"]*)"|\'([^\']*)\'|([^\s"\'>]+))', re.I)
+
+
+def base_url(page_url: str, html: bytes) -> str:
+    """Effective base for resolving this page's relative links: the first
+    ``<base href>`` joined against the page URL, else the page URL itself."""
+    m = _BASE_HREF.search(html)
+    if not m:
+        return page_url
+    href = _u(m.group(1) or m.group(2) or m.group(3) or b"").strip()
+    if not href:
+        return page_url
+    from urllib.parse import urljoin
+
+    return urljoin(page_url, href)
 
 
 def _u(b: bytes) -> str:

@@ -28,7 +28,8 @@ from scrapy_ray import schemas
 from scrapy_ray.config import CrawlConfig
 from scrapy_ray.functions.compress import maybe_decompress
 from scrapy_ray.functions.hashing import hash64_one
-from scrapy_ray.functions.htmlx import extract_detail, extract_links, visible_text
+from scrapy_ray.functions.htmlx import (base_url, extract_detail,
+                                        extract_links, visible_text)
 from scrapy_ray.functions.textnorm import parse_price, parse_rating
 from scrapy_ray.functions.urlnorm import canonicalize_url, host_of, urljoin_many
 from scrapy_ray.sources.corpus import corpus_paths
@@ -234,7 +235,7 @@ def simulate_crawl(corpus_root: str, cfg: CrawlConfig | None = None,
                         items_cols["reviews"].append(d["reviews"])
                         items_cols["extracted_text"].append(visible_text(html))
                 raw_links = extract_links(html)
-            for u in urljoin_many(c["url"], raw_links):
+            for u in urljoin_many(base_url(c["url"], html), raw_links):
                 cu = canonicalize_url(u)
                 cands.append({"url": cu, "host": host_of(cu),
                               "depth": c["depth"] + 1, "priority": 0})

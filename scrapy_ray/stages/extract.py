@@ -16,7 +16,8 @@ import numpy as np
 import pyarrow as pa
 
 from scrapy_ray import schemas
-from scrapy_ray.functions.htmlx import extract_detail, extract_listing, visible_text
+from scrapy_ray.functions.htmlx import (base_url, extract_detail,
+                                        extract_listing, visible_text)
 from scrapy_ray.functions.textnorm import parse_price, parse_rating
 
 _KIND = re.compile(r"https?://[^/]+/(listing|hotel|restaurant)/")
@@ -93,7 +94,7 @@ def extract_listing_cards_batch(t: pa.Table) -> pa.Table:
         if cb != "parse_listing":
             continue
         li = extract_listing(html)
-        hrefs = urljoin_many(url, [c["detail_href"] for c in li["cards"]])
+        hrefs = urljoin_many(base_url(url, html), [c["detail_href"] for c in li["cards"]])
         for c, href in zip(li["cards"], hrefs):
             cols["url"].append(url)
             cols["detail_url"].append(href)

@@ -23,7 +23,7 @@ import pyarrow.compute as pc
 from scrapy_ray import schemas
 from scrapy_ray.config import CrawlConfig
 from scrapy_ray.functions.hashing import hash64
-from scrapy_ray.functions.htmlx import extract_links
+from scrapy_ray.functions.htmlx import base_url, extract_links
 from scrapy_ray.functions.urlnorm import canonicalize_urls, hosts_of, urljoin_many
 from scrapy_ray.stages.extract import classify_callback
 
@@ -51,7 +51,7 @@ def extract_links_batch(t: pa.Table) -> pa.Table:
         hrefs = extract_links(html)
         if not hrefs:
             continue
-        abs_urls = urljoin_many(url, hrefs)
+        abs_urls = urljoin_many(base_url(url, html), hrefs)
         d = int(depth) + 1
         out_url.extend(abs_urls)
         out_parent.extend([url] * len(abs_urls))

@@ -23,7 +23,8 @@ import pyarrow.compute as pc
 
 from scrapy_ray import schemas
 from scrapy_ray.functions.hashing import hash64
-from scrapy_ray.functions.htmlx import extract_detail, extract_links, visible_text
+from scrapy_ray.functions.htmlx import (base_url, extract_detail,
+                                        extract_links, visible_text)
 from scrapy_ray.functions.textnorm import parse_price, parse_rating
 from scrapy_ray.functions.urlnorm import canonicalize_urls, hosts_of, urljoin_many
 from scrapy_ray.stages.extract import _KIND, classify_callback
@@ -97,7 +98,7 @@ def parse_page_batch(t: pa.Table, handlers: dict | None = None,
             res = (handler(url, html) or {}) if ok else {}
             item_ok, item = _item_from_handler(res.get("item"), cb, html)
             raw = res.get("links", [])
-            links = canonicalize_urls(urljoin_many(url, raw)) if (ok and raw) else []
+            links = canonicalize_urls(urljoin_many(base_url(url, html), raw)) if (ok and raw) else []
             cols["item_type"].append(item.get("item_type") if item_ok else None)
             cols["name"].append(item.get("name") if item_ok else None)
             cols["address"].append(item.get("address") if item_ok else None)
@@ -124,7 +125,7 @@ def parse_page_batch(t: pa.Table, handlers: dict | None = None,
             cols["review_count"].append(d["review_count"] if item_ok else None)
             cols["reviews"].append(d["reviews"] if item_ok else None)
             cols["extracted_text"].append(visible_text(html) if item_ok else None)
-            links = canonicalize_urls(urljoin_many(url, extract_links(html))) if ok else []
+            links = canonicalize_urls(urljoin_many(base_url(url, html), extract_links(html))) if ok else []
         cols["url"].append(url)
         cols["seq"].append(seq)
         cols["depth"].append(depth)

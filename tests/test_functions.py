@@ -266,6 +266,33 @@ def test_extract_links_quote_inside_other_delimiter():
     assert extract_links(html) == ['/o\'brien/hotel', '/say-"hi"/page', "/plain"]
 
 
+def test_base_href_resolution():
+    """<base href> parity with w3lib get_base_url: first base wins, joined
+    against the page URL; absent/empty base falls back to the page URL.
+    Engine, simulator and extract stages all resolve links through this one
+    helper, so the unit pin covers every join site."""
+    from scrapy_ray.functions.htmlx import base_url
+    from scrapy_ray.functions.urlnorm import urljoin_many
+
+    page = "http://h0.example.com/listing/1?page=2"
+    assert base_url(page, b"<html><a href='x'>y</a></html>") == page
+    # quoted, relative: joined against the page URL
+    assert base_url(page, b'<head><base href="/sub/dir/"></head>') == \
+        "http://h0.example.com/sub/dir/"
+    # absolute base replaces host; unquoted attribute form
+    assert base_url(page, b"<base target=_blank href=http://cdn.example.org/a/>") == \
+        "http://cdn.example.org/a/"
+    # first base wins (HTML spec)
+    two = b'<base href="/first/"><base href="/second/">'
+    assert base_url(page, two) == "http://h0.example.com/first/"
+    # empty href ignored
+    assert base_url(page, b'<base href="">') == page
+    # end-to-end: relative links resolve against the base, not the page
+    assert urljoin_many(base_url(page, b'<base href="/sub/">'),
+                        ["a.html", "/root.html"]) == \
+        ["http://h0.example.com/sub/a.html", "http://h0.example.com/root.html"]
+
+
 def test_hash_sample_uint64_matches_duckdb_at_large_ids():
     """Regression (r3 ADVICE): the sampling hash must agree with the SQL
     oracle past event_id ~3.5e9 where int64*const overflows int64 silently
