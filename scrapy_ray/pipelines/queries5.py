@@ -254,8 +254,160 @@ ORDER BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    """Top-3 TF-IDF terms per document (score = tf * ln(N/df)), the
+    classic retrieval / keyword-extraction kernel. Scores are quantized to
+    integer micros on BOTH sides (floats never compared raw; ranking also
+    uses the quantized integer, so selection can't diverge on a last-ulp
+    ln() difference between numpy and DuckDB).
+
+    Scale shape: explode -> (doc,term,tf) partials in-batch ->
+    groupby(term) gives df as the group size AND attaches it to each
+    posting (one shuffle, salted to ~256 coarse partitions) ->
+    groupby(doc) top-3 (second shuffle, salted). No driver state; the df
+    side is never materialized separately — it rides the postings.
+    """
+    from scrapy_ray.pipelines.queries import _nrows
+
+    n_docs = _nrows(sf_dir, "documents")
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def postings(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t["text"].to_pylist()
+        rows_doc, rows_term, rows_tf = [], [], []
+        for d, s in zip(ids, texts):
+            vals, counts = np.unique(s.split(" "), return_counts=True)
+            rows_doc.append(np.full(len(vals), d))
+            rows_term.append(vals)
+            rows_tf.append(counts)
+        doc = np.concatenate(rows_doc) if rows_doc else np.empty(0, np.int64)
+        term = np.concatenate(rows_term) if rows_term else np.empty(0, "U1")
+        tf = np.concatenate(rows_tf).astype(np.int64) if rows_tf else np.empty(0, np.int64)
+        gkey = (pl.Series(term.tolist()).hash(seed=42).to_numpy() % _N_PARTS).astype(np.int32) \
+            if len(term) else np.empty(0, np.int32)
+        return pa.table({"doc_id": pa.array(doc), "term": pa.array(term.tolist()),
+                         "tf": pa.array(tf), "gkey": pa.array(gkey)})
+
+    post = ds.map_batches(postings, batch_format="pyarrow")
+
+    def attach_df(df: pd.DataFrame) -> pd.DataFrame:
+        # postings are distinct per (doc, term), so df == term group size
+        out = df[["doc_id", "term", "tf"]].copy()
+        out["df"] = df.groupby("term")["term"].transform("size").astype(np.int64)
+        out["dkey"] = (out["doc_id"] % _N_PARTS).astype(np.int32)
+        return out
+
+    scored = post.groupby("gkey").map_groups(attach_df, batch_format="pandas")
+
+    def top3(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["tf"].to_numpy() * np.log(float(n_docs) / df["df"].to_numpy())
+        # half-away-from-zero quantization (scores are >= 0 here)
+        df = df.assign(score_micro=np.floor(s * 1e6 + 0.5).astype(np.int64))
+        df = df.sort_values(["doc_id", "score_micro", "term"],
+                            ascending=[True, False, True], kind="mergesort")
+        return df.groupby("doc_id").head(3)[
+            ["doc_id", "term", "tf", "df", "score_micro"]]
+
+    out = scored.groupby("dkey").map_groups(top3, batch_format="pandas")
+    df = out.to_pandas()
+    for c in ("doc_id", "tf", "df", "score_micro"):
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values(["doc_id", "term"]).reset_index(drop=True)
+
+
+SQL_TFIDF_TOP_TERMS = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term
+), dfq AS (
+  SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+         CAST(round(1000000.0 * tf.tf *
+              ln((SELECT COUNT(*) FROM documents)::DOUBLE / dfq.df)) AS BIGINT)
+           AS score_micro
+  FROM tf JOIN dfq USING (term)
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY score_micro DESC, term) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tf, df, score_micro
+FROM ranked WHERE rn <= 3
+ORDER BY doc_id, term
+"""
+
+# ---------------------------------------------------------------------------
+# grouped quantiles
+# ---------------------------------------------------------------------------
+
+_GQ = (0.25, 0.5, 0.9)
+
+
+def q_grouped_quantiles(sf_dir: str):
+    """Per-language discrete quantiles of document length — the grouped
+    variant of value_quantiles (queries3.py): same histogram-merge shape,
+    no global sort. map_batches emits (lang, n_chars, count) partials; one
+    distributed groupby sums the cells; a per-lang map_groups over the
+    TINY cell table walks the cumulative histogram to the DuckDB
+    quantile_disc rank (1-based ceil(q*n)). Values stay integers end to
+    end."""
+    ds = _pq(sf_dir, "documents", ["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pa.table({"lang": t["lang"], "n_chars": t["n_chars"]}).to_pandas()
+        g = df.groupby(["lang", "n_chars"]).size().rename("cnt").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby(["lang", "n_chars"])
+               .aggregate(Sum("cnt", alias_name="cnt")))
+
+    def qdisc(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("n_chars", kind="mergesort")
+        vals = df["n_chars"].to_numpy()
+        cum = df["cnt"].to_numpy().cumsum()
+        n = int(cum[-1])
+        rows = []
+        for q in _GQ:
+            rank = int(np.ceil(q * n))          # 1-based, DuckDB quantile_disc
+            idx = int(np.searchsorted(cum, rank))
+            rows.append({"lang": df["lang"].iloc[0], "q": q,
+                         "n_chars_q": int(vals[idx])})
+        return pd.DataFrame(rows)
+
+    out = cells.groupby("lang").map_groups(qdisc, batch_format="pandas")
+    df = out.to_pandas()
+    df["n_chars_q"] = df["n_chars_q"].astype(np.int64)
+    return df.sort_values(["lang", "q"]).reset_index(drop=True)
+
+
+SQL_GROUPED_QUANTILES = """
+WITH g AS (
+  SELECT lang,
+         quantile_disc(n_chars, 0.25)::BIGINT AS q25,
+         quantile_disc(n_chars, 0.5)::BIGINT  AS q50,
+         quantile_disc(n_chars, 0.9)::BIGINT  AS q90
+  FROM documents GROUP BY lang
+)
+SELECT lang, CAST(0.25 AS DOUBLE) AS q, q25 AS n_chars_q FROM g
+UNION ALL SELECT lang, CAST(0.5 AS DOUBLE), q50 FROM g
+UNION ALL SELECT lang, CAST(0.9 AS DOUBLE), q90 FROM g
+ORDER BY lang, q
+"""
+
+
 QUERIES5 = {
     "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "grouped_quantiles": (q_grouped_quantiles, SQL_GROUPED_QUANTILES),
 }

@@ -51,6 +51,8 @@ SUBSET = [
     "paragraph_dedup",
     "pii_redact",
     "revenue_rollup",
+    "tfidf_top_terms",
+    "grouped_quantiles",
 ]
 
 
