@@ -404,10 +404,139 @@ ORDER BY lang, q
 """
 
 
+# ---------------------------------------------------------------------------
+# edit-distance nearest neighbor (within-language blocking)
+# ---------------------------------------------------------------------------
+
+_ED_PREFIX = 32     # compare 32-char prefixes (docs are all longer)
+_ED_STRIDE = 10     # bounded oracle subset: doc_id % 10 == 0 (all-pairs
+                    # within a language is quadratic BY DEFINITION — like
+                    # token_jaccard_pairs, the subset makes the exact oracle
+                    # feasible; LSH/SimHash are this repo's scale paths)
+
+
+def _lev_block(prefixes: list[str]) -> np.ndarray:
+    """All-pairs Levenshtein over one blocking group, DP vectorized ACROSS
+    pairs (numpy row sweep: 2*L^2 vector ops total, no per-pair loop).
+    Returns a condensed (n*(n-1)/2,) distance array in triu order."""
+    n = len(prefixes)
+    L = _ED_PREFIX
+    codes = np.zeros((n, L), dtype=np.int32)
+    lens = np.empty(n, dtype=np.int32)
+    for i, s in enumerate(prefixes):
+        b = [ord(c) for c in s[:L]]
+        lens[i] = len(b)
+        codes[i, :len(b)] = b
+    ii, jj = np.triu_indices(n, k=1)
+    A, B = codes[ii], codes[jj]
+    P = len(ii)
+    prev = np.tile(np.arange(L + 1, dtype=np.int32), (P, 1))
+    full = np.empty((P,), dtype=np.int32)
+    # all prefixes are full-length on this corpus (min doc length > 32);
+    # guard anyway: variable-length pairs take a scalar fallback below
+    uniform = bool((lens == L).all())
+    for i in range(1, L + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        sub = prev[:, :-1] + (A[:, i - 1][:, None] != B).astype(np.int32)
+        ins_del = prev[:, 1:] + 1
+        for j in range(1, L + 1):
+            cur[:, j] = np.minimum(np.minimum(ins_del[:, j - 1], cur[:, j - 1] + 1),
+                                   sub[:, j - 1])
+        prev = cur
+    full = prev[:, L]
+    if not uniform:
+        for k in range(P):
+            la, lb = int(lens[ii[k]]), int(lens[jj[k]])
+            if la == L and lb == L:
+                continue
+            a, b = prefixes[ii[k]][:la], prefixes[jj[k]][:lb]
+            d = list(range(lb + 1))
+            for x in range(1, la + 1):
+                nd = [x] + [0] * lb
+                for y in range(1, lb + 1):
+                    nd[y] = min(d[y] + 1, nd[y - 1] + 1,
+                                d[y - 1] + (a[x - 1] != b[y - 1]))
+                d = nd
+            full[k] = d[lb]
+    return full
+
+
+def q_edit_distance_nn(sf_dir: str):
+    """Edit-distance nearest neighbor per document (within-language
+    blocking): for each sampled doc, the same-language doc whose 32-char
+    prefix has the smallest Levenshtein distance (ties -> smallest
+    doc_id). A fuzzy-dedup modality the MinHash/SimHash family can't
+    express (character-level edits, not token overlap).
+
+    Scale shape: blocking key (lang) bounds each group; the all-pairs DP
+    inside a block is vectorized across pairs. Like token_jaccard_pairs,
+    the oracle subset (doc_id % 10 == 0) keeps the exact quadratic oracle
+    feasible — at scale the same blocking runs per LSH bucket instead of
+    per language."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = t.filter(pa.array(ids % _ED_STRIDE == 0))
+        pref = pa.array([s[:_ED_PREFIX] for s in t["text"].to_pylist()])
+        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"], "p": pref})
+
+    def nn_block(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+        n = len(df)
+        if n < 2:
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "nn_doc_id": pd.Series(dtype=np.int64),
+                                 "dist": pd.Series(dtype=np.int64)})
+        dist = _lev_block(df["p"].tolist())
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        ii, jj = np.triu_indices(n, k=1)
+        # symmetric NN, vectorized: mirror the condensed pairs, lexsort by
+        # (row, dist, neighbor id), take the first entry per row
+        rows = np.concatenate([ii, jj])
+        nbrs = np.concatenate([jj, ii])
+        d2 = np.concatenate([dist, dist]).astype(np.int64)
+        order = np.lexsort((ids[nbrs], d2, rows))
+        rows_s = rows[order]
+        first = np.empty(len(rows_s), dtype=bool)
+        first[0] = True
+        first[1:] = rows_s[1:] != rows_s[:-1]
+        sel = order[first]
+        return pd.DataFrame({"doc_id": ids[rows[sel]],
+                             "nn_doc_id": ids[nbrs[sel]],
+                             "dist": d2[sel]})
+
+    out = (ds.map_batches(sample, batch_format="pyarrow")
+             .groupby("lang").map_groups(nn_block, batch_format="pandas"))
+    df = out.to_pandas()
+    for c in ("doc_id", "nn_doc_id", "dist"):
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_EDIT_DISTANCE_NN = """
+WITH s AS (
+  SELECT doc_id, lang, substr(text, 1, 32) AS p
+  FROM documents WHERE doc_id % 10 = 0
+), pairs AS (
+  SELECT a.doc_id AS doc_id, b.doc_id AS nn_doc_id,
+         levenshtein(a.p, b.p)::BIGINT AS dist
+  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+), r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY dist, nn_doc_id) AS rn
+  FROM pairs
+)
+SELECT doc_id, nn_doc_id, dist FROM r WHERE rn = 1 ORDER BY doc_id
+"""
+
+
 QUERIES5 = {
     "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "grouped_quantiles": (q_grouped_quantiles, SQL_GROUPED_QUANTILES),
+    "edit_distance_nn": (q_edit_distance_nn, SQL_EDIT_DISTANCE_NN),
 }

@@ -53,6 +53,7 @@ SUBSET = [
     "revenue_rollup",
     "tfidf_top_terms",
     "grouped_quantiles",
+    "edit_distance_nn",
 ]
 
 
