@@ -40,6 +40,9 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--sitemap-seeds", default=None, metavar="PATH",
                    help="seed from a sitemap.xml / index / directory instead "
                         "of the corpus seeds.parquet ([S:SitemapSpider])")
+    c.add_argument("--deltafetch", default=None, metavar="ITEMS",
+                   help="previous crawl's items parquet (file or dir): skip "
+                        "pages that already yielded items (DeltaFetch)")
     c.add_argument("--retry-max", type=int, default=0,
                    help="retry 5xx fetches up to N times with lowered priority")
     c.add_argument("--frontier-shards", type=int, default=4)
@@ -89,6 +92,7 @@ def main(argv: list[str] | None = None) -> int:
                 checkpoint_dir=args.checkpoint,
                 autothrottle=args.autothrottle,
                 retry_max=args.retry_max,
+                deltafetch_items=args.deltafetch,
             )
             seeds = None
             if args.sitemap_seeds:

@@ -73,6 +73,14 @@ class CrawlConfig:
     url_length_limit: int = 2083     # URLLENGTH_LIMIT
     allowed_domains: tuple[str, ...] = ()  # empty = allow all (offsite filter off)
 
+    # DeltaFetch ([S:scrapy-plugins/scrapy-deltafetch]): incremental
+    # re-crawl — skip pages whose URL yielded an item in a previous crawl.
+    # Points at that crawl's items output (a parquet file or a directory of
+    # wave partitions); the URLs are pre-marked seen before seeding, so the
+    # dupefilter drops them exactly like any revisit (listing/nav pages are
+    # unaffected — they produce no items). Simulator-mirrored.
+    deltafetch_items: str | None = None
+
     # close-spider limits ([S:scrapy/extensions/closespider.py])
     max_pages: int = 0               # CLOSESPIDER_PAGECOUNT, 0 = unlimited
     max_items: int = 0               # CLOSESPIDER_ITEMCOUNT

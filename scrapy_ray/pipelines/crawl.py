@@ -40,7 +40,8 @@ from scrapy_ray import schemas
 from scrapy_ray.config import CrawlConfig
 from scrapy_ray.functions.hashing import hash64
 from scrapy_ray.functions.urlnorm import canonicalize_urls, hosts_of
-from scrapy_ray.sources.readers import read_robots, read_seeds
+from scrapy_ray.sources.readers import (read_deltafetch_urls, read_robots,
+                                        read_seeds)
 from scrapy_ray.stages.extract import classify_callback
 from scrapy_ray.stages.fetch import fetch_parse_wave
 from scrapy_ray.stages.links import filter_links
@@ -329,6 +330,17 @@ class CrawlEngine:
     def seed(self, seeds: list[dict] | None = None) -> None:
         self._seeds = seeds  # kept for checkpoint-less recovery (recover())
         self._stamp()
+        if self.cfg.deltafetch_items:
+            # DeltaFetch: pre-mark item-producing URLs from the previous
+            # crawl as seen BEFORE seeding — the dupefilter then drops them
+            # like any revisit. Idempotent (check_and_add dedups), so a
+            # checkpoint-less recover() replaying seed() is safe.
+            prev = read_deltafetch_urls(self.cfg.deltafetch_items)
+            if prev:
+                self.urlseen.filter_new(pa.table({
+                    "url": pa.array(prev, type=pa.string()),
+                    "url_hash": pa.array(hash64(prev), type=pa.uint64()),
+                }))
         cand = seeds_to_links(seeds if seeds is not None else read_seeds(self.root))
         fresh = self.urlseen.filter_new(cand)
         rows = _links_to_frontier(fresh, self.next_seq)

@@ -68,6 +68,12 @@ def simulate_crawl(corpus_root: str, cfg: CrawlConfig | None = None,
         seeds = pq.read_table(paths["seeds"]).to_pylist()
 
     seen: dict[int, str] = {}
+    if cfg.deltafetch_items:
+        # DeltaFetch mirror (see CrawlConfig.deltafetch_items / engine seed())
+        from scrapy_ray.sources.readers import read_deltafetch_urls
+
+        for u in read_deltafetch_urls(cfg.deltafetch_items):
+            seen[hash64_one(u)] = u
     queues: dict[str, list] = defaultdict(list)
     last_emit: dict[str, int] = {}
     at_delay: dict[str, float] = {}   # F4 mirror (see config.py)

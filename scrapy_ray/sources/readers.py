@@ -36,6 +36,27 @@ def read_seeds(root: str) -> list[dict]:
     return pq.read_table(corpus_paths(root)["seeds"]).to_pylist()
 
 
+def read_deltafetch_urls(path: str) -> list[str]:
+    """URLs that yielded items in a previous crawl (DeltaFetch state,
+    [S:scrapy-plugins/scrapy-deltafetch]): ``path`` is that crawl's items
+    parquet — a single file or a directory of wave partitions. Item URLs
+    are already canonical (the engine canonicalizes before fetch), tiny
+    relative to the corpus, and read driver-side like seeds."""
+    import glob
+    import os
+
+    files = ([path] if os.path.isfile(path) else
+             sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)))
+    out: list[str] = []
+    seen: set[str] = set()
+    for f in files:
+        for u in pq.read_table(f, columns=["url"])["url"].to_pylist():
+            if u not in seen:
+                seen.add(u)
+                out.append(u)
+    return out
+
+
 def read_robots(root: str) -> dict[str, str]:
     """host -> robots.txt body; small per-host table, broadcast to frontier shards."""
     t = pq.read_table(corpus_paths(root)["robots"])

@@ -187,3 +187,27 @@ def test_retry_middleware_engine_matches_simulator(ray_session, e2e_corpus):
     # OFF by default: no URL fetched twice
     base = run_crawl(e2e_corpus, CrawlConfig(n_filter_shards=2, n_frontier_shards=3))
     assert max(Counter(base.crawl_order["url"].to_pylist()).values()) == 1
+
+
+def test_deltafetch_engine_matches_simulator(ray_session, e2e_corpus, tmp_path):
+    """DeltaFetch ([S:scrapy-plugins/scrapy-deltafetch]): a second crawl
+    pointed at the first crawl's items output skips every page that yielded
+    an item (pre-marked seen before seeding), still walks listing/nav
+    pages, and stays engine==simulator."""
+    cfg = CrawlConfig(n_filter_shards=2, n_frontier_shards=2)
+    full = run_crawl(e2e_corpus, cfg)
+    assert len(full.items) > 0
+    items_path = os.path.join(str(tmp_path), "items.parquet")
+    pq.write_table(full.items, items_path)
+
+    cfg2 = CrawlConfig(n_filter_shards=2, n_frontier_shards=2,
+                       deltafetch_items=items_path)
+    sim = simulate_crawl(e2e_corpus, cfg2)
+    eng = run_crawl(e2e_corpus, cfg2)
+    _assert_equal(sim, eng)
+    # every previously item-producing page is skipped -> zero items
+    assert len(eng.items) == 0
+    fetched = set(eng.crawl_order["url"].to_pylist())
+    assert fetched.isdisjoint(set(full.items["url"].to_pylist()))
+    # but the non-item (listing/nav) pages are still crawled
+    assert 0 < len(eng.crawl_order) < len(full.crawl_order)
