@@ -532,6 +532,67 @@ SELECT doc_id, nn_doc_id, dist FROM r WHERE rn = 1 ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis–Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+_WS_K = 20
+_WS_MULT = 2654435761
+_WS_MOD = 4294967296        # 2^32; pre-reduce before multiplying so the
+                            # product fits uint64 exactly (same latent-
+                            # overflow discipline as hash_sample_events)
+
+
+def q_weighted_sample_docs(sf_dir: str):
+    """Deterministic weighted sampling WITHOUT replacement (data-mixing
+    primitive): the Efraimidis–Spirakis exponential trick with a hash in
+    place of the RNG — key = -ln(u)/w with u derived from a multiplicative
+    hash of doc_id and w = n_chars; the K smallest keys are the sample.
+    Longer documents are proportionally more likely to be picked, and the
+    result is identical on any partitioning.
+
+    Scale shape: per-batch partial top-K on the key, then a final top-K
+    over the tiny partials (K rows per batch) — same partial/final shape
+    as ann_cosine_topk; the full corpus is never sorted. Keys are float64
+    but derive from integer hashes spread over [0,1) — cross-engine
+    ln() last-ulp noise cannot reorder keys that differ by >=1e-9."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def _keys(ids: np.ndarray, w: np.ndarray) -> np.ndarray:
+        h = ((ids.astype(np.uint64) % np.uint64(_WS_MOD)) * np.uint64(_WS_MULT)) \
+            % np.uint64(_WS_MOD)
+        u = (h.astype(np.float64) + 1.0) / float(_WS_MOD)
+        return -np.log(u) / w.astype(np.float64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = _keys(ids, w)
+        order = np.lexsort((ids, key))[:_WS_K]
+        return pa.table({"doc_id": pa.array(ids[order]),
+                         "n_chars": pa.array(w[order]),
+                         "key": pa.array(key[order])})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    order = np.lexsort((parts["doc_id"].to_numpy(), parts["key"].to_numpy()))[:_WS_K]
+    out = parts.iloc[order][["doc_id", "n_chars"]].reset_index(drop=True)
+    for c in ("doc_id", "n_chars"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+WITH k AS (
+  SELECT doc_id, n_chars,
+         -ln(((((doc_id::UBIGINT % {_WS_MOD}) * {_WS_MULT}) % {_WS_MOD})::DOUBLE + 1.0)
+             / {_WS_MOD}) / n_chars AS key
+  FROM documents
+)
+SELECT doc_id, n_chars FROM k
+ORDER BY key, doc_id LIMIT {_WS_K}
+"""
+
+
 QUERIES5 = {
     "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
@@ -539,4 +600,5 @@ QUERIES5 = {
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "grouped_quantiles": (q_grouped_quantiles, SQL_GROUPED_QUANTILES),
     "edit_distance_nn": (q_edit_distance_nn, SQL_EDIT_DISTANCE_NN),
+    "weighted_sample_docs": (q_weighted_sample_docs, SQL_WEIGHTED_SAMPLE),
 }

@@ -54,6 +54,7 @@ SUBSET = [
     "tfidf_top_terms",
     "grouped_quantiles",
     "edit_distance_nn",
+    "weighted_sample_docs",
 ]
 
 
