@@ -201,3 +201,57 @@ class MisraGries:
 
     def top(self, n: int) -> list[tuple]:
         return sorted(self.counters.items(), key=lambda kv: (-kv[1], kv[0]))[:n]
+
+
+class CountMin:
+    """Mergeable Count-Min sketch (Cormode & Muthukrishnan 2005, "An
+    improved data stream summary"): ``d`` rows x ``w`` counters;
+    ``estimate(x) = min_j M[j, h_j(x)]`` NEVER undercounts, and overcounts
+    by more than ``(e/w) * N`` with probability < e^-d under a pairwise-
+    independent hash family. The rows here hash with fixed odd-constant
+    multiply + xor-shift mixing (deterministic, no RNG) — the one-sided
+    ``est >= truth`` guarantee holds for ANY hash; the additive bound is
+    asserted empirically by the driver-visible query (skew.py).
+
+    Per-sketch state is d*w int64 (64 KiB at 4x2048) — mergeable by
+    element-wise add, the same partial/merge shape as HLL."""
+
+    # splitmix64-derived odd constants, one per row
+    _CS = (0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB,
+           0xD6E8FEB86659FD93, 0xA5A5A5A5A5A5A5A5, 0xC2B2AE3D27D4EB4F)
+
+    def __init__(self, w: int = 2048, d: int = 4):
+        assert d <= len(self._CS)
+        self.w, self.d = w, d
+        self.M = np.zeros((d, w), dtype=np.int64)
+        self.n = 0
+
+    def _idx(self, keys: np.ndarray, j: int) -> np.ndarray:
+        h = keys.astype(np.uint64) * np.uint64(self._CS[j])
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(self._CS[(j + 1) % len(self._CS)])
+        h ^= h >> np.uint64(29)
+        return (h % np.uint64(self.w)).astype(np.int64)
+
+    def add_many(self, keys, counts=None) -> "CountMin":
+        keys = np.asarray(keys)
+        c = np.ones(len(keys), dtype=np.int64) if counts is None \
+            else np.asarray(counts, dtype=np.int64)
+        for j in range(self.d):
+            self.M[j] += np.bincount(self._idx(keys, j), weights=c,
+                                     minlength=self.w).astype(np.int64)
+        self.n += int(c.sum())
+        return self
+
+    def merge(self, other: "CountMin") -> "CountMin":
+        assert (self.w, self.d) == (other.w, other.d)
+        self.M += other.M
+        self.n += other.n
+        return self
+
+    def estimate(self, keys) -> np.ndarray:
+        keys = np.asarray(keys)
+        est = np.full(len(keys), np.iinfo(np.int64).max, dtype=np.int64)
+        for j in range(self.d):
+            est = np.minimum(est, self.M[j, self._idx(keys, j)])
+        return est

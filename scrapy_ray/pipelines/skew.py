@@ -162,3 +162,66 @@ def q_heavy_hitters_users(sf_dir: str, topn: int = 10, k: int = 256):
 
 
 SKEW_QUERIES["heavy_hitters_users"] = (q_heavy_hitters_users, None)
+
+
+def q_countmin_user_counts(sf_dir: str, topn: int = 10, w: int = 2048, d: int = 4):
+    """Count-Min frequency estimation (the read-optimized counterpart of
+    Misra-Gries: point-queryable for ANY key, not just retained heavy
+    hitters): one 4x2048 sketch per batch, merged driver-side by
+    element-wise add. DRIVER-VISIBLE verification: the exact top-N user
+    counts ride along, and both CM guarantees are asserted in-query —
+    est >= exact (structural, any hash) and est <= exact + ceil(e/w * N)
+    (the probabilistic additive bound). At 10^10 rows the same 64 KiB
+    sketches tree-merge; exact verification would run on a sampled key
+    set instead of the full key list."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    from scrapy_ray.functions.sketch import CountMin
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id"])
+
+    def sketch(t: pa.Table) -> pa.Table:
+        cm = CountMin(w, d)
+        cm.add_many(t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({"m": pa.array([cm.M.ravel().tolist()],
+                                       type=pa.list_(pa.int64())),
+                         "n": pa.array([cm.n], type=pa.int64())})
+
+    merged = CountMin(w, d)
+    for b in ds.map_batches(sketch, batch_format="pyarrow") \
+               .iter_batches(batch_size=None, batch_format="pyarrow"):
+        for m, n in zip(b["m"].to_pylist(), b["n"].to_pylist()):
+            o = CountMin(w, d)
+            o.M = np.asarray(m, dtype=np.int64).reshape(d, w)
+            o.n = int(n)
+            merged.merge(o)
+
+    # exact counts (small key space at test scale; sampled keys at 100 TB)
+    import pandas as pd
+
+    def exact(t: pa.Table) -> pa.Table:
+        g = (pd.DataFrame({"user_id": t["user_id"].to_numpy(zero_copy_only=False)
+                           .astype(np.int64)})
+             .groupby("user_id").size().reset_index(name="n"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+    ex = (ds.map_batches(exact, batch_format="pyarrow")
+            .groupby("user_id").aggregate(Sum("n", alias_name="n"))).to_pandas()
+    ex = ex.sort_values(["n", "user_id"], ascending=[False, True]).head(topn)
+    keys = ex["user_id"].to_numpy().astype(np.int64)
+    est = merged.estimate(keys)
+    tru = ex["n"].to_numpy().astype(np.int64)
+    bound = int(math.ceil(math.e / w * merged.n))
+    assert (est >= tru).all(), "CM undercounted (impossible)"
+    assert (est <= tru + bound).all(), (est, tru, bound)
+    return pa.table({"user_id": pa.array(keys, pa.int64()),
+                     "est_n": pa.array(est, pa.int64()),
+                     "exact_n": pa.array(tru, pa.int64())})
+
+
+SKEW_QUERIES["countmin_user_counts"] = (q_countmin_user_counts, None)

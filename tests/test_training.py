@@ -348,3 +348,39 @@ def test_heavy_hitters_users_query(ray_session):
     exact = t["exact_n"].to_pylist()
     assert all(e <= x for e, x in zip(est, exact))
     assert est == sorted(est, reverse=True)
+
+
+def test_countmin_bounds_and_merge():
+    """CM guarantees under forced collisions (w << distinct keys): estimates
+    never undercount; overcount within the e/w additive bound; merge of
+    halves equals the whole (exact array identity — merge is element-add)."""
+    import math
+    from collections import Counter
+
+    from scrapy_ray.functions.sketch import CountMin
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 5000, size=40_000)
+    truth = Counter(keys.tolist())
+    w, d = 128, 4                       # tiny width -> real collisions
+    cm = CountMin(w, d).add_many(keys)
+    qk = np.array(sorted(truth), dtype=np.int64)
+    est = cm.estimate(qk)
+    tru = np.array([truth[int(x)] for x in qk])
+    assert (est >= tru).all()
+    assert (est > tru).any(), "test must exercise collisions"
+    assert (est - tru).max() <= math.ceil(math.e / w * cm.n)
+    a = CountMin(w, d).add_many(keys[:20_000])
+    b = CountMin(w, d).add_many(keys[20_000:])
+    m = a.merge(b)
+    assert (m.M == cm.M).all() and m.n == cm.n
+
+
+def test_countmin_users_query(ray_session):
+    from scrapy_ray.pipelines.skew import q_countmin_user_counts
+
+    t = q_countmin_user_counts(SF)
+    assert t.num_rows == 10
+    est = np.array(t["est_n"].to_pylist())
+    tru = np.array(t["exact_n"].to_pylist())
+    assert (est >= tru).all()
