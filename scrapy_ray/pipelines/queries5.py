@@ -593,6 +593,95 @@ ORDER BY key, doc_id LIMIT {_WS_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# iterative PageRank (integer fixed-point)
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 3
+_PR_DEG = 3          # synthetic out-degree (edges derived from doc_id — the
+                     # corpus tables carry no edge list; the derivation is
+                     # replayed identically in the oracle)
+_PR_SCALE = 1_000_000
+
+
+def q_pagerank_docs(sf_dir: str):
+    """Iterative PageRank over a deterministic doc-id-derived link graph
+    (each doc links to (doc_id*31+c) mod N for c in 1..3) — the one
+    operator category the rest of the suite doesn't cover: an ITERATIVE
+    distributed computation, one hash shuffle per iteration (contribution
+    scatter -> groupby(dst) sum), exactly the BSP PageRank shape.
+
+    Everything is integer fixed-point (ranks in micros, damping as
+    *85 // 100, contributions as rank // outdeg), so numpy and DuckDB
+    agree bit-for-bit — no float summation-order divergence. Every node
+    also emits a zero self-contribution so rank mass lands on nodes with
+    no in-links without a union against the node list."""
+    from scrapy_ray.pipelines.queries import _nrows
+
+    n = _nrows(sf_dir, "documents")
+
+    def init(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"node": pa.array(ids),
+                         "pr": pa.array(np.full(len(ids), _PR_SCALE, np.int64))})
+
+    ranks = _pq(sf_dir, "documents", ["doc_id"]).map_batches(
+        init, batch_format="pyarrow")
+
+    def contribs(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pr = t["pr"].to_numpy(zero_copy_only=False).astype(np.int64)
+        share = pr // _PR_DEG
+        dsts = [(node * 31 + c) % n for c in range(1, _PR_DEG + 1)]
+        return pa.table({
+            "node": pa.array(np.concatenate(dsts + [node])),
+            "contrib": pa.array(np.concatenate(
+                [share] * _PR_DEG + [np.zeros(len(node), np.int64)])),
+        })
+
+    def damp(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"node": t["node"],
+                         "pr": pa.array(150_000 + (s * 85) // 100)})
+
+    for _ in range(_PR_ITERS):
+        ranks = (ranks.map_batches(contribs, batch_format="pyarrow")
+                      .groupby("node").aggregate(Sum("contrib", alias_name="s"))
+                      .map_batches(damp, batch_format="pyarrow"))
+
+    df = ranks.to_pandas().rename(columns={"node": "doc_id"})
+    for c in ("doc_id", "pr"):
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _pr_sql() -> str:
+    head = f"""
+WITH r0 AS (
+  SELECT doc_id AS node, {_PR_SCALE}::BIGINT AS pr FROM documents
+), e AS (
+  SELECT doc_id AS src,
+         (doc_id*31 + c.c) % (SELECT COUNT(*) FROM documents) AS dst
+  FROM documents, (SELECT unnest([1, 2, 3]) AS c) c
+)"""
+    steps = []
+    for i in range(1, _PR_ITERS + 1):
+        steps.append(f""", s{i} AS (
+  SELECT node, SUM(contrib)::BIGINT AS s FROM (
+    SELECT e.dst AS node, r{i-1}.pr // {_PR_DEG} AS contrib
+    FROM e JOIN r{i-1} ON e.src = r{i-1}.node
+    UNION ALL SELECT node, 0 FROM r{i-1}
+  ) GROUP BY node
+), r{i} AS (
+  SELECT node, 150000 + (s * 85) // 100 AS pr FROM s{i}
+)""")
+    return (head + "".join(steps) +
+            f"\nSELECT node AS doc_id, pr FROM r{_PR_ITERS} ORDER BY doc_id")
+
+
+SQL_PAGERANK = _pr_sql()
+
+
 QUERIES5 = {
     "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
@@ -601,4 +690,5 @@ QUERIES5 = {
     "grouped_quantiles": (q_grouped_quantiles, SQL_GROUPED_QUANTILES),
     "edit_distance_nn": (q_edit_distance_nn, SQL_EDIT_DISTANCE_NN),
     "weighted_sample_docs": (q_weighted_sample_docs, SQL_WEIGHTED_SAMPLE),
+    "pagerank_docs": (q_pagerank_docs, SQL_PAGERANK),
 }

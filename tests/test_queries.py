@@ -55,6 +55,7 @@ SUBSET = [
     "grouped_quantiles",
     "edit_distance_nn",
     "weighted_sample_docs",
+    "pagerank_docs",
 ]
 
 
