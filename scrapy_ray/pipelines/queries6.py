@@ -1,0 +1,359 @@
+"""Sixth oracle-query batch (round 3, cont.): three operator families the
+training-data suite did not yet cover —
+
+- exact substring-span dedup (the "Deduplicating Training Data" pass):
+  overlapping token 8-grams, cross-document duplicate detection, per-doc
+  duplicated-span coverage via interval union;
+- deterministic training-shard export: hash-derived shard assignment +
+  intra-shard shuffle order (the write-side primitive of a corpus build);
+- k-means over embeddings in integer fixed-point (broadcast centroids,
+  per-block partial-sum combiner, tiny driver reduce — the canonical
+  distributed-ML iteration shape, bit-exact against a chained-CTE oracle).
+
+All three are oracle-checked against DuckDB on the same parquet inputs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import polars as pl
+import pyarrow as pa
+
+from scrapy_ray.pipelines.queries import _pq
+
+# ---------------------------------------------------------------------------
+# exact substring-span dedup
+# ---------------------------------------------------------------------------
+
+_NG = 8        # overlapping 8-token shingles, stride 1
+_N_PARTS = 256  # salted coarse partitions (per-group dispatch over millions
+                # of tiny shingle groups is the measured hot spot)
+
+
+def q_substring_span_dedup(sf_dir: str):
+    """Per-document duplicated-substring coverage: explode every doc into
+    overlapping token 8-grams (stride 1), mark an 8-gram DUPLICATED when it
+    occurs in >= 2 distinct documents corpus-wide, then report per doc the
+    number of duplicated-gram start positions and the token coverage of the
+    union of their [pos, pos+8) spans (the spans a span-removal pass would
+    cut).
+
+    Scale shape: two hash shuffles, no driver state beyond the per-doc
+    output — (1) shingles shuffle by a salted shingle-hash key; the >=2
+    distinct-doc test resolves vectorized inside each of ~256 coarse
+    partitions (only occurrences of duplicated shingles survive);
+    (2) survivors shuffle by a coarse doc key; interval-union coverage is
+    computed vectorized (sorted-gap form, no per-doc Python loop). A
+    mega-duplicated shingle contributes O(occurrences) rows but they spread
+    across doc partitions in stage 2.
+    """
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t["text"].to_pylist()
+        ngs: list[str] = []
+        n_per = np.empty(len(ids), dtype=np.int64)
+        for i, s in enumerate(texts):
+            toks = s.split(" ")
+            n = max(0, len(toks) - _NG + 1)
+            n_per[i] = n
+            for p in range(n):
+                ngs.append(" ".join(toks[p:p + _NG]))
+        ids_r = np.repeat(ids, n_per)
+        pos_r = (np.concatenate([np.arange(n) for n in n_per])
+                 if len(ids) else np.empty(0, np.int64))
+        gkey = ((pl.Series(ngs).hash(seed=42).to_numpy() % _N_PARTS)
+                .astype(np.int32) if ngs else np.empty(0, np.int32))
+        return pa.table({
+            "doc_id": pa.array(ids_r),
+            "pos": pa.array(pos_r.astype(np.int64)),
+            "ng": pa.array(ngs, type=pa.string()),
+            "gkey": pa.array(gkey),
+        })
+
+    def mark_dups(df: pd.DataFrame) -> pd.DataFrame:
+        nd = df.groupby("ng")["doc_id"].transform("nunique")
+        out = df.loc[nd >= 2, ["doc_id", "pos"]].copy()
+        out["dkey"] = (out["doc_id"] % _N_PARTS).astype(np.int32)
+        return out
+
+    def coverage(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "pos"], kind="mergesort")
+        d = df["doc_id"].to_numpy()
+        p = df["pos"].to_numpy()
+        # first start of each doc-run covers _NG tokens; every later start
+        # adds min(gap, _NG) — the sorted-gap form of interval union
+        contrib = np.empty(len(p), dtype=np.int64)
+        if len(p):
+            contrib[0] = _NG
+            gap = p[1:] - p[:-1]
+            contrib[1:] = np.where(d[1:] == d[:-1],
+                                   np.minimum(gap, _NG), _NG)
+        df = df.assign(contrib=contrib)
+        g = df.groupby("doc_id")
+        return g.agg(n_dup_starts=("pos", "size"),
+                     dup_cov=("contrib", "sum")).reset_index()
+
+    dup_pos = (ds.map_batches(explode, batch_format="pyarrow")
+                 .groupby("gkey").map_groups(mark_dups, batch_format="pandas"))
+    stats = (dup_pos.groupby("dkey").map_groups(coverage, batch_format="pandas")
+             .to_pandas())
+    if stats.empty:
+        stats = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                              "n_dup_starts": pd.Series(dtype=np.int64),
+                              "dup_cov": pd.Series(dtype=np.int64)})
+
+    def base_rows(t: pa.Table) -> pa.Table:
+        nt = np.array([len(s.split(" ")) for s in t["text"].to_pylist()],
+                      dtype=np.int64)
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": pa.array(nt)})
+
+    base = ds.map_batches(base_rows, batch_format="pyarrow").to_pandas()
+    out = base.merge(stats, on="doc_id", how="left")
+    for c in ("n_dup_starts", "dup_cov"):
+        out[c] = out[c].fillna(0).astype(np.int64)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["dup_permille"] = (1000 * out["dup_cov"]) // out["n_tokens"]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_SUBSTRING_SPAN_DEDUP = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), base AS (
+  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens FROM toks
+), ngrams AS (
+  SELECT doc_id, gs.p AS pos,
+         array_to_string(ts[(gs.p+1):(gs.p+{_NG})], ' ') AS ng
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(0, len(ts) - {_NG})) AS p
+  ) gs
+  WHERE len(ts) >= {_NG}
+), dupng AS (
+  SELECT ng FROM ngrams GROUP BY ng HAVING COUNT(DISTINCT doc_id) >= 2
+), dstarts AS (
+  SELECT n.doc_id, n.pos FROM ngrams n JOIN dupng d USING (ng)
+), starts AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_starts
+  FROM dstarts GROUP BY doc_id
+), covered AS (
+  SELECT s.doc_id, CAST(COUNT(DISTINCT s.pos + o.o) AS BIGINT) AS dup_cov
+  FROM dstarts s, LATERAL (
+    SELECT unnest(generate_series(0, {_NG} - 1)) AS o
+  ) o
+  GROUP BY s.doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+       COALESCE(s.n_dup_starts, 0)::BIGINT AS n_dup_starts,
+       COALESCE(c.dup_cov, 0)::BIGINT AS dup_cov,
+       (1000 * COALESCE(c.dup_cov, 0)) // b.n_tokens AS dup_permille
+FROM base b
+LEFT JOIN starts s USING (doc_id)
+LEFT JOIN covered c USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# deterministic training-shard export
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 16
+
+
+def q_train_shard_export(sf_dir: str):
+    """Write-side primitive of a corpus build: assign every document a
+    training shard and a deterministic intra-shard shuffle position. The
+    multiplicative hash (uint64 with an explicit mod 2^32, mirrored
+    unsigned in SQL — the ADVICE r2 overflow rule) gives an
+    engine/partitioning-independent pseudo-random order; ranking is
+    per-shard (a local sort inside each shard group), never a global sort.
+    At 100 TB each shard group is written as its own file sequence and the
+    rank is the within-file record order — resumable per shard.
+    """
+    ds = _pq(sf_dir, "documents", ["doc_id"])
+
+    def hsh(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = ids.astype(np.uint64)
+        h = ((u % np.uint64(2 ** 32)) * np.uint64(2654435761)) % np.uint64(2 ** 32)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "h": pa.array(h.astype(np.int64)),
+            "shard": pa.array((h % np.uint64(_N_SHARDS)).astype(np.int64)),
+        })
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["h", "doc_id"], kind="mergesort").copy()
+        df["pos"] = np.arange(len(df), dtype=np.int64)
+        return df
+
+    out = (ds.map_batches(hsh, batch_format="pyarrow")
+             .groupby("shard").map_groups(rank, batch_format="pandas")
+             .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["shard", "pos"]).reset_index(drop=True)
+
+
+SQL_TRAIN_SHARD_EXPORT = f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(((CAST(doc_id AS UBIGINT) % 4294967296) * 2654435761)
+              % 4294967296 AS BIGINT) AS h
+  FROM documents
+)
+SELECT doc_id, h, CAST(h % {_N_SHARDS} AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY h % {_N_SHARDS}
+                               ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+FROM h
+ORDER BY shard, pos
+"""
+
+# ---------------------------------------------------------------------------
+# k-means over embeddings (integer fixed-point Lloyd iterations)
+# ---------------------------------------------------------------------------
+
+_KM_K = 8      # clusters; init = the first K vectors by vec_id
+_KM_T = 2      # assignment passes (T-1 centroid updates between them)
+_KM_D = 64     # embedding dim (asserted against the data)
+_KM_Q = 1_000_000  # fixed-point scale: ei = floor(float64(e) * Q)
+
+
+def _kmeans_eint(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    E = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    assert E.shape[1] == _KM_D
+    # floor (not round): unambiguous across numpy / DuckDB rounding modes
+    return ids, np.floor(E * _KM_Q).astype(np.int64)
+
+
+def q_kmeans_embeddings(sf_dir: str):
+    """Lloyd's k-means in integer fixed-point — the broadcast-model +
+    partial-sum-combiner iteration shape: each pass is ONE map_batches over
+    the corpus (no shuffle at all); every block emits k partial
+    (count, sum-vector) rows; the driver reduces a k x dim table (a few KB)
+    and recomputes centroids. Quantization (floor(e*1e6) as int64) makes
+    distances and argmins exact integers, so the assignment is bit-exact
+    against the chained-CTE DuckDB oracle — no float-associativity drift.
+    Centroid update mirrors floor(double(sum)/count) on both sides (exact:
+    |sum| << 2^53 and true quotients are >= 1/count away from integers
+    when fractional). Empty clusters keep their previous centroid. The
+    centroid matrix is captured in the batch-fn closure (4 KB; at real
+    model sizes this becomes ray.put + fetch-in-__init__, as lang-id does).
+    """
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def assign_stats(cent: np.ndarray):
+        def f(t: pa.Table) -> pa.Table:
+            _, Ei = _kmeans_eint(t)
+            # (B, K) integer squared L2 via expansion-free broadcast diff
+            d2 = ((Ei[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)  # first-min ties == ORDER BY dist, j
+            cnt = np.bincount(a, minlength=_KM_K).astype(np.int64)
+            sums = np.zeros((_KM_K, _KM_D), dtype=np.int64)
+            np.add.at(sums, a, Ei)
+            return pa.table({
+                "j": pa.array(np.arange(_KM_K, dtype=np.int64)),
+                "cnt": pa.array(cnt),
+                "s": pa.array(list(sums), type=pa.list_(pa.int64())),
+            })
+        return f
+
+    def final_assign(cent: np.ndarray):
+        def f(t: pa.Table) -> pa.Table:
+            ids, Ei = _kmeans_eint(t)
+            d2 = ((Ei[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            return pa.table({
+                "vec_id": pa.array(ids),
+                "cluster": pa.array(a.astype(np.int64)),
+                "dist": pa.array(d2[np.arange(len(a)), a]),
+            })
+        return f
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq_
+    import os
+    seed_t = pq_.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                            columns=["vec_id", "embedding"])
+    seed_t = seed_t.filter(pc.less(seed_t["vec_id"], _KM_K))
+    seed_t = seed_t.sort_by("vec_id")
+    _, cent = _kmeans_eint(seed_t)
+
+    for _ in range(_KM_T - 1):
+        part = ds.map_batches(assign_stats(cent),
+                              batch_format="pyarrow").to_pandas()
+        cnt = np.zeros(_KM_K, dtype=np.int64)
+        sums = np.zeros((_KM_K, _KM_D), dtype=np.int64)
+        for j, c, s in zip(part["j"], part["cnt"], part["s"]):
+            cnt[j] += c
+            sums[j] += np.asarray(s, dtype=np.int64)
+        new = cent.copy()
+        nz = cnt > 0
+        new[nz] = np.floor(sums[nz].astype(np.float64)
+                           / cnt[nz, None].astype(np.float64)).astype(np.int64)
+        cent = new
+
+    out = ds.map_batches(final_assign(cent), batch_format="pyarrow").to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def _kmeans_sql() -> str:
+    k, d, q = _KM_K, _KM_D, _KM_Q
+    sql = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {q}) AS BIGINT)) AS ei
+  FROM embeddings
+), ed AS (
+  SELECT vec_id, g.d, ei[g.d] AS v
+  FROM e, LATERAL (SELECT unnest(generate_series(1, {d})) AS d) g
+), c0 AS (
+  SELECT vec_id AS j, d, v FROM ed WHERE vec_id < {k}
+)"""
+    prev = "c0"
+    for it in range(1, _KM_T):
+        sql += f""", d{it} AS (
+  SELECT ed.vec_id, c.j, SUM((ed.v - c.v) * (ed.v - c.v)) AS dist
+  FROM ed JOIN {prev} c USING (d) GROUP BY ed.vec_id, c.j
+), a{it} AS (
+  SELECT vec_id, j,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+  FROM d{it}
+), m{it} AS (
+  SELECT vec_id, j FROM a{it} WHERE rn = 1
+), cs{it} AS (
+  SELECT m.j, ed.d,
+         CAST(floor(CAST(SUM(ed.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+  FROM m{it} m JOIN ed USING (vec_id) GROUP BY m.j, ed.d
+), c{it} AS (
+  SELECT p.j, p.d, COALESCE(s.v, p.v) AS v
+  FROM {prev} p LEFT JOIN cs{it} s ON s.j = p.j AND s.d = p.d
+)"""
+        prev = f"c{it}"
+    sql += f""", df AS (
+  SELECT ed.vec_id, c.j, SUM((ed.v - c.v) * (ed.v - c.v)) AS dist
+  FROM ed JOIN {prev} c USING (d) GROUP BY ed.vec_id, c.j
+), af AS (
+  SELECT vec_id, j, dist,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+  FROM df
+)
+SELECT vec_id, CAST(j AS BIGINT) AS cluster, CAST(dist AS BIGINT) AS dist
+FROM af WHERE rn = 1 ORDER BY vec_id"""
+    return sql
+
+
+SQL_KMEANS = _kmeans_sql()
+
+
+QUERIES6 = {
+    "substring_span_dedup": (q_substring_span_dedup, SQL_SUBSTRING_SPAN_DEDUP),
+    "train_shard_export": (q_train_shard_export, SQL_TRAIN_SHARD_EXPORT),
+    "kmeans_embeddings": (q_kmeans_embeddings, SQL_KMEANS),
+}

@@ -56,6 +56,9 @@ SUBSET = [
     "edit_distance_nn",
     "weighted_sample_docs",
     "pagerank_docs",
+    "substring_span_dedup",
+    "train_shard_export",
+    "kmeans_embeddings",
 ]
 
 
