@@ -8,9 +8,14 @@ training-data suite did not yet cover —
   intra-shard shuffle order (the write-side primitive of a corpus build);
 - k-means over embeddings in integer fixed-point (broadcast centroids,
   per-block partial-sum combiner, tiny driver reduce — the canonical
-  distributed-ML iteration shape, bit-exact against a chained-CTE oracle).
+  distributed-ML iteration shape, bit-exact against a chained-CTE oracle);
+- corpus snapshot diff: full-outer hash-diff of two crawl snapshots
+  (added / removed / changed / unchanged), co-partitioned by doc key —
+  the one join modality (full outer) the suite did not yet cover;
+- cross-source n-gram overlap matrix (contamination analytics between
+  corpus sources).
 
-All three are oracle-checked against DuckDB on the same parquet inputs.
+All are oracle-checked against DuckDB on the same parquet inputs.
 """
 
 from __future__ import annotations
@@ -352,8 +357,161 @@ FROM af WHERE rn = 1 ORDER BY vec_id"""
 SQL_KMEANS = _kmeans_sql()
 
 
+# ---------------------------------------------------------------------------
+# corpus snapshot diff (full-outer hash-diff)
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_snapshot_diff(sf_dir: str):
+    """Diff two crawl snapshots of the same corpus: classify every URL/doc
+    as added (new only), removed (old only), changed (both, content hash
+    differs) or unchanged. The two snapshots are derived deterministically
+    from the documents table in-query (old drops doc_id%10==7, new drops
+    doc_id%10==3 and rewrites text for doc_id%5==0) so the oracle replays
+    the exact same construction in SQL.
+
+    Scale shape: ONE read; both sides' (doc_id, side, content-hash) rows
+    are emitted from the same pass (a real diff reads two snapshot roots —
+    same shape, two reads), co-partitioned by a coarse doc key, and the
+    full-outer resolution happens vectorized inside each partition. No
+    driver state; the output is the per-doc verdict a re-crawl scheduler
+    would consume. Content equality is hash-based (polars xxhash64, seed
+    42): a 2^-64 collision risk replaces shipping full text through the
+    shuffle.
+    """
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def both_sides(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        txt = pl.Series("t", t["text"].to_pylist())
+        old_keep = ids % 10 != 7
+        new_keep = ids % 10 != 3
+        suffix = pl.Series("s", np.where(ids % 5 == 0, " v2", ""))
+        h_old = txt.hash(seed=42).to_numpy().astype(np.int64)
+        h_new = (txt + suffix).hash(seed=42).to_numpy().astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([ids[old_keep], ids[new_keep]])),
+            "side": pa.array(np.concatenate([
+                np.zeros(old_keep.sum(), np.int8),
+                np.ones(new_keep.sum(), np.int8)])),
+            "h": pa.array(np.concatenate([h_old[old_keep], h_new[new_keep]])),
+            "dkey": pa.array(np.concatenate(
+                [ids[old_keep] % _N_PARTS,
+                 ids[new_keep] % _N_PARTS]).astype(np.int32)),
+        })
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["side"] == 0][["doc_id", "h"]]
+        n = df[df["side"] == 1][["doc_id", "h"]]
+        m = o.merge(n, on="doc_id", how="outer", suffixes=("_o", "_n"))
+        status = np.where(
+            m["h_o"].isna(), "added",
+            np.where(m["h_n"].isna(), "removed",
+                     np.where(m["h_o"] == m["h_n"], "unchanged", "changed")))
+        return pd.DataFrame({"doc_id": m["doc_id"].astype(np.int64),
+                             "status": status})
+
+    out = (ds.map_batches(both_sides, batch_format="pyarrow")
+             .groupby("dkey").map_groups(classify, batch_format="pandas")
+             .to_pandas())
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_CORPUS_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 != 7
+), new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 10 != 3
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.text = n.text THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+ORDER BY doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# cross-source n-gram overlap matrix
+# ---------------------------------------------------------------------------
+
+
+def q_source_ngram_overlap(sf_dir: str):
+    """Contamination analytics between corpus sources: for every ordered
+    source pair (a < b), the number of distinct token 8-grams they share.
+    The diagnostic a mixture designer reads before weighting sources.
+
+    Scale shape: shingles shuffle once by a salted shingle-hash key; inside
+    each of ~256 partitions the per-shingle distinct source set collapses
+    vectorized and each multi-source shingle emits its source pairs; a
+    final tiny groupby-sum over (src_a, src_b) cells (|sources|^2 rows)
+    yields the matrix. No driver state beyond the matrix itself.
+    """
+    ds = _pq(sf_dir, "documents", ["text", "source"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        srcs = t["source"].to_pylist()
+        texts = t["text"].to_pylist()
+        ngs: list[str] = []
+        n_per = np.empty(len(srcs), dtype=np.int64)
+        for i, s in enumerate(texts):
+            toks = s.split(" ")
+            n = max(0, len(toks) - _NG + 1)
+            n_per[i] = n
+            for p in range(n):
+                ngs.append(" ".join(toks[p:p + _NG]))
+        src_r = np.repeat(np.asarray(srcs, dtype=object), n_per)
+        gkey = ((pl.Series(ngs).hash(seed=42).to_numpy() % _N_PARTS)
+                .astype(np.int32) if ngs else np.empty(0, np.int32))
+        return pa.table({
+            "ng": pa.array(ngs, type=pa.string()),
+            "source": pa.array(list(src_r), type=pa.string()),
+            "gkey": pa.array(gkey),
+        })
+
+    def pair_counts(df: pd.DataFrame) -> pd.DataFrame:
+        u = df[["ng", "source"]].drop_duplicates()
+        # multi-source shingles only; emit each (a<b) pair once per shingle
+        j = u.merge(u, on="ng", suffixes=("_a", "_b"))
+        j = j[j["source_a"] < j["source_b"]]
+        g = j.groupby(["source_a", "source_b"]).size().reset_index(name="n")
+        return g
+
+    cells = (ds.map_batches(explode, batch_format="pyarrow")
+               .groupby("gkey").map_groups(pair_counts, batch_format="pandas")
+               .to_pandas())
+    out = (cells.groupby(["source_a", "source_b"], as_index=False)["n"].sum()
+           .rename(columns={"n": "shared_ngrams"}))
+    out["shared_ngrams"] = out["shared_ngrams"].astype(np.int64)
+    return out.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
+SQL_SOURCE_NGRAM_OVERLAP = f"""
+WITH toks AS (
+  SELECT source, string_split(text, ' ') AS ts FROM documents
+), ngrams AS (
+  SELECT DISTINCT source, array_to_string(ts[(gs.p+1):(gs.p+{_NG})], ' ') AS ng
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(0, len(ts) - {_NG})) AS p
+  ) gs
+  WHERE len(ts) >= {_NG}
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_ngrams
+FROM ngrams a JOIN ngrams b ON a.ng = b.ng AND a.source < b.source
+GROUP BY a.source, b.source
+ORDER BY source_a, source_b
+"""
+
+
 QUERIES6 = {
     "substring_span_dedup": (q_substring_span_dedup, SQL_SUBSTRING_SPAN_DEDUP),
     "train_shard_export": (q_train_shard_export, SQL_TRAIN_SHARD_EXPORT),
     "kmeans_embeddings": (q_kmeans_embeddings, SQL_KMEANS),
+    "corpus_snapshot_diff": (q_corpus_snapshot_diff, SQL_CORPUS_SNAPSHOT_DIFF),
+    "source_ngram_overlap": (q_source_ngram_overlap, SQL_SOURCE_NGRAM_OVERLAP),
 }

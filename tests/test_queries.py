@@ -59,6 +59,8 @@ SUBSET = [
     "substring_span_dedup",
     "train_shard_export",
     "kmeans_embeddings",
+    "corpus_snapshot_diff",
+    "source_ngram_overlap",
 ]
 
 
