@@ -125,6 +125,47 @@ def decode_image(payload: bytes) -> np.ndarray:
     raise ValueError(f"unknown image magic {payload[:2]!r}")
 
 
+_RAYV_MAGIC = b"RAYV"
+
+
+def encode_rayv(frames: list[np.ndarray], fps: int = 10) -> bytes:
+    """Frame sequence -> RAYV container bytes: an AVI-stand-in for the video
+    path (ffmpeg is absent from this container, so the container format is
+    ours, but the per-frame codec is the real BMP encoder and the INDEX
+    TABLE is the load-bearing part — frame-sampling seeks by index instead
+    of decoding the stream).
+
+    Layout: ``RAYV | u32 version | u32 n_frames | u32 fps |
+    u32[n_frames] frame byte lengths | concatenated BMP frames``.
+    """
+    blobs = [encode_bmp(f) for f in frames]
+    hdr = _RAYV_MAGIC + struct.pack("<III", 1, len(blobs), fps)
+    idx = struct.pack("<%dI" % len(blobs), *[len(b) for b in blobs])
+    return hdr + idx + b"".join(blobs)
+
+
+def rayv_index(payload: bytes) -> tuple[int, np.ndarray, np.ndarray]:
+    """RAYV header parse -> (fps, frame_offsets, frame_lengths). O(header),
+    no frame decode — the seek table a sampler uses."""
+    if payload[:4] != _RAYV_MAGIC:
+        raise ValueError("not a RAYV payload")
+    version, n, fps = struct.unpack_from("<III", payload, 4)
+    if version != 1:
+        raise ValueError(f"unsupported RAYV version {version}")
+    lengths = np.frombuffer(payload, dtype=np.uint32, offset=16, count=n) \
+        .astype(np.int64)
+    offsets = 16 + 4 * n + np.concatenate([[0], np.cumsum(lengths[:-1])])
+    return fps, offsets, lengths
+
+
+def decode_rayv_frame(payload: bytes, k: int) -> np.ndarray:
+    """Decode ONLY frame k of a RAYV container (index seek + one BMP
+    decode) -> (h, w, 3) uint8 RGB."""
+    _, offsets, lengths = rayv_index(payload)
+    o, ln = int(offsets[k]), int(lengths[k])
+    return decode_bmp(payload[o:o + ln])
+
+
 def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
     """int16 mono samples -> PCM16 WAV bytes."""
     assert samples.dtype == np.int16

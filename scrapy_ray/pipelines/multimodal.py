@@ -241,9 +241,81 @@ def q_media_checksum_dedup(sf_dir: str):
     return t.sort_by("checksum")
 
 
+def synth_video(doc_id: int) -> tuple[list[np.ndarray], int]:
+    """Deterministic frame sequence per doc_id (varied frame count, fps and
+    per-frame dims)."""
+    n_frames = 4 + doc_id % 9
+    fps = 5 + doc_id % 3
+    return [synth_image(doc_id * 131 + 7 * f) for f in range(n_frames)], fps
+
+
+class VideoFrameSampler:
+    """Actor-pool frame-sampling stage: parse the RAYV index (O(header)),
+    decode ONLY every ``stride``-th frame via the seek table — decode cost
+    scales with sampled frames, not stream length — and emit per-video
+    stats (frame counts, first sampled frame dims, integer-exact mean luma
+    over sampled pixels)."""
+
+    def __init__(self, stride: int = 3):
+        from scrapy_ray.functions.codecs import decode_bmp, rayv_index
+
+        self._index = rayv_index     # codec dispatch bound once per actor
+        self._decode = decode_bmp
+        self.stride = stride
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        nf, ns, fpss, ws, hs, luma = [], [], [], [], [], []
+        for payload in t["payload"].to_pylist():
+            fps, offsets, lengths = self._index(payload)
+            picks = range(0, len(offsets), self.stride)
+            lsum = npx = 0
+            w0 = h0 = 0
+            for i, k in enumerate(picks):
+                o, ln = int(offsets[k]), int(lengths[k])
+                img = self._decode(payload[o:o + ln]).astype(np.int64)
+                if i == 0:
+                    h0, w0 = img.shape[:2]
+                # ITU-R 601 integer luma, exact
+                lsum += int((299 * img[:, :, 0] + 587 * img[:, :, 1]
+                             + 114 * img[:, :, 2]).sum())
+                npx += img.shape[0] * img.shape[1]
+            nf.append(len(offsets))
+            ns.append(len(picks))
+            fpss.append(fps)
+            ws.append(w0)
+            hs.append(h0)
+            luma.append(round(lsum / (1000 * npx), 4))
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_frames": pa.array(nf, type=pa.int64()),
+            "n_sampled": pa.array(ns, type=pa.int64()),
+            "fps": pa.array(fpss, type=pa.int64()),
+            "width": pa.array(ws, type=pa.int64()),
+            "height": pa.array(hs, type=pa.int64()),
+            "mean_luma": pa.array(luma, type=pa.float64()),
+        })
+
+
+def q_video_frame_sample(sf_dir: str):
+    """Video modality end-to-end: encode a deterministic RAYV container per
+    document (real BMP frames + index table), frame-sample every 3rd frame
+    in an actor pool using index seeks. Small batch_size — video payloads
+    are the widest binary rows in the suite. Rows-only (pixel math is not
+    SQL); container round-trip, seek-vs-full-parse equality and stats vs a
+    numpy reference are pytest-pinned."""
+    from scrapy_ray.functions.codecs import encode_rayv
+
+    ds = _payload_ds(sf_dir, synth_video,
+                     lambda v: encode_rayv(v[0], fps=v[1]))
+    out = ds.map_batches(VideoFrameSampler, batch_format="pyarrow",
+                         batch_size=64, concurrency=2)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
 MULTIMODAL_QUERIES = {
     "multimodal_decode_meta": (q_multimodal_decode_meta, SQL_MULTIMODAL),
     "image_decode_stats": (q_image_decode_stats, None),
     "audio_decode_stats": (q_audio_decode_stats, None),
     "media_checksum_dedup": (q_media_checksum_dedup, None),
+    "video_frame_sample": (q_video_frame_sample, None),
 }

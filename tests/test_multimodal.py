@@ -115,3 +115,51 @@ def test_media_checksum_dedup(ray_session):
     assert len(t) == 50
     assert sum(t["n_copies"].to_pylist()) == 500
     assert sorted(t["keep_doc"].to_pylist()) == list(range(50))
+
+
+def test_rayv_roundtrip_and_seek():
+    from scrapy_ray.functions.codecs import (decode_rayv_frame, encode_rayv,
+                                             rayv_index)
+
+    frames = [synth_image(7 * k + 3) for k in range(6)]
+    payload = encode_rayv(frames, fps=12)
+    fps, offsets, lengths = rayv_index(payload)
+    assert fps == 12 and len(offsets) == 6
+    # index seek decodes every frame byte-exactly, in any order
+    for k in (5, 0, 3):
+        np.testing.assert_array_equal(decode_rayv_frame(payload, k), frames[k])
+    # offsets + lengths tile the payload exactly
+    assert int(offsets[-1] + lengths[-1]) == len(payload)
+
+
+def test_rayv_rejects_garbage():
+    import pytest
+
+    from scrapy_ray.functions.codecs import rayv_index
+
+    with pytest.raises(ValueError):
+        rayv_index(b"AVI\x00" + b"\x00" * 64)
+
+
+def test_video_frame_sample_matches_reference(ray_session):
+    from scrapy_ray.pipelines.multimodal import (q_video_frame_sample,
+                                                 synth_video)
+
+    t = q_video_frame_sample(SF)
+    assert len(t) > 0
+    by_id = {d: (nf, ns, fps, w, h, m) for d, nf, ns, fps, w, h, m in zip(
+        t["doc_id"].to_pylist(), t["n_frames"].to_pylist(),
+        t["n_sampled"].to_pylist(), t["fps"].to_pylist(),
+        t["width"].to_pylist(), t["height"].to_pylist(),
+        t["mean_luma"].to_pylist())}
+    for doc_id in list(by_id)[:20]:
+        frames, fps = synth_video(doc_id)
+        picks = list(range(0, len(frames), 3))
+        lsum = sum(int((299 * f[:, :, 0] + 587 * f[:, :, 1]
+                        + 114 * f[:, :, 2]).sum())
+                   for f in (frames[k].astype(np.int64) for k in picks))
+        npx = sum(frames[k].shape[0] * frames[k].shape[1] for k in picks)
+        h0, w0 = frames[0].shape[:2]
+        ref = (len(frames), len(picks), fps, w0, h0,
+               round(lsum / (1000 * npx), 4))
+        assert by_id[doc_id] == ref, doc_id
