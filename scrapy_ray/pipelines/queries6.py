@@ -508,10 +508,86 @@ ORDER BY source_a, source_b
 """
 
 
+# ---------------------------------------------------------------------------
+# per-group winsorization (outlier clipping at grouped quantile thresholds)
+# ---------------------------------------------------------------------------
+
+_WZ_LO, _WZ_HI = 0.05, 0.95
+
+
+def q_winsorize_doclen(sf_dir: str):
+    """Outlier handling for a training mix: clip every document's length
+    feature to its language's [p05, p95] band and flag the clipped rows.
+    Composition of two suite shapes: grouped histogram-merge quantiles
+    (queries5) produce per-lang thresholds WITHOUT a global sort, the tiny
+    threshold table broadcasts into a stateless clip pass. Ranks mirror
+    DuckDB quantile_disc (1-based ceil(q*n))."""
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pa.table({"lang": t["lang"], "n_chars": t["n_chars"]}).to_pandas()
+        g = df.groupby(["lang", "n_chars"]).size().rename("cnt").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby(["lang", "n_chars"])
+               .aggregate(Sum("cnt", alias_name="cnt")))
+
+    def thresholds(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("n_chars", kind="mergesort")
+        vals = df["n_chars"].to_numpy()
+        cum = df["cnt"].to_numpy().cumsum()
+        n = int(cum[-1])
+        pick = lambda q: int(vals[int(np.searchsorted(cum, int(np.ceil(q * n))))])
+        return pd.DataFrame({"lang": [df["lang"].iloc[0]],
+                             "lo": [pick(_WZ_LO)], "hi": [pick(_WZ_HI)]})
+
+    th = cells.groupby("lang").map_groups(thresholds, batch_format="pandas") \
+        .to_pandas()  # |langs| rows — the broadcast side
+
+    lo = dict(zip(th["lang"], th["lo"].astype(np.int64)))
+    hi = dict(zip(th["lang"], th["hi"].astype(np.int64)))
+
+    def clip(t: pa.Table) -> pa.Table:
+        langs = t["lang"].to_pylist()
+        x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        l = np.array([lo[s] for s in langs], dtype=np.int64)
+        h = np.array([hi[s] for s in langs], dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(t["doc_id"].to_numpy(zero_copy_only=False)
+                               .astype(np.int64)),
+            "lang": t["lang"],
+            "n_chars": pa.array(x),
+            "clipped": pa.array(np.clip(x, l, h)),
+            "is_outlier": pa.array(((x < l) | (x > h)).astype(np.int64)),
+        })
+
+    out = ds.map_batches(clip, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_WINSORIZE_DOCLEN = f"""
+WITH th AS (
+  SELECT lang,
+         quantile_disc(n_chars, {_WZ_LO}) AS lo,
+         quantile_disc(n_chars, {_WZ_HI}) AS hi
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_chars,
+       CAST(least(greatest(d.n_chars, t.lo), t.hi) AS BIGINT) AS clipped,
+       CAST(d.n_chars < t.lo OR d.n_chars > t.hi AS BIGINT) AS is_outlier
+FROM documents d JOIN th t USING (lang)
+ORDER BY d.doc_id
+"""
+
+
 QUERIES6 = {
     "substring_span_dedup": (q_substring_span_dedup, SQL_SUBSTRING_SPAN_DEDUP),
     "train_shard_export": (q_train_shard_export, SQL_TRAIN_SHARD_EXPORT),
     "kmeans_embeddings": (q_kmeans_embeddings, SQL_KMEANS),
     "corpus_snapshot_diff": (q_corpus_snapshot_diff, SQL_CORPUS_SNAPSHOT_DIFF),
     "source_ngram_overlap": (q_source_ngram_overlap, SQL_SOURCE_NGRAM_OVERLAP),
+    "winsorize_doclen": (q_winsorize_doclen, SQL_WINSORIZE_DOCLEN),
 }

@@ -61,6 +61,7 @@ SUBSET = [
     "kmeans_embeddings",
     "corpus_snapshot_diff",
     "source_ngram_overlap",
+    "winsorize_doclen",
 ]
 
 
