@@ -43,6 +43,8 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--deltafetch", default=None, metavar="ITEMS",
                    help="previous crawl's items parquet (file or dir): skip "
                         "pages that already yielded items (DeltaFetch)")
+    c.add_argument("--no-metarefresh", action="store_true",
+                   help="disable the meta-refresh redirect middleware")
     c.add_argument("--retry-max", type=int, default=0,
                    help="retry 5xx fetches up to N times with lowered priority")
     c.add_argument("--frontier-shards", type=int, default=4)
@@ -92,6 +94,7 @@ def main(argv: list[str] | None = None) -> int:
                 checkpoint_dir=args.checkpoint,
                 autothrottle=args.autothrottle,
                 retry_max=args.retry_max,
+                metarefresh=not args.no_metarefresh,
                 deltafetch_items=args.deltafetch,
             )
             seeds = None

@@ -67,6 +67,15 @@ class CrawlConfig:
     redirect_max: int = 20           # REDIRECT_MAX_TIMES
     redirect_codes: tuple[int, ...] = (301, 302, 303, 307, 308)
 
+    # Meta-refresh middleware ([S:scrapy/downloadermiddlewares/redirect.py
+    # MetaRefreshMiddleware], on by default in Scrapy): a 2xx page whose
+    # html carries <meta http-equiv=refresh content="N;url=..."> with
+    # N <= metarefresh_maxdelay is NOT parsed — it reschedules the target
+    # like a 3xx redirect (same hop counter, same seq contract). Requires
+    # redirect_max > 0 (shared hop budget, as Scrapy shares redirect_times).
+    metarefresh: bool = True         # METAREFRESH_ENABLED
+    metarefresh_maxdelay: float = 100.0  # METAREFRESH_MAXDELAY
+
     # spider-middleware filters ([S:scrapy/spidermiddlewares/*])
     depth_limit: int = 0             # DEPTH_LIMIT, 0 = unlimited
     depth_priority: int = 0          # DEPTH_PRIORITY: priority += depth * this

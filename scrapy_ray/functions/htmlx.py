@@ -72,6 +72,43 @@ def _u(b: bytes) -> str:
     return _html.unescape(b.decode("utf-8", errors="replace"))
 
 
+# Meta-refresh ([S:scrapy/downloadermiddlewares/redirect.py
+# MetaRefreshMiddleware] / w3lib.html.get_meta_refresh parity, simplified:
+# first <meta ... http-equiv="refresh" ... content="N; url=U"> wins;
+# attribute order and quoting free; N may be fractional; a tag without a
+# url= part refreshes to self and is NOT followed, matching Scrapy).
+_META_REFRESH_TAG = re.compile(
+    rb'<meta\s[^>]*http-equiv\s*=\s*["\']?\s*refresh\s*["\']?[^>]*>', re.I)
+_META_CONTENT = re.compile(
+    rb'content\s*=\s*(?:"([^"]*)"|\'([^\']*)\'|([^\s"\'>]+))', re.I)
+_REFRESH_PARTS = re.compile(
+    rb'^\s*([\d.]+)\s*(?:[;,]\s*url\s*=\s*[\'"]?([^\'"\s]+)[\'"]?)?\s*$', re.I)
+_FAST_SNIFF = re.compile(rb"http-equiv", re.I)
+
+
+def meta_refresh(html: bytes) -> "tuple[float, str] | None":
+    """First meta-refresh directive of a page -> (delay_seconds,
+    target_url_raw) or None. The raw target still needs urljoin against
+    the page's effective base. Cheap negative path: one case-insensitive
+    substring sniff (mirrors the vectorized ignore_case match_substring
+    prefilter in stages/fetch.py — keep the two in sync)."""
+    if _FAST_SNIFF.search(html) is None:
+        return None
+    for tag in _META_REFRESH_TAG.finditer(html):
+        c = _META_CONTENT.search(tag.group(0))
+        if not c:
+            continue
+        parts = _REFRESH_PARTS.match(c.group(1) or c.group(2) or c.group(3) or b"")
+        if not parts or not parts.group(2):
+            continue
+        try:
+            delay = float(parts.group(1))
+        except ValueError:
+            continue
+        return delay, _u(parts.group(2)).strip()
+    return None
+
+
 def extract_listing(html: bytes) -> dict:
     """Listing page -> item cards + detail links + next link (M2 + M4).
 

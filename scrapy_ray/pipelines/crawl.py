@@ -392,7 +392,10 @@ class CrawlEngine:
             registry_ref=self._registry_ref, want_stats=cfg.autothrottle,
             retry_cfg=((cfg.retry_codes, cfg.retry_max) if cfg.retry_max else None),
             redirect_cfg=((cfg.redirect_codes, cfg.redirect_max)
-                          if cfg.redirect_max else None))
+                          if cfg.redirect_max else None),
+            metarefresh_cfg=((cfg.metarefresh_maxdelay, cfg.redirect_max)
+                             if (cfg.metarefresh and cfg.redirect_max)
+                             else None))
         self.phase_times["fetch_parse"] += _time.perf_counter() - _t0
 
         if cfg.autothrottle and len(hstats):

@@ -210,6 +210,21 @@ def simulate_crawl(corpus_root: str, cfg: CrawlConfig | None = None,
                     retry_cands.append(c)
                 continue
             html = htmls[i]
+            # meta-refresh mirror ([S:redirect.py MetaRefreshMiddleware]):
+            # a followable refresh REPLACES the response — no parse
+            if cfg.metarefresh and cfg.redirect_max \
+                    and c.get("redirects", 0) < cfg.redirect_max:
+                from scrapy_ray.functions.htmlx import base_url as _b
+                from scrapy_ray.functions.htmlx import meta_refresh
+                mr = meta_refresh(html)
+                if mr is not None and mr[0] <= cfg.metarefresh_maxdelay:
+                    from urllib.parse import urljoin
+                    tu = canonicalize_url(urljoin(_b(c["url"], html), mr[1]))
+                    redirect_cands.append({"url": tu, "host": host_of(tu),
+                                           "depth": c["depth"],
+                                           "priority": c["priority"],
+                                           "redirects": c.get("redirects", 0) + 1})
+                    continue
             cb = classify_callback([c["url"]])[0] if PAGE_HANDLERS else None
             handler = PAGE_HANDLERS.get(cb) if cb is not None else None
             if handler is not None:

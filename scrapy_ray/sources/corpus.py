@@ -63,6 +63,11 @@ class CorpusSpec:
     redirect_frac: float = 0.0     # detail pages reachable only via a 301
                                    # "/moved/<id>" alias (redirect middleware);
                                    # 0 keeps pre-round-3 corpora byte-stable
+    metarefresh_frac: float = 0.0  # detail pages reachable only via a 200
+                                   # "/refresh/<id>" meta-refresh alias
+                                   # (MetaRefreshMiddleware); ~1/5 of the
+                                   # aliases carry delay 200 > maxdelay and
+                                   # must NOT be followed
     max_details_per_host: int = 0  # 0 = uncapped Zipf; bench caps the hot host
                                    # so listing-chain depth (sequential waves)
                                    # stays bounded
@@ -105,6 +110,38 @@ def is_moved(spec: "CorpusSpec", host_idx: int, detail_id: int) -> bool:
         return False
     h = hash64([f"{spec.seed}:{host_idx}:{detail_id}:moved"])[0]
     return int(h % np.uint64(1000)) < int(spec.redirect_frac * 1000)
+
+
+def refresh_url(host: str, detail_id: int) -> str:
+    return f"https://{host}/refresh/{detail_id:05d}"
+
+
+def is_refreshed(spec: "CorpusSpec", host_idx: int, detail_id: int) -> bool:
+    """Deterministic meta-refresh-alias decision; exclusive with is_moved
+    (a detail is aliased at most once)."""
+    if spec.metarefresh_frac <= 0 or is_moved(spec, host_idx, detail_id):
+        return False
+    h = hash64([f"{spec.seed}:{host_idx}:{detail_id}:refresh"])[0]
+    return int(h % np.uint64(1000)) < int(spec.metarefresh_frac * 1000)
+
+
+def refresh_delay(spec: "CorpusSpec", host_idx: int, detail_id: int) -> int:
+    """Per-alias refresh delay: mostly 0-2 s (followed); every 5th alias
+    gets 200 s > METAREFRESH_MAXDELAY and must be parsed, not followed."""
+    h = hash64([f"{spec.seed}:{host_idx}:{detail_id}:refreshdelay"])[0]
+    return 200 if int(h % np.uint64(5)) == 0 else int(h % np.uint64(3))
+
+
+def render_refresh(detail_id: int, target: str, delay: int,
+                   variant: int) -> bytes:
+    """Meta-refresh alias page; two tag spellings (attribute order +
+    quoting) keep the parser honest about real-world markup."""
+    if variant:
+        tag = f'<meta content="{delay}; url={target}" http-equiv=refresh>'
+    else:
+        tag = f'<meta http-equiv="refresh" content="{delay};url={target}">'
+    return (f"<html><head><title>Interstitial {detail_id}</title>{tag}</head>"
+            f"<body><p>Redirecting shortly.</p></body></html>").encode()
 
 
 def listing_url(host: str, page: int) -> str:
@@ -191,6 +228,7 @@ def gen_host_pages(spec: CorpusSpec, host_idx: int, n_details: list[int], ts_off
         for d in ids:
             f = detail_fields(host_idx, host, d)
             href = (f"/moved/{d:05d}" if is_moved(spec, host_idx, d)
+                    else f"/refresh/{d:05d}" if is_refreshed(spec, host_idx, d)
                     else f"/{f['kind']}/{d:05d}")
             cards.append(
                 {"detail_href": href, "name": f["name"],
@@ -235,6 +273,17 @@ def gen_host_pages(spec: CorpusSpec, host_idx: int, n_details: list[int], ts_off
             statuses.append(301)
             locations.append(f"/{detail_kind(host_idx, d)}/{d:05d}")
 
+    # 200 meta-refresh interstitials (MetaRefreshMiddleware, round 3 cont.)
+    for d in range(nd):
+        if is_refreshed(spec, host_idx, d):
+            delay = refresh_delay(spec, host_idx, d)
+            urls.append(refresh_url(host, d))
+            htmls.append(render_refresh(
+                d, f"/{detail_kind(host_idx, d)}/{d:05d}", delay,
+                variant=d % 2))
+            statuses.append(200)
+            locations.append("")
+
     n = len(urls)
     ts = pa.array((np.arange(n, dtype=np.int64) + ts_offset) * 7_000_000 + _EPOCH_US,
                   type=pa.timestamp("us"))
@@ -268,8 +317,9 @@ def generate_corpus(root: str, spec: CorpusSpec, use_ray: bool = True) -> dict:
     partition-pruned fetch-joins (SURVEY.md §2.4 J1).
     """
     meta_path = os.path.join(root, "meta.json")
-    want = {"spec": asdict(spec), "version": 4,
-            "has_redirects": spec.redirect_frac > 0}
+    want = {"spec": asdict(spec), "version": 5,
+            "has_redirects": spec.redirect_frac > 0,
+            "has_metarefresh": spec.metarefresh_frac > 0}
     if os.path.exists(meta_path):
         with open(meta_path) as fh:
             if json.load(fh) == want:

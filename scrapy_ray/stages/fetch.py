@@ -81,6 +81,61 @@ def _redirect_rows(t: pa.Table, redirect_codes: tuple, redirect_max: int) -> pa.
     }, schema=schemas.REDIRECT_ROWS)
 
 
+def _meta_refresh_split(t: pa.Table, maxdelay: float,
+                        redirect_max: int) -> tuple[pa.Table, pa.Table]:
+    """Meta-refresh middleware ([S:scrapy/downloadermiddlewares/redirect.py
+    MetaRefreshMiddleware]): 2xx rows whose html carries a followable
+    ``<meta http-equiv=refresh>`` (delay <= maxdelay, hop budget left) are
+    DIVERTED — returned as REDIRECT_ROWS at the target url and removed
+    from the parse stream (Scrapy replaces the response before the spider
+    sees it). Negative path is one vectorized substring sniff over the
+    binary html column, so corpora without refresh tags pay ~memchr."""
+    from scrapy_ray import schemas
+    from scrapy_ray.functions.hashing import hash64
+    from scrapy_ray.functions.htmlx import base_url, meta_refresh
+    from scrapy_ray.functions.urlnorm import canonicalize_urls, hosts_of
+
+    status = t["status"].to_numpy(zero_copy_only=False)
+    red = t["redirects"].to_numpy(zero_copy_only=False)
+    cand = (status >= 200) & (status < 300) & (red < redirect_max)
+    if cand.any():
+        sniff = pc.match_substring(t["html"], "http-equiv",
+                                   ignore_case=True) \
+            .to_numpy(zero_copy_only=False)
+        cand &= sniff.astype(bool)
+    if not cand.any():
+        return schemas.REDIRECT_ROWS.empty_table(), t
+    idx = np.flatnonzero(cand)
+    hit = t.take(pa.array(idx))
+    urls = hit["url"].to_pylist()
+    htmls = hit["html"].to_pylist()
+    follow_i, raw_targets = [], []
+    from urllib.parse import urljoin
+    for k, (u, h) in enumerate(zip(urls, htmls)):
+        mr = meta_refresh(h)
+        if mr is None or mr[0] > maxdelay:
+            continue        # absent or too-slow refresh: page parses normally
+        follow_i.append(k)
+        raw_targets.append(urljoin(base_url(u, h), mr[1]))
+    if not follow_i:
+        return schemas.REDIRECT_ROWS.empty_table(), t
+    fhit = hit.take(pa.array(follow_i))
+    targets = canonicalize_urls(raw_targets)
+    rows = pa.table({
+        "url": pa.array(targets, type=pa.string()),
+        "host": pa.array(hosts_of(targets), type=pa.string()),
+        "url_hash": pa.array(hash64(targets), type=pa.uint64()),
+        "depth": fhit["depth"],
+        "priority": fhit["priority"],
+        "seq": fhit["seq"],
+        "callback": pa.array([""] * len(fhit), type=pa.string()),
+        "redirects": pc.add(fhit["redirects"], pa.scalar(1, pa.int32())),
+    }, schema=schemas.REDIRECT_ROWS)
+    keep = np.ones(len(t), dtype=bool)
+    keep[idx[np.asarray(follow_i, dtype=np.int64)]] = False
+    return rows, t.filter(pa.array(keep))
+
+
 def _host_stats(t: pa.Table) -> pa.Table:
     """Per-host (responses, body bytes) partial for this task's fetched rows
     — the deterministic virtual-latency signal for AutoThrottle (F4)."""
@@ -148,7 +203,7 @@ def _empty_fetched(page_schema: pa.Schema) -> pa.Table:
 @ray.remote
 def _fetch_parse_bucket(path: str, sub: pa.Table, registry_ref=None,
                         want_stats: bool = False, retry_cfg=None,
-                        redirect_cfg=None) -> tuple:
+                        redirect_cfg=None, metarefresh_cfg=None) -> tuple:
     """Read one corpus bucket with an ``url IN (...)`` parquet filter
     (row-group pruning — bucket files are written sorted by url and ``sub``
     is a url-sorted contiguous wave slice, so a chunk touches few row
@@ -181,6 +236,10 @@ def _fetch_parse_bucket(path: str, sub: pa.Table, registry_ref=None,
                else schemas.RETRY_ROWS.empty_table())
     redirects = (_redirect_rows(t, *redirect_cfg) if redirect_cfg is not None
                  else schemas.REDIRECT_ROWS.empty_table())
+    if metarefresh_cfg is not None:
+        mr, t = _meta_refresh_split(t, *metarefresh_cfg)
+        if len(mr):
+            redirects = pa.concat_tables([redirects, mr]) if len(redirects) else mr
     parsed = parse_page_batch(t, handlers=handlers, routes=routes)
     return (split_items(parsed), split_links(parsed, routes=routes), len(parsed),
             stats, retries, redirects)
@@ -200,7 +259,7 @@ def _load_bucket(path: str) -> pa.Table:
 @ray.remote
 def _fetch_parse_cached(bucket: pa.Table, sub: pa.Table, registry_ref=None,
                         want_stats: bool = False, retry_cfg=None,
-                        redirect_cfg=None) -> tuple:
+                        redirect_cfg=None, metarefresh_cfg=None) -> tuple:
     """In-memory probe variant of _fetch_parse_bucket: ``bucket`` arrives as
     a zero-copy plasma reference; filter + join + parse + split in-task."""
     from scrapy_ray import schemas
@@ -223,6 +282,10 @@ def _fetch_parse_cached(bucket: pa.Table, sub: pa.Table, registry_ref=None,
                else schemas.RETRY_ROWS.empty_table())
     redirects = (_redirect_rows(t, *redirect_cfg) if redirect_cfg is not None
                  else schemas.REDIRECT_ROWS.empty_table())
+    if metarefresh_cfg is not None:
+        mr, t = _meta_refresh_split(t, *metarefresh_cfg)
+        if len(mr):
+            redirects = pa.concat_tables([redirects, mr]) if len(redirects) else mr
     parsed = parse_page_batch(t, handlers=handlers, routes=routes)
     return (split_items(parsed), split_links(parsed, routes=routes), len(parsed),
             stats, retries, redirects)
@@ -280,10 +343,40 @@ def _corpus_has_redirects(corpus_root: str, paths: dict) -> bool:
     return bool(ans)
 
 
+_METAREFRESH_SUPPORT: dict[tuple, bool] = {}
+
+
+def _corpus_has_metarefresh(corpus_root: str) -> bool:
+    """Same one-check-per-corpus pattern as _corpus_has_redirects, keyed on
+    meta.json's has_metarefresh. A corpus WITHOUT the key (pre-v5
+    generator, external ingest) conservatively returns True — the
+    vectorized html sniff then costs ~memchr per task."""
+    import json as _json
+    import os as _os
+
+    mp = _os.path.join(corpus_root, "meta.json")
+    try:
+        key = (corpus_root, _os.stat(mp).st_mtime_ns)
+    except OSError:
+        key = (corpus_root, 0)
+    got = _METAREFRESH_SUPPORT.get(key)
+    if got is not None:
+        return got
+    ans = True
+    if _os.path.exists(mp):
+        try:
+            with open(mp) as fh:
+                ans = bool(_json.load(fh).get("has_metarefresh", True))
+        except Exception:
+            ans = True
+    _METAREFRESH_SUPPORT[key] = ans
+    return ans
+
+
 def fetch_parse_wave(corpus_root: str, wave: pa.Table, n_buckets: int,
                      cache: "BucketCache | None" = None, registry_ref=None,
                      want_stats: bool = False, retry_cfg=None,
-                     redirect_cfg=None) -> tuple:
+                     redirect_cfg=None, metarefresh_cfg=None) -> tuple:
     """Wave-loop fast path (SURVEY §7.4.3): the per-wave fetch-join is a
     repeated *small indexed lookup*, for which per-wave ``read_parquet``
     Dataset construction costs seconds (fragment sampling). Raw Ray tasks —
@@ -299,6 +392,9 @@ def fetch_parse_wave(corpus_root: str, wave: pa.Table, n_buckets: int,
     paths = corpus_paths(corpus_root)["pages"]
     if redirect_cfg is not None and not _corpus_has_redirects(corpus_root, paths):
         redirect_cfg = None        # corpus can never redirect: free fast path
+    if metarefresh_cfg is not None and \
+            not _corpus_has_metarefresh(corpus_root):
+        metarefresh_cfg = None     # generator says no refresh tags exist
     hashes = wave["url_hash"].to_numpy(zero_copy_only=False)
     bucket_of = (hashes % np.uint64(n_buckets)).astype(np.int64)
     # Fully columnar dispatch: sort the wave by (bucket, url) ONCE, then
@@ -334,11 +430,13 @@ def fetch_parse_wave(corpus_root: str, wave: pa.Table, n_buckets: int,
             if cache is not None:
                 futs.append(_fetch_parse_cached.remote(cache.get(int(b)), sub,
                                                        registry_ref, want_stats,
-                                                       retry_cfg, redirect_cfg))
+                                                       retry_cfg, redirect_cfg,
+                                                       metarefresh_cfg))
             else:
                 futs.append(_fetch_parse_bucket.remote(paths[int(b)], sub,
                                                        registry_ref, want_stats,
-                                                       retry_cfg, redirect_cfg))
+                                                       retry_cfg, redirect_cfg,
+                                                       metarefresh_cfg))
     items_p, links_p, stats_p, retry_p, redir_p, n = [], [], [], [], [], 0
     # consume incrementally: driver-side deserialization + concat overlap
     # with still-running tasks instead of waiting for the full barrier

@@ -108,3 +108,103 @@ def test_all_middlewares_together(ray_session, redirect_corpus):
     eng = run_crawl(redirect_corpus, cfg)
     _assert_equal(sim, eng)
     assert any("/moved/" in u for u in eng.url_seen["url"].to_pylist())
+
+
+# --- meta-refresh middleware ([S:redirect.py MetaRefreshMiddleware]) -------
+
+MR_ROOT = "/tmp/scrapy_ray_test/corpus_metarefresh"
+MR_SPEC = CorpusSpec(n_hosts=8, total_pages=400, seed=91,
+                     redirect_frac=0.15, metarefresh_frac=0.3)
+
+
+@pytest.fixture(scope="module")
+def metarefresh_corpus(ray_session) -> str:
+    generate_corpus(MR_ROOT, MR_SPEC)
+    return MR_ROOT
+
+
+def test_meta_refresh_kernel():
+    from scrapy_ray.functions.htmlx import meta_refresh
+
+    assert meta_refresh(
+        b'<meta http-equiv="refresh" content="0;url=/hotel/00001">') \
+        == (0.0, "/hotel/00001")
+    # attribute order + unquoted http-equiv
+    assert meta_refresh(b'<meta content="2; url=/x" http-equiv=refresh>') \
+        == (2.0, "/x")
+    # upper case, spaces around url=, fractional delay
+    assert meta_refresh(
+        b"<META HTTP-EQUIV='Refresh' CONTENT='1.5 ; URL = /y'>") == (1.5, "/y")
+    # delay-only refresh (refresh-to-self) is not followable
+    assert meta_refresh(b'<meta http-equiv="refresh" content="5">') is None
+    # unrelated meta and plain pages
+    assert meta_refresh(b'<meta name="viewport" content="width=1">') is None
+    assert meta_refresh(b"no tags") is None
+
+
+def test_meta_refresh_split_unit():
+    from scrapy_ray import schemas
+    from scrapy_ray.stages.fetch import _meta_refresh_split
+
+    tag = b'<html><head><meta http-equiv="refresh" content="%d;url=/t/%d">' \
+          b'</head><body>x</body></html>'
+    t = pa.table({
+        "url": pa.array([f"https://a.example.com/r/{i}" for i in range(4)]),
+        "html": pa.array([tag % (0, 0),          # followed
+                          tag % (200, 1),        # too slow -> parsed
+                          b"<html>plain</html>",  # no directive -> parsed
+                          tag % (1, 3)],         # hop budget exhausted
+                         type=pa.binary()),
+        "status": pa.array([200, 200, 200, 200], type=pa.int16()),
+        "depth": pa.array([1, 1, 1, 1], type=pa.int32()),
+        "priority": pa.array([0, 0, 0, 0], type=pa.int32()),
+        "seq": pa.array([10, 11, 12, 13], type=pa.int64()),
+        "callback": pa.array([""] * 4),
+        "retries": pa.array([0] * 4, type=pa.int32()),
+        "redirects": pa.array([0, 0, 0, 20], type=pa.int32()),
+    })
+    rows, keep = _meta_refresh_split(t, 100.0, 20)
+    assert rows.schema.equals(schemas.REDIRECT_ROWS)
+    assert rows["url"].to_pylist() == ["https://a.example.com/t/0"]
+    assert rows["redirects"].to_pylist() == [1]
+    assert rows["seq"].to_pylist() == [10]
+    # only the followed row left the parse stream
+    assert keep["seq"].to_pylist() == [11, 12, 13]
+
+
+def test_engine_matches_simulator_with_metarefresh(ray_session, metarefresh_corpus):
+    from scrapy_ray.sources.corpus import is_refreshed, refresh_delay
+
+    cfg = CrawlConfig(n_filter_shards=3, n_frontier_shards=2)
+    sim = simulate_crawl(metarefresh_corpus, cfg)
+    eng = run_crawl(metarefresh_corpus, cfg)
+    _assert_equal(sim, eng)
+    seen_urls = set(eng.url_seen["url"].to_pylist())
+    assert any("/refresh/" in u for u in seen_urls), \
+        "no refresh aliases crawled — metarefresh_frac ineffective"
+    # both delay classes exist in the corpus this crawl walked
+    fast = slow = 0
+    for hi in range(MR_SPEC.n_hosts):
+        host = MR_SPEC.host(hi)
+        for u in seen_urls:
+            if u.startswith(f"https://{host}/refresh/"):
+                d = int(u.rsplit("/", 1)[1])
+                assert is_refreshed(MR_SPEC, hi, d)
+                if refresh_delay(MR_SPEC, hi, d) > 100:
+                    slow += 1
+                else:
+                    fast += 1
+    assert fast > 0 and slow > 0, (fast, slow)
+
+
+def test_metarefresh_disabled_means_dead_ends(ray_session, metarefresh_corpus):
+    """metarefresh=False: interstitials are fetched and parsed (no links in
+    their bodies) so their exclusive targets are never reached -> strictly
+    fewer items; engine still equals simulator with the flag off."""
+    on_cfg = CrawlConfig(n_filter_shards=2, n_frontier_shards=2)
+    off_cfg = CrawlConfig(n_filter_shards=2, n_frontier_shards=2,
+                          metarefresh=False)
+    on = run_crawl(metarefresh_corpus, on_cfg)
+    off = run_crawl(metarefresh_corpus, off_cfg)
+    assert len(off.items) < len(on.items)
+    _assert_equal(simulate_crawl(metarefresh_corpus, off_cfg), off)
