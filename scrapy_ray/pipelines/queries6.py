@@ -583,6 +583,85 @@ ORDER BY d.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# global NTILE without a global sort
+# ---------------------------------------------------------------------------
+
+_NT_K = 8
+
+
+def q_ntile_orders(sf_dir: str):
+    """Global NTILE(8) over orders by (price-cents, orderkey) WITHOUT a
+    global sort: (1) a distributed value histogram yields counts-below per
+    distinct cents value (value-domain-bounded table, the value_quantiles
+    bound); (2) rows shuffle ONCE by a salted value key and the tie rank
+    inside each distinct-value run is the orderkey order — global rank =
+    below[value] + tie. The counts-below arrays broadcast via ray.put
+    (searchsorted lookup in-task). Bucket arithmetic mirrors SQL NTILE
+    (first N%k buckets one row larger)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from scrapy_ray.pipelines.queries import _cents
+
+    ds = _pq(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        c = _cents(t["o_totalprice"])
+        gkey = (c.to_numpy() % _N_PARTS).astype(np.int32)
+        return pa.table({"o_orderkey": t["o_orderkey"], "cents": c,
+                         "gkey": pa.array(gkey)})
+
+    rows = ds.map_batches(to_cents, batch_format="pyarrow")
+
+    def hpart(t: pa.Table) -> pa.Table:
+        df = pa.table({"cents": t["cents"]}).to_pandas()
+        g = df.groupby("cents").size().rename("cnt").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (rows.map_batches(hpart, batch_format="pyarrow")
+                .groupby("cents").aggregate(Sum("cnt", alias_name="cnt"))
+                .to_pandas().sort_values("cents"))
+    cnt = hist["cnt"].to_numpy(dtype=np.int64)
+    n_total = int(cnt.sum())
+    below = np.concatenate([[0], np.cumsum(cnt[:-1])])
+    ref = ray.put((hist["cents"].to_numpy(dtype=np.int64), below))
+
+    size, rem = divmod(n_total, _NT_K)
+    cutoff = rem * (size + 1)
+
+    def rank_tile(df: pd.DataFrame) -> pd.DataFrame:
+        keys, blw = ray.get(ref)
+        df = df.sort_values(["cents", "o_orderkey"], kind="mergesort")
+        tie = df.groupby("cents").cumcount().to_numpy()
+        r0 = blw[np.searchsorted(keys, df["cents"].to_numpy())] + tie
+        if size:
+            tile = np.where(r0 < cutoff, r0 // (size + 1),
+                            rem + (r0 - cutoff) // size)
+        else:
+            tile = r0
+        return pd.DataFrame({"o_orderkey": df["o_orderkey"].to_numpy(),
+                             "cents": df["cents"].to_numpy(),
+                             "tile": (tile + 1).astype(np.int64)})
+
+    out = (rows.groupby("gkey").map_groups(rank_tile, batch_format="pandas")
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+SQL_NTILE_ORDERS = f"""
+SELECT o_orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+       CAST(NTILE({_NT_K}) OVER (
+            ORDER BY CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey)
+            AS BIGINT) AS tile
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
 QUERIES6 = {
     "substring_span_dedup": (q_substring_span_dedup, SQL_SUBSTRING_SPAN_DEDUP),
     "train_shard_export": (q_train_shard_export, SQL_TRAIN_SHARD_EXPORT),
@@ -590,4 +669,5 @@ QUERIES6 = {
     "corpus_snapshot_diff": (q_corpus_snapshot_diff, SQL_CORPUS_SNAPSHOT_DIFF),
     "source_ngram_overlap": (q_source_ngram_overlap, SQL_SOURCE_NGRAM_OVERLAP),
     "winsorize_doclen": (q_winsorize_doclen, SQL_WINSORIZE_DOCLEN),
+    "ntile_orders": (q_ntile_orders, SQL_NTILE_ORDERS),
 }

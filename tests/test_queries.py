@@ -62,6 +62,7 @@ SUBSET = [
     "corpus_snapshot_diff",
     "source_ngram_overlap",
     "winsorize_doclen",
+    "ntile_orders",
 ]
 
 
