@@ -511,6 +511,115 @@ FROM m
 """
 
 
+_CC_MAX_ROUNDS = 64
+_CC_PARTS = 64
+
+
+def cc_hashmin_labels(edges: "pa.Table", all_ids: np.ndarray) -> "pd.DataFrame":
+    """DISTRIBUTED connected components by Pregel-style hash-min label
+    propagation — the scale path the union-find docstring above promises,
+    now implemented: the working set is ONE Dataset whose rows are vertex
+    states (kind 0: node -> current label), adjacency edges keyed by their
+    SOURCE (kind 1, so they stay co-partitioned with the source's state
+    forever), and min-label messages addressed to a neighbor (kind 2).
+    Each round is exactly ONE hash shuffle: a salted groupby co-locates a
+    node's state, its out-edges and its incoming messages; the partition
+    fn takes the min label per node vectorized, re-emits state + edges,
+    and addresses one message per edge — no join, no Dataset.union, no
+    driver structure proportional to V or E. Labels are monotone
+    non-increasing, so a per-round SUM(label) aggregate detects the fixed
+    point exactly; rounds needed = component diameter.
+
+    Returns (doc_id, keep_doc, cluster_size) — identical contract to
+    connected_components_keep (which remains the small-pair-list fast
+    path)."""
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ids = np.unique(all_ids)
+    ea = edges["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    eb = edges["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # symmetric edge rows keyed by source; initial state label = own id
+    src = np.concatenate([ea, eb])
+    dst = np.concatenate([eb, ea])
+    init = pa.table({
+        "skey": pa.array(np.concatenate([ids % _CC_PARTS, src % _CC_PARTS])
+                         .astype(np.int32)),
+        "node": pa.array(np.concatenate([ids, src])),
+        "kind": pa.array(np.concatenate([np.zeros(len(ids), np.int8),
+                                         np.ones(len(src), np.int8)])),
+        "val": pa.array(np.concatenate([ids, dst])),
+    })
+    state = ray.data.from_arrow(init)
+
+    def step(df: "pd.DataFrame") -> "pd.DataFrame":
+        lbl = df.loc[df["kind"] != 1].groupby("node")["val"].min()
+        e = df.loc[df["kind"] == 1]
+        out_state = pd.DataFrame({
+            "skey": (lbl.index % _CC_PARTS).astype(np.int32),
+            "node": lbl.index.to_numpy(),
+            "kind": np.zeros(len(lbl), np.int8),
+            "val": lbl.to_numpy(),
+        })
+        msgs = pd.DataFrame({
+            "skey": (e["val"] % _CC_PARTS).astype(np.int32),
+            "node": e["val"].to_numpy(),
+            "kind": np.full(len(e), 2, np.int8),
+            "val": e["node"].map(lbl).to_numpy(),
+        })
+        return pd.concat([out_state, e, msgs], ignore_index=True)
+
+    def _cc_label_sum_partial(t: pa.Table) -> pa.Table:
+        # vectorized per-block partial of SUM(label) over state rows — the
+        # monotone fixed-point signal (labels only ever decrease)
+        v = pc.sum(pc.if_else(pc.equal(t["kind"], pa.scalar(0, pa.int8())),
+                              t["val"], pa.scalar(0, pa.int64()))).as_py()
+        return pa.table({"s": pa.array([v or 0], type=pa.int64())})
+
+    prev_sum = None
+    for _ in range(_CC_MAX_ROUNDS):
+        state = state.groupby("skey").map_groups(
+            step, batch_format="pandas").materialize()
+        s = int(state.map_batches(_cc_label_sum_partial,
+                                  batch_format="pyarrow")
+                     .aggregate(Sum("s", alias_name="s"))["s"])
+        if s == prev_sum:
+            break
+        prev_sum = s
+    else:
+        raise RuntimeError("cc_hashmin_labels: no fixed point in "
+                           f"{_CC_MAX_ROUNDS} rounds")
+
+    lab = state.to_pandas()
+    lab = lab[lab["kind"] == 0][["node", "val"]]         .rename(columns={"node": "doc_id", "val": "keep_doc"})
+    lab["cluster_size"] = lab.groupby("keep_doc")["doc_id"]         .transform("size").astype(np.int64)
+    for c in ("doc_id", "keep_doc"):
+        lab[c] = lab[c].astype(np.int64)
+    return lab.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_cc_label_propagation(sf_dir: str):
+    """Oracle-checked DISTRIBUTED cluster collapse: the same exact-Jaccard
+    pair graph as q_neardup_cluster_keep, resolved by hash-min label
+    propagation (cc_hashmin_labels) instead of driver union-find — one
+    shuffle per round, fixed point detected by the monotone label sum.
+    Same recursive-CTE DuckDB oracle."""
+    pairs = q_token_jaccard_pairs(sf_dir)
+    sub = _pq(sf_dir, "documents", columns=["doc_id"])
+
+    def ids_only(t: pa.Table) -> pa.Table:
+        d = pc.cast(t["doc_id"], pa.int64())
+        return pa.table({"doc_id": d}).filter(pc.less(d, _JACCARD_SUBSET))
+
+    all_ids = pa.concat_tables(list(
+        sub.map_batches(ids_only, batch_format="pyarrow")
+           .iter_batches(batch_size=None, batch_format="pyarrow")))["doc_id"]
+    return cc_hashmin_labels(
+        pa.table({"doc_a": pairs["doc_a"], "doc_b": pairs["doc_b"]}),
+        all_ids.to_numpy(zero_copy_only=False).astype(np.int64))
+
+
 def q_simhash64(sf_dir: str):
     """Per-doc 64-bit SimHash fingerprints (rows-only; determinism +
     hamming-locality pinned in pytest)."""
@@ -963,6 +1072,7 @@ TRAINING_QUERIES: dict[str, tuple] = {
     "minhash_lsh_neardup": (q_minhash_lsh_neardup, None),
     "minhash_lsh_keep": (q_minhash_lsh_keep, None),
     "neardup_cluster_keep": (q_neardup_cluster_keep, SQL_NEARDUP_CLUSTER_KEEP),
+    "cc_label_propagation": (q_cc_label_propagation, SQL_NEARDUP_CLUSTER_KEEP),
     "simhash64": (q_simhash64, None),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN),
     "ann_ivf_topk": (q_ann_ivf_topk, None),

@@ -63,6 +63,7 @@ SUBSET = [
     "source_ngram_overlap",
     "winsorize_doclen",
     "ntile_orders",
+    "cc_label_propagation",
 ]
 
 

@@ -384,3 +384,41 @@ def test_countmin_users_query(ray_session):
     est = np.array(t["est_n"].to_pylist())
     tru = np.array(t["exact_n"].to_pylist())
     assert (est >= tru).all()
+
+
+def test_cc_hashmin_matches_union_find(ray_session):
+    """Distributed hash-min propagation == driver union-find on a random
+    deterministic edge set, including singletons."""
+    import numpy as np
+    import pyarrow as pa
+
+    from scrapy_ray.pipelines.training import (cc_hashmin_labels,
+                                               connected_components_keep)
+
+    rng = np.random.RandomState(7)
+    n = 60
+    a = rng.randint(0, n, 40).astype(np.int64)
+    b = rng.randint(0, n, 40).astype(np.int64)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    ids = np.arange(n, dtype=np.int64)
+    want = connected_components_keep(a, b, ids).to_pandas()
+    got = cc_hashmin_labels(pa.table({"doc_a": a, "doc_b": b}), ids)
+    assert want.to_dict("list") == got.to_dict("list")
+
+
+def test_cc_hashmin_path_graph_diameter(ray_session):
+    """Worst case for label propagation: a path graph needs diameter
+    rounds — the fixed-point loop must run them all (and the two
+    singletons must keep themselves)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from scrapy_ray.pipelines.training import cc_hashmin_labels
+
+    edges = pa.table({"doc_a": pa.array(np.arange(11, dtype=np.int64)),
+                      "doc_b": pa.array(np.arange(1, 12, dtype=np.int64))})
+    lab = cc_hashmin_labels(edges, np.arange(14, dtype=np.int64))
+    assert (lab["keep_doc"].to_numpy()[:12] == 0).all()
+    assert lab["keep_doc"].to_numpy()[12:].tolist() == [12, 13]
+    assert (lab["cluster_size"].to_numpy()[:12] == 12).all()
