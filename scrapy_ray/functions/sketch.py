@@ -255,3 +255,101 @@ class CountMin:
         for j in range(self.d):
             est = np.minimum(est, self.M[j, self._idx(keys, j)])
         return est
+
+
+class KLL:
+    """Mergeable quantile sketch in the KLL compactor style (Karnin, Lang
+    & Liberty 2016, "Optimal quantile approximation in streams"): a stack
+    of levels, level ``i`` holding items of weight ``2^i``; a full level
+    sorts and keeps alternate items, promoting them one level up. This
+    implementation is DETERMINISTIC (repo hard rule: no unseeded RNG) —
+    compaction keeps the parity that alternates per level per compaction
+    instead of a random coin, trading the randomized guarantee for a
+    bias-cancelling deterministic schedule; the rank-error bound is pinned
+    EMPIRICALLY (driver-visible query + pytest) rather than claimed from
+    the paper. State is O(k log(n/k)) int64s; merge = levelwise concat +
+    recompaction, the same partial/merge shape as HLL/CountMin.
+
+    Unlike the exact histogram-merge quantiles (queries3/queries5), KLL
+    needs no bounded value domain — the 100 TB path for continuous
+    features."""
+
+    def __init__(self, k: int = 256):
+        self.k = k
+        self.levels: list[np.ndarray] = [np.empty(0, np.int64)]
+        self._parity: list[int] = [0]
+        self.n = 0
+
+    def _cap(self, i: int) -> int:
+        # geometrically decaying capacities, floor 8 (KLL's c^(H-i) shape)
+        top = len(self.levels) - 1
+        return max(8, int(self.k * (2 / 3) ** (top - i)))
+
+    def _compact_all(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            lv = self.levels[i]
+            if len(lv) <= self._cap(i):
+                i += 1
+                continue
+            lv = np.sort(lv, kind="stable")
+            keep = lv[self._parity[i]::2]
+            self._parity[i] ^= 1
+            if i + 1 == len(self.levels):
+                self.levels.append(np.empty(0, np.int64))
+                self._parity.append(0)
+            self.levels[i] = np.empty(0, np.int64)
+            self.levels[i + 1] = np.concatenate([self.levels[i + 1], keep])
+            i += 1
+
+    def add_many(self, xs) -> "KLL":
+        xs = np.asarray(xs, dtype=np.int64)
+        self.levels[0] = np.concatenate([self.levels[0], xs])
+        self.n += len(xs)
+        self._compact_all()
+        return self
+
+    def merge(self, other: "KLL") -> "KLL":
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0, np.int64))
+            self._parity.append(0)
+        for i, lv in enumerate(other.levels):
+            self.levels[i] = np.concatenate([self.levels[i], lv])
+        self.n += other.n
+        self._compact_all()
+        return self
+
+    def _weighted(self) -> tuple[np.ndarray, np.ndarray]:
+        vals = np.concatenate(self.levels) if self.n else np.empty(0, np.int64)
+        wts = np.concatenate([np.full(len(lv), 1 << i, np.int64)
+                              for i, lv in enumerate(self.levels)]) \
+            if self.n else np.empty(0, np.int64)
+        o = np.argsort(vals, kind="stable")
+        return vals[o], wts[o]
+
+    def quantile(self, q: float) -> int:
+        """Value whose estimated rank is ceil(q * n) (1-based, the DuckDB
+        quantile_disc convention)."""
+        vals, wts = self._weighted()
+        cum = np.cumsum(wts)
+        rank = max(1, int(np.ceil(q * self.n)))
+        return int(vals[min(int(np.searchsorted(cum, rank)), len(vals) - 1)])
+
+    def rank(self, x: int) -> int:
+        """Estimated number of items <= x."""
+        total = 0
+        for i, lv in enumerate(self.levels):
+            total += (1 << i) * int(np.searchsorted(np.sort(lv, kind="stable"),
+                                                    x, side="right"))
+        return total
+
+    def serialize(self) -> tuple[list[list[int]], int]:
+        return [lv.tolist() for lv in self.levels], self.n
+
+    @classmethod
+    def deserialize(cls, levels: list, n: int, k: int = 256) -> "KLL":
+        s = cls(k)
+        s.levels = [np.asarray(lv, dtype=np.int64) for lv in levels]
+        s._parity = [0] * len(s.levels)
+        s.n = n
+        return s

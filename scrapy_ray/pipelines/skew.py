@@ -225,3 +225,72 @@ def q_countmin_user_counts(sf_dir: str, topn: int = 10, w: int = 2048, d: int = 
 
 
 SKEW_QUERIES["countmin_user_counts"] = (q_countmin_user_counts, None)
+
+
+def q_kll_value_quantiles(sf_dir: str, k: int = 256):
+    """KLL quantile sketch over event values (cents) — the UNBOUNDED-domain
+    companion to the exact histogram-merge quantiles (value_quantiles /
+    grouped_quantiles need a bounded distinct-value table; KLL does not):
+    one sketch per batch, level-wise merge driver-side (at 10^10 rows the
+    same O(k log n) sketches tree-merge). DRIVER-VISIBLE verification:
+    the exact quantiles ride along and the sketch's TRUE rank error
+    |rank(est) - q*n| / n is computed against the exact value histogram
+    and asserted < 2% in-query."""
+    from scrapy_ray.functions.sketch import KLL
+    from scrapy_ray.pipelines.queries import _cents
+
+    qs = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["value"])
+
+    def sketch(t: pa.Table) -> pa.Table:
+        s = KLL(k).add_many(_cents(t["value"]).to_numpy())
+        lv, n = s.serialize()
+        import json
+        return pa.table({"lv": pa.array([json.dumps(lv)], pa.string()),
+                         "n": pa.array([n], pa.int64())})
+
+    import json
+    merged = KLL(k)
+    for b in ds.map_batches(sketch, batch_format="pyarrow") \
+               .iter_batches(batch_size=None, batch_format="pyarrow"):
+        for lv, n in zip(b["lv"].to_pylist(), b["n"].to_pylist()):
+            merged.merge(KLL.deserialize(json.loads(lv), int(n), k))
+
+    # exact side: distributed (value, count) histogram (value_quantiles
+    # shape) — rank of any estimate is a cumsum lookup
+    def hpart(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"v": _cents(t["value"]).to_numpy()})
+        g = df.groupby("v").size().reset_index(name="cnt")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (ds.map_batches(hpart, batch_format="pyarrow")
+              .groupby("v").aggregate(Sum("cnt", alias_name="cnt"))
+              .to_pandas().sort_values("v"))
+    vals = hist["v"].to_numpy(dtype=np.int64)
+    cum = hist["cnt"].to_numpy(dtype=np.int64).cumsum()
+    n_total = int(cum[-1])
+    assert merged.n == n_total
+
+    rows = []
+    for q in qs:
+        est = merged.quantile(q)
+        # exact quantile_disc: value at 1-based rank ceil(q*n)
+        rank = int(np.ceil(q * n_total))
+        exact = int(vals[int(np.searchsorted(cum, rank))])
+        # true rank of the estimate (count of values <= est)
+        i = int(np.searchsorted(vals, est, side="right"))
+        est_rank = int(cum[i - 1]) if i else 0
+        err = abs(est_rank - rank) / n_total
+        assert err < 0.02, (q, est, exact, err)
+        rows.append((q, est, exact, round(err, 6)))
+    out = pa.table({
+        "q": pa.array([r[0] for r in rows], pa.float64()),
+        "est_cents": pa.array([r[1] for r in rows], pa.int64()),
+        "exact_cents": pa.array([r[2] for r in rows], pa.int64()),
+        "rank_err": pa.array([r[3] for r in rows], pa.float64()),
+    })
+    return out
+
+
+SKEW_QUERIES["kll_value_quantiles"] = (q_kll_value_quantiles, None)

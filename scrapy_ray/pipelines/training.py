@@ -414,12 +414,12 @@ def connected_components_keep(doc_a: np.ndarray, doc_b: np.ndarray,
     graph (itself for singletons). This is the final dedup step — the kept
     corpus is ``doc_id == keep_doc``.
 
-    Union-find with path compression over the (small) pair list. The pair
-    list of a near-dup job is O(output), orders of magnitude below the
-    corpus; at 1e10 docs the same collapse runs as iterative min-label
-    propagation — alternating groupby-min rounds over the edge Dataset
-    (large-star/small-star, Kiveris et al. 2014) — the per-round shuffle
-    key is the same (doc -> label) shape as this in-memory version."""
+    Union-find with path compression over the (small) pair list — the
+    fast path when pairs fit one process. The distributed path is
+    IMPLEMENTED below: cc_hashmin_labels runs the same collapse as
+    Pregel-style hash-min label propagation, one groupby shuffle per
+    round, no driver structure over V or E (q:cc_label_propagation checks
+    it against the same recursive-CTE oracle)."""
     ids = np.unique(all_ids)
     parent = np.arange(len(ids), dtype=np.int64)
 

@@ -422,3 +422,50 @@ def test_cc_hashmin_path_graph_diameter(ray_session):
     assert (lab["keep_doc"].to_numpy()[:12] == 0).all()
     assert lab["keep_doc"].to_numpy()[12:].tolist() == [12, 13]
     assert (lab["cluster_size"].to_numpy()[:12] == 12).all()
+
+
+def test_kll_accuracy_merge_and_determinism():
+    """KLL sketch: rank error < 1% on a lognormal stream at k=256; merge of
+    split sketches stays within the bound; identical input -> identical
+    sketch (deterministic compaction, repo hard rule)."""
+    from scrapy_ray.functions.sketch import KLL
+
+    rng = np.random.RandomState(11)
+    xs = (rng.lognormal(6, 2, 150_000) * 100).astype(np.int64)
+    exact = np.sort(xs)
+
+    def worst_err(s):
+        w = 0.0
+        for q in (0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99):
+            est = s.quantile(q)
+            r = np.searchsorted(exact, est, side="right")
+            w = max(w, abs(r - np.ceil(q * len(xs))) / len(xs))
+        return w
+
+    whole = KLL(256)
+    for c in np.array_split(xs, 23):
+        whole.add_many(c)
+    assert worst_err(whole) < 0.01
+    # state is tiny relative to the stream
+    assert sum(len(lv) for lv in whole.levels) < 2_000
+
+    a, b = KLL(256), KLL(256)
+    for c in np.array_split(xs[:90_000], 11):
+        a.add_many(c)
+    for c in np.array_split(xs[90_000:], 7):
+        b.add_many(c)
+    m = a.merge(b)
+    assert m.n == len(xs)
+    assert worst_err(m) < 0.01
+
+    # determinism: same chunking -> bit-identical level state
+    r1, r2 = KLL(64), KLL(64)
+    for c in np.array_split(xs[:40_000], 9):
+        r1.add_many(c)
+        r2.add_many(c)
+    assert all((x == y).all() for x, y in zip(r1.levels, r2.levels))
+
+    # serde round trip preserves quantiles
+    lv, n = m.serialize()
+    r = KLL.deserialize(lv, n)
+    assert all(r.quantile(q) == m.quantile(q) for q in (0.1, 0.5, 0.9))
