@@ -662,6 +662,61 @@ ORDER BY o_orderkey
 """
 
 
+# ---------------------------------------------------------------------------
+# windowed dedup (burst collapse)
+# ---------------------------------------------------------------------------
+
+_WD_GAP_US = 10 * 60 * 1_000_000   # 10-minute burst window
+
+
+def q_windowed_dedup_events(sf_dir: str):
+    """Burst collapse: within each (user, event_type) stream keep only the
+    events that START a burst — gap from the previous event > 10 min (or
+    first). The event-log twin of paragraph dedup: repeated signals inside
+    a window collapse to one. One hash shuffle on the composite key; the
+    per-group rule is a vectorized timestamp diff (no per-row loop), tie
+    order (ts, event_id) fixed for determinism."""
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def keep_first(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "event_type", "ts", "event_id"],
+                            kind="mergesort")
+        t = df["ts"].astype("int64").to_numpy()
+        u = df["user_id"].to_numpy()
+        e = df["event_type"].to_numpy()
+        same = np.zeros(len(df), dtype=bool)
+        if len(df) > 1:
+            same[1:] = (u[1:] == u[:-1]) & (e[1:] == e[:-1]) \
+                & (t[1:] - t[:-1] <= _WD_GAP_US)
+        return df.loc[~same, ["event_id", "user_id", "event_type", "ts"]]
+
+    def with_key(t: pa.Table) -> pa.Table:
+        gkey = (t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                % _N_PARTS).astype(np.int32)
+        return t.append_column("gkey", pa.array(gkey))
+
+    out = (ds.map_batches(with_key, batch_format="pyarrow")
+             .groupby("gkey").map_groups(keep_first, batch_format="pandas")
+             .to_pandas())
+    for c in ("event_id", "user_id"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_WINDOWED_DEDUP = """
+WITH g AS (
+  SELECT event_id, user_id, event_type, ts,
+         lag(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS pt
+  FROM events
+)
+SELECT event_id, user_id, event_type, ts
+FROM g
+WHERE pt IS NULL OR ts - pt > INTERVAL 10 MINUTE
+ORDER BY event_id
+"""
+
+
 QUERIES6 = {
     "substring_span_dedup": (q_substring_span_dedup, SQL_SUBSTRING_SPAN_DEDUP),
     "train_shard_export": (q_train_shard_export, SQL_TRAIN_SHARD_EXPORT),
@@ -670,4 +725,5 @@ QUERIES6 = {
     "source_ngram_overlap": (q_source_ngram_overlap, SQL_SOURCE_NGRAM_OVERLAP),
     "winsorize_doclen": (q_winsorize_doclen, SQL_WINSORIZE_DOCLEN),
     "ntile_orders": (q_ntile_orders, SQL_NTILE_ORDERS),
+    "windowed_dedup_events": (q_windowed_dedup_events, SQL_WINDOWED_DEDUP),
 }

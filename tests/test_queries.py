@@ -64,6 +64,7 @@ SUBSET = [
     "winsorize_doclen",
     "ntile_orders",
     "cc_label_propagation",
+    "windowed_dedup_events",
 ]
 
 
