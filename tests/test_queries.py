@@ -65,6 +65,7 @@ SUBSET = [
     "ntile_orders",
     "cc_label_propagation",
     "windowed_dedup_events",
+    "ppjoin_neardup",
 ]
 
 

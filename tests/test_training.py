@@ -100,6 +100,33 @@ def test_lsh_recall_vs_exact(ray_session):
     assert got_pairs <= truth
 
 
+def test_ppjoin_exact_vs_brute_force(ray_session):
+    """PPJoin prefix filtering is EXACT: its pair set must equal the O(n^2)
+    brute-force shingle-Jaccard >= tau truth (no misses, no false positives)
+    — the end-to-end check of the prefix-filter lemma. By transitivity with
+    test_lsh_recall_vs_exact, LSH pairs are a subset of PPJoin pairs."""
+    import pyarrow.parquet as pq
+
+    from scrapy_ray.pipelines.queries7 import _PPJ_DEN, _PPJ_NUM, q_ppjoin_neardup
+
+    got = q_ppjoin_neardup(SF)
+    got_pairs = set(zip(got["doc_a"].tolist(), got["doc_b"].tolist()))
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    sets = {int(i): shingle_hash_set(s)
+            for i, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())}
+    truth = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        A, B = sets[a], sets[b]
+        k = np.intersect1d(A, B, assume_unique=True).size
+        # integer-exact J >= num/den, same predicate as the query
+        if (_PPJ_DEN + _PPJ_NUM) * k >= _PPJ_NUM * (A.size + B.size):
+            truth.add((a, b))
+    assert truth, "testdata should contain shingle near-dups"
+    assert got_pairs == truth, (len(got_pairs), len(truth),
+                                got_pairs ^ truth)
+
+
 def test_ivf_recall_vs_brute_force(ray_session):
     from scrapy_ray.pipelines.training import q_ann_cosine_topk, q_ann_ivf_topk
 
