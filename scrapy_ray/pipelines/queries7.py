@@ -170,6 +170,113 @@ ORDER BY doc_a, doc_b
 """
 
 
+# ---------------------------------------------------------------------------
+# incremental aggregate maintenance (delta processing)
+# ---------------------------------------------------------------------------
+
+# 2024-01-22T00:00:00 in epoch micros: base = first 3 weeks of the corpus,
+# delta = the rest. Internal to the Ray side only — the merged state must
+# equal the full recompute, so the oracle never sees the cutoff.
+_INC_CUTOFF_US = int(pd.Timestamp("2024-01-22").value // 1000)
+
+
+def _partial_user_state(t: pa.Table) -> pa.Table:
+    """Per-batch partial aggregate: (user_id, n_events, sum_cents, max_ts_us).
+    Mergeable by construction (count/sum are sums, max is max), so the SAME
+    combiner finalizes a slice and merges persisted slice states."""
+    from scrapy_ray.pipelines.queries import _cents
+    df = pd.DataFrame({
+        "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+        "cents": _cents(t["value"]).to_numpy(),
+        "ts_us": t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False),
+    })
+    g = df.groupby("user_id", sort=False).agg(
+        n_events=("cents", "size"), sum_cents=("cents", "sum"),
+        max_ts_us=("ts_us", "max")).reset_index()
+    g["gkey"] = (g["user_id"] % _INC_PARTS).astype(np.int32)
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def _merge_user_state(df: pd.DataFrame) -> pd.DataFrame:
+    # called per SALTED partition (user_id % _INC_PARTS), not per user —
+    # per-group dispatch over thousands of single-user groups is the
+    # measured hotspot; the inner pandas groupby recovers real user
+    # boundaries vectorized.
+    out = df.groupby("user_id", sort=False).agg(
+        n_events=("n_events", "sum"), sum_cents=("sum_cents", "sum"),
+        max_ts_us=("max_ts_us", "max")).reset_index()
+    out["gkey"] = (out["user_id"] % _INC_PARTS).astype(np.int32)
+    return out
+
+
+_INC_PARTS = 64
+
+
+def q_incremental_user_state(sf_dir: str):
+    """Incremental aggregate maintenance — the delta-processing primitive of
+    a recurring corpus build: per-user state (event count, exact cents sum,
+    last-seen ts) is computed for the BASE time slice and persisted as
+    parquet ("yesterday's run"), the DELTA slice is aggregated separately,
+    and the two persisted states are merged by re-reading both files through
+    one groupby — never re-scanning base events. The merged state must be
+    bit-identical to a full recompute (the oracle): count/sum/max partials
+    are associative, so state-merge == recompute by construction, and this
+    query proves it end to end. At 100 TB the state table is O(users) —
+    orders of magnitude smaller than the event log it summarizes — which is
+    the entire economics of the pattern."""
+    import os
+    import shutil
+    import tempfile
+
+    import ray
+
+    scratch = tempfile.mkdtemp(prefix="incstate_", dir="/tmp")
+    try:
+        ds = _pq(sf_dir, "events", ["user_id", "value", "ts"])
+
+        def run_slice(name: str, lo: int | None, hi: int | None) -> str:
+            def sl(t: pa.Table) -> pa.Table:
+                us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                m = np.ones(len(us), dtype=bool)
+                if hi is not None:
+                    m &= us < hi
+                if lo is not None:
+                    m &= us >= lo
+                return _partial_user_state(t.filter(pa.array(m)))
+            out = os.path.join(scratch, name)
+            (ds.map_batches(sl, batch_format="pyarrow")
+               .groupby("gkey").map_groups(_merge_user_state,
+                                           batch_format="pandas")
+               .write_parquet(out))
+            return out
+
+        base = run_slice("base", None, _INC_CUTOFF_US)
+        delta = run_slice("delta", _INC_CUTOFF_US, None)
+        files = [os.path.join(d, f) for d in (base, delta)
+                 for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+        out = (ray.data.read_parquet(files)
+                 .groupby("gkey").map_groups(_merge_user_state,
+                                             batch_format="pandas")
+                 .to_pandas())
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    out["max_ts"] = pd.to_datetime(out.pop("max_ts_us"), unit="us")
+    for c in ("user_id", "n_events", "sum_cents"):
+        out[c] = out[c].astype(np.int64)
+    return (out[["user_id", "n_events", "sum_cents", "max_ts"]]
+            .sort_values("user_id").reset_index(drop=True))
+
+
+SQL_INCREMENTAL_STATE = """
+SELECT user_id::BIGINT AS user_id,
+       count(*)::BIGINT AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents,
+       max(ts) AS max_ts
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES7 = {
     "ppjoin_neardup": (q_ppjoin_neardup, SQL_PPJOIN),
+    "incremental_user_state": (q_incremental_user_state, SQL_INCREMENTAL_STATE),
 }

@@ -66,6 +66,7 @@ SUBSET = [
     "cc_label_propagation",
     "windowed_dedup_events",
     "ppjoin_neardup",
+    "incremental_user_state",
 ]
 
 
