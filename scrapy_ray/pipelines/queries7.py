@@ -276,7 +276,115 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# triangle counting (oriented wedge join)
+# ---------------------------------------------------------------------------
+
+
+def q_triangle_count_docs(sf_dir: str):
+    """Per-node triangle counts over the deterministic doc link graph
+    (doc -> (31*doc + c) % N, c in 1..3 — the same graph q_pagerank_docs and
+    q_cc_label_propagation walk). The classic distributed shape (Suri &
+    Vassilvitskii WWW'11 / Cohen's MapReduce kernel): orient every edge
+    low-id -> high-id so each triangle is found exactly once from its
+    smallest vertex, emit WEDGES (pairs of out-neighbors) grouped by source,
+    then close them with one co-partitioned match against the edge set —
+    never an all-pairs or a driver-side adjacency. Three salted hash
+    shuffles total: edge dedup + wedge gen (keyed by the smaller endpoint),
+    wedge-edge closure (keyed by the candidate closing pair), node-count
+    final. ID orientation is enough here because out-degree is bounded by
+    construction (~3); on skewed real graphs the orientation key becomes
+    (degree, id) — degree rides the same first shuffle."""
+    from scrapy_ray.pipelines.queries import _nrows
+
+    n = _nrows(sf_dir, "documents")
+    ds = _pq(sf_dir, "documents", ["doc_id"])
+
+    def gen_edges(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.repeat(ids, 3)
+        v = (31 * u + np.tile(np.array([1, 2, 3], dtype=np.int64),
+                              len(ids))) % n
+        keep = u != v
+        a = np.minimum(u[keep], v[keep])
+        b = np.maximum(u[keep], v[keep])
+        return pa.table({"a": pa.array(a), "b": pa.array(b),
+                         "gkey": pa.array((a % _N_PARTS).astype(np.int32))})
+
+    def wedges_and_edges(df: pd.DataFrame) -> pd.DataFrame:
+        # co-located by a: global (a,b) dedup + per-source wedge emission
+        df = df.drop_duplicates(["a", "b"]).sort_values(["a", "b"])
+        a = df["a"].to_numpy()
+        b = df["b"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
+        ends = np.r_[starts[1:], len(a)]
+        # edge rows pass through tagged w=-1; wedge rows carry their witness
+        rows_k1, rows_k2, rows_w = [a], [b], [np.full(len(a), -1, np.int64)]
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            nb = b[s:e]                      # sorted out-neighbors of a[s]
+            ii, jj = np.triu_indices(len(nb), k=1)
+            rows_k1.append(nb[ii])
+            rows_k2.append(nb[jj])
+            rows_w.append(np.full(len(ii), a[s], dtype=np.int64))
+        k1 = np.concatenate(rows_k1)
+        k2 = np.concatenate(rows_k2)
+        w = np.concatenate(rows_w)
+        return pd.DataFrame({"k1": k1, "k2": k2, "w": w,
+                             "gkey": ((k1 * 1000003 + k2) % _N_PARTS
+                                      ).astype(np.int32)})
+
+    def close_wedges(df: pd.DataFrame) -> pd.DataFrame:
+        ed = df[df["w"] < 0][["k1", "k2"]].drop_duplicates()
+        wd = df[df["w"] >= 0]
+        tri = wd.merge(ed, on=["k1", "k2"], how="inner")
+        node = np.concatenate([tri["w"].to_numpy(), tri["k1"].to_numpy(),
+                               tri["k2"].to_numpy()]).astype(np.int64)
+        return pd.DataFrame({"node": node,
+                             "gkey": (node % _N_PARTS).astype(np.int32)})
+
+    def count_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", sort=True).size().reset_index(name="n_tri")
+        return g
+
+    out = (ds.map_batches(gen_edges, batch_format="pyarrow")
+             .groupby("gkey").map_groups(wedges_and_edges, batch_format="pandas")
+             .groupby("gkey").map_groups(close_wedges, batch_format="pandas")
+             .groupby("gkey").map_groups(count_nodes, batch_format="pandas")
+             .to_pandas())
+    out = out.rename(columns={"node": "doc_id"})
+    for c in ("doc_id", "n_tri"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_TRIANGLES = """
+WITH n AS (SELECT count(*) AS cnt FROM documents),
+e0 AS (
+  SELECT d.doc_id AS u, (31 * d.doc_id + c.c) % n.cnt AS v
+  FROM documents d, n, (SELECT unnest([1, 2, 3]) AS c) c
+),
+e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+      FROM e0 WHERE u <> v),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+nodes AS (
+  SELECT x AS id FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT id::BIGINT AS doc_id, count(*)::BIGINT AS n_tri
+FROM nodes GROUP BY id ORDER BY doc_id
+"""
+
+
 QUERIES7 = {
     "ppjoin_neardup": (q_ppjoin_neardup, SQL_PPJOIN),
     "incremental_user_state": (q_incremental_user_state, SQL_INCREMENTAL_STATE),
+    "triangle_count_docs": (q_triangle_count_docs, SQL_TRIANGLES),
 }

@@ -67,6 +67,7 @@ SUBSET = [
     "windowed_dedup_events",
     "ppjoin_neardup",
     "incremental_user_state",
+    "triangle_count_docs",
 ]
 
 
