@@ -383,8 +383,97 @@ FROM nodes GROUP BY id ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# skyline (Pareto frontier)
+# ---------------------------------------------------------------------------
+
+
+def _skyline_2d(cents: np.ndarray, date_us: np.ndarray) -> np.ndarray:
+    """Boolean mask of the 2D skyline (maximize cents, minimize date):
+    x survives iff no y has cents >= x AND date <= x with one strict.
+    O(n log n) sweep: sort by (date, -cents); a row survives iff it carries
+    its date's max cents AND beats the running max over strictly earlier
+    dates. Equal (date, cents) duplicates don't dominate each other — all
+    kept. Vectorized throughout."""
+    n = len(cents)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((-cents, date_us))
+    d, c = date_us[order], cents[order]
+    grp_start = np.r_[True, d[1:] != d[:-1]]
+    # per-date max = first value in each date group (cents descending)
+    gmax = c[np.maximum.accumulate(np.where(grp_start, np.arange(n), 0))]
+    run = np.maximum.accumulate(np.where(grp_start, gmax, np.iinfo(np.int64).min))
+    # running max over STRICTLY earlier dates: shift by one date group
+    first_idx = np.maximum.accumulate(np.where(grp_start, np.arange(n), 0))
+    prev_run = np.where(first_idx == 0, np.iinfo(np.int64).min,
+                        run[np.maximum(first_idx - 1, 0)])
+    keep_sorted = (c == gmax) & (c > prev_run)
+    mask = np.zeros(n, dtype=bool)
+    mask[order] = keep_sorted
+    return mask
+
+
+def q_skyline_orders(sf_dir: str):
+    """Pareto-frontier (skyline) query over orders: the set of orders no
+    other order beats on BOTH price (higher-or-equal) and date
+    (earlier-or-equal, one strict) — 'the earliest order at every achieved
+    price level'. The distributed shape is the block-nested-loop skyline:
+    every block prunes its LOCAL skyline in the map pass (valid filter —
+    domination is transitive, so a globally non-dominated row is
+    non-dominated in its block), and only the tiny union of block skylines
+    reaches the final exact sweep. The big side is never shuffled; output
+    and final-stage input are O(skyline), not O(rows). Price compares on
+    exact integer cents (CLAUDE float rule)."""
+    from scrapy_ray.pipelines.queries import _cents
+
+    ds = _pq(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def local_skyline(t: pa.Table) -> pa.Table:
+        cents = _cents(t["o_totalprice"]).to_numpy()
+        dus = t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        m = _skyline_2d(cents, dus)
+        return pa.table({
+            "o_orderkey": pa.array(
+                t["o_orderkey"].to_numpy(zero_copy_only=False)[m], pa.int64()),
+            "price_cents": pa.array(cents[m], pa.int64()),
+            "date_us": pa.array(dus[m], pa.int64()),
+        })
+
+    surv = ds.map_batches(local_skyline, batch_format="pyarrow").to_pandas()
+    m = _skyline_2d(surv["price_cents"].to_numpy(),
+                    surv["date_us"].to_numpy())
+    out = surv.loc[m].copy()
+    out["o_orderdate"] = pd.to_datetime(out.pop("date_us"), unit="us")
+    for c in ("o_orderkey", "price_cents"):
+        out[c] = out[c].astype(np.int64)
+    return (out[["o_orderkey", "price_cents", "o_orderdate"]]
+            .sort_values("o_orderkey").reset_index(drop=True))
+
+
+SQL_SKYLINE = """
+WITH o AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderdate
+  FROM orders
+),
+dm AS (SELECT o_orderdate AS d, max(cents) AS mx FROM o GROUP BY 1),
+dmw AS (
+  SELECT d, mx, max(mx) OVER (ORDER BY d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmx
+  FROM dm
+)
+SELECT x.o_orderkey::BIGINT AS o_orderkey, x.cents AS price_cents,
+       x.o_orderdate
+FROM o x JOIN dmw ON dmw.d = x.o_orderdate
+WHERE x.cents = dmw.mx AND (dmw.prevmx IS NULL OR x.cents > dmw.prevmx)
+ORDER BY o_orderkey
+"""
+
+
 QUERIES7 = {
     "ppjoin_neardup": (q_ppjoin_neardup, SQL_PPJOIN),
     "incremental_user_state": (q_incremental_user_state, SQL_INCREMENTAL_STATE),
     "triangle_count_docs": (q_triangle_count_docs, SQL_TRIANGLES),
+    "skyline_orders": (q_skyline_orders, SQL_SKYLINE),
 }

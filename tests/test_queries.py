@@ -68,6 +68,7 @@ SUBSET = [
     "ppjoin_neardup",
     "incremental_user_state",
     "triangle_count_docs",
+    "skyline_orders",
 ]
 
 
@@ -98,3 +99,24 @@ def test_entry_smoke(ray_session):
     assert ds.count() > 0
     names = set(ds.schema().names)
     assert {"url", "name", "rating", "extracted_text"} <= names
+
+
+def test_skyline_sweep_matches_brute_force():
+    """The O(n log n) 2D skyline sweep must equal the NOT-EXISTS domination
+    definition on random inputs, including duplicate (date, cents) points
+    (which never dominate each other)."""
+    import numpy as np
+
+    from scrapy_ray.pipelines.queries7 import _skyline_2d
+
+    rng = np.random.RandomState(7)
+    for _ in range(200):
+        n = rng.randint(1, 40)
+        c = rng.randint(0, 8, n).astype(np.int64)
+        d = rng.randint(0, 8, n).astype(np.int64)
+        got = _skyline_2d(c, d)
+        brute = np.array([
+            not any((c[j] >= c[i]) and (d[j] <= d[i])
+                    and (c[j] > c[i] or d[j] < d[i]) for j in range(n))
+            for i in range(n)])
+        assert (got == brute).all()
