@@ -45,6 +45,12 @@ def main(argv: list[str] | None = None) -> int:
                         "pages that already yielded items (DeltaFetch)")
     c.add_argument("--no-metarefresh", action="store_true",
                    help="disable the meta-refresh redirect middleware")
+    c.add_argument("--download-maxsize", type=int, default=0,
+                   help="drop responses with bodies larger than this many "
+                        "raw bytes (DOWNLOAD_MAXSIZE; 0 = off)")
+    c.add_argument("--download-warnsize", type=int, default=0,
+                   help="count responses larger than this many raw bytes in "
+                        "the maxsize_warned stat (DOWNLOAD_WARNSIZE; 0 = off)")
     c.add_argument("--retry-max", type=int, default=0,
                    help="retry 5xx fetches up to N times with lowered priority")
     c.add_argument("--frontier-shards", type=int, default=4)
@@ -96,6 +102,8 @@ def main(argv: list[str] | None = None) -> int:
                 retry_max=args.retry_max,
                 metarefresh=not args.no_metarefresh,
                 deltafetch_items=args.deltafetch,
+                download_maxsize=args.download_maxsize,
+                download_warnsize=args.download_warnsize,
             )
             seeds = None
             if args.sitemap_seeds:

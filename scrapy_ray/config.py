@@ -76,6 +76,18 @@ class CrawlConfig:
     metarefresh: bool = True         # METAREFRESH_ENABLED
     metarefresh_maxdelay: float = 100.0  # METAREFRESH_MAXDELAY
 
+    # Response size limits ([S:scrapy/core/downloader/handlers/http11.py
+    # _ResponseReader; DOWNLOAD_MAXSIZE / DOWNLOAD_WARNSIZE]): a body larger
+    # than download_maxsize ABORTS the download — the response never reaches
+    # any middleware (no redirect, no retry, no parse, not counted as
+    # fetched; surfaces as the maxsize_dropped stat). warnsize only counts
+    # (Scrapy logs a warning and keeps going). Sizes are RAW stored body
+    # bytes (the transfer size), measured before decompression (M11).
+    # 0 = off (Scrapy's default maxsize is 1 GiB — effectively off at
+    # corpus-replay page sizes, so off keeps goldens byte-stable).
+    download_maxsize: int = 0        # DOWNLOAD_MAXSIZE
+    download_warnsize: int = 0       # DOWNLOAD_WARNSIZE
+
     # spider-middleware filters ([S:scrapy/spidermiddlewares/*])
     depth_limit: int = 0             # DEPTH_LIMIT, 0 = unlimited
     depth_priority: int = 0          # DEPTH_PRIORITY: priority += depth * this

@@ -189,6 +189,8 @@ class CrawlEngine:
         self.wave_idx = 0
         self.next_seq = 0
         self.pages_fetched = 0
+        self.maxsize_dropped = 0
+        self.maxsize_warned = 0
         self.items_count = 0
         self.lineage: list[dict] = []
         self._mem_items: list[pa.Table] = []
@@ -231,6 +233,8 @@ class CrawlEngine:
         with open(stmp, "w") as fh:
             json.dump({"wave_idx": self.wave_idx, "next_seq": self.next_seq,
                        "pages_fetched": self.pages_fetched, "items_count": self.items_count,
+                       "maxsize_dropped": self.maxsize_dropped,
+                       "maxsize_warned": self.maxsize_warned,
                        "lineage": self.lineage}, fh)
         os.replace(stmp, os.path.join(vdir, "state.json"))
         # commit point: pointer swap is the single atomic operation
@@ -263,6 +267,9 @@ class CrawlEngine:
         self.next_seq = m["next_seq"]
         self.pages_fetched = m["pages_fetched"]
         self.items_count = m["items_count"]
+        # .get(): pre-maxsize checkpoints lack the keys (forward-compat read)
+        self.maxsize_dropped = m.get("maxsize_dropped", 0)
+        self.maxsize_warned = m.get("maxsize_warned", 0)
         self.lineage = m["lineage"]
         # drop sink partitions from any wave newer than the checkpoint (a
         # crash between sink write and commit): lineage lists completed waves.
@@ -304,6 +311,8 @@ class CrawlEngine:
                 self.wave_idx = 0
                 self.next_seq = 0
                 self.pages_fetched = 0
+                self.maxsize_dropped = 0
+                self.maxsize_warned = 0
                 self.items_count = 0
                 self.lineage = []
                 self.seed(self._seeds)
@@ -387,7 +396,8 @@ class CrawlEngine:
         # parse + in-task items/links splits — neither html nor list columns
         # reach the driver (stages/fetch.py fetch_parse_wave, stages/parse.py).
         _t0 = _time.perf_counter()
-        items, links, n_fetched, hstats, retry_rows, redirect_rows = fetch_parse_wave(
+        (items, links, n_fetched, hstats, retry_rows, redirect_rows,
+         (n_maxsize_drop, n_maxsize_warn)) = fetch_parse_wave(
             self.root, wave, self.n_buckets, cache=self._bucket_cache,
             registry_ref=self._registry_ref, want_stats=cfg.autothrottle,
             retry_cfg=((cfg.retry_codes, cfg.retry_max) if cfg.retry_max else None),
@@ -395,7 +405,12 @@ class CrawlEngine:
                           if cfg.redirect_max else None),
             metarefresh_cfg=((cfg.metarefresh_maxdelay, cfg.redirect_max)
                              if (cfg.metarefresh and cfg.redirect_max)
-                             else None))
+                             else None),
+            maxsize_cfg=((cfg.download_maxsize, cfg.download_warnsize)
+                         if (cfg.download_maxsize or cfg.download_warnsize)
+                         else None))
+        self.maxsize_dropped += n_maxsize_drop
+        self.maxsize_warned += n_maxsize_warn
         self.phase_times["fetch_parse"] += _time.perf_counter() - _t0
 
         if cfg.autothrottle and len(hstats):
@@ -466,7 +481,9 @@ class CrawlEngine:
             from collections import Counter
 
             self.metrics.inc.remote({"pages_fetched": n_fetched,
-                                     "items": len(items), "new_links": n_new})
+                                     "items": len(items), "new_links": n_new,
+                                     "maxsize_dropped": n_maxsize_drop,
+                                     "maxsize_warned": n_maxsize_warn})
             self.metrics.inc_hosts.remote(dict(Counter(wave["host"].to_pylist())))
         self.wave_idx += 1
         if self.ckpt and (self.wave_idx % max(1, cfg.checkpoint_every) == 0):
@@ -500,6 +517,8 @@ class CrawlEngine:
             "scheduled": int(len(order)),
             "url_seen": int(n_seen),
             "robots_denied": sum(s["robots_denied"] for s in fstats),
+            "maxsize_dropped": self.maxsize_dropped,
+            "maxsize_warned": self.maxsize_warned,
             "frontier_remaining": sum(s["queued"] for s in fstats),
             "phase_times": {k: round(v, 3) for k, v in self.phase_times.items()},
         }

@@ -137,6 +137,8 @@ def simulate_crawl(corpus_root: str, cfg: CrawlConfig | None = None,
     order_rows: list[tuple[int, int, str]] = []
     items_cols: dict[str, list] = {k: [] for k in schemas.ITEMS.names}
     pages_fetched = 0
+    maxsize_dropped = 0
+    maxsize_warned = 0
     items_count = 0
     wave_idx = 0
 
@@ -190,6 +192,17 @@ def simulate_crawl(corpus_root: str, cfg: CrawlConfig | None = None,
             i = page_of.get(c["url"])
             if i is None:
                 continue                     # dangling link -> fetch miss
+            # DOWNLOAD_MAXSIZE mirror ([S:http11.py _ResponseReader], raw
+            # stored bytes): an aborted body never reaches ANY middleware —
+            # not the autothrottle sampler, not redirect/retry, not parse,
+            # and it does not count as fetched.
+            if cfg.download_maxsize or cfg.download_warnsize:
+                raw_len = len(pages["html"][i].as_py())
+                if cfg.download_warnsize and raw_len > cfg.download_warnsize:
+                    maxsize_warned += 1
+                if cfg.download_maxsize and raw_len > cfg.download_maxsize:
+                    maxsize_dropped += 1
+                    continue
             if cfg.autothrottle:
                 st = wave_host_bytes.setdefault(c["host"], [0, 0])
                 st[0] += 1
@@ -300,5 +313,7 @@ def simulate_crawl(corpus_root: str, cfg: CrawlConfig | None = None,
         url_seen=seen_t,
         metrics={"pages_fetched": pages_fetched, "items": items_count,
                  "scheduled": len(order_rows), "url_seen": len(seen),
-                 "robots_denied": n_robots_denied, "waves": wave_idx},
+                 "robots_denied": n_robots_denied, "waves": wave_idx,
+                 "maxsize_dropped": maxsize_dropped,
+                 "maxsize_warned": maxsize_warned},
     )

@@ -136,6 +136,25 @@ def _meta_refresh_split(t: pa.Table, maxdelay: float,
     return rows, t.filter(pa.array(keep))
 
 
+def _maxsize_split(t: pa.Table, maxsize: int, warnsize: int) -> tuple:
+    """DOWNLOAD_MAXSIZE / DOWNLOAD_WARNSIZE gate ([S:http11.py
+    _ResponseReader]): oversized bodies abort BEFORE any downloader
+    middleware sees them — applied to the raw stored bytes ahead of the
+    frontier join, host stats, retry/redirect/meta-refresh splits and the
+    parse. warnsize counts every body over the threshold (dropped ones
+    included — Scrapy warns while streaming, before it knows the final
+    size). Returns (kept_table, n_dropped, n_warned)."""
+    ln = pc.binary_length(t["html"])
+    n_warn = 0
+    if warnsize:
+        n_warn = int(pc.sum(pc.greater(ln, warnsize)).as_py() or 0)
+    if not maxsize:
+        return t, 0, n_warn
+    keep = pc.less_equal(ln, maxsize)
+    n_drop = len(t) - int(pc.sum(keep).as_py() or 0)
+    return (t.filter(keep) if n_drop else t), n_drop, n_warn
+
+
 def _host_stats(t: pa.Table) -> pa.Table:
     """Per-host (responses, body bytes) partial for this task's fetched rows
     — the deterministic virtual-latency signal for AutoThrottle (F4)."""
@@ -203,7 +222,8 @@ def _empty_fetched(page_schema: pa.Schema) -> pa.Table:
 @ray.remote
 def _fetch_parse_bucket(path: str, sub: pa.Table, registry_ref=None,
                         want_stats: bool = False, retry_cfg=None,
-                        redirect_cfg=None, metarefresh_cfg=None) -> tuple:
+                        redirect_cfg=None, metarefresh_cfg=None,
+                        maxsize_cfg=None) -> tuple:
     """Read one corpus bucket with an ``url IN (...)`` parquet filter
     (row-group pruning — bucket files are written sorted by url and ``sub``
     is a url-sorted contiguous wave slice, so a chunk touches few row
@@ -226,10 +246,13 @@ def _fetch_parse_bucket(path: str, sub: pa.Table, registry_ref=None,
     # exists whenever redirect_cfg is set — no per-task footer sniffing
     cols = ["url", "html", "status"] + (["location"] if redirect_cfg else [])
     t = pq.read_table(path, filters=pc.field("url").isin(sub["url"]), columns=cols)
+    nd = nw = 0
+    if maxsize_cfg is not None and len(t):
+        t, nd, nw = _maxsize_split(t, *maxsize_cfg)
     if len(t) == 0:
         return (schemas.ITEMS.empty_table(), schemas.LINKS.empty_table(), 0,
                 HOST_STATS_SCHEMA.empty_table(), schemas.RETRY_ROWS.empty_table(),
-                schemas.REDIRECT_ROWS.empty_table())
+                schemas.REDIRECT_ROWS.empty_table(), (nd, nw))
     stats = _host_stats(t) if want_stats else HOST_STATS_SCHEMA.empty_table()
     t = t.join(sub, keys="url", join_type="inner")
     retries = (_retry_rows(t, *retry_cfg) if retry_cfg is not None
@@ -242,7 +265,7 @@ def _fetch_parse_bucket(path: str, sub: pa.Table, registry_ref=None,
             redirects = pa.concat_tables([redirects, mr]) if len(redirects) else mr
     parsed = parse_page_batch(t, handlers=handlers, routes=routes)
     return (split_items(parsed), split_links(parsed, routes=routes), len(parsed),
-            stats, retries, redirects)
+            stats, retries, redirects, (nd, nw))
 
 
 @ray.remote
@@ -259,7 +282,8 @@ def _load_bucket(path: str) -> pa.Table:
 @ray.remote
 def _fetch_parse_cached(bucket: pa.Table, sub: pa.Table, registry_ref=None,
                         want_stats: bool = False, retry_cfg=None,
-                        redirect_cfg=None, metarefresh_cfg=None) -> tuple:
+                        redirect_cfg=None, metarefresh_cfg=None,
+                        maxsize_cfg=None) -> tuple:
     """In-memory probe variant of _fetch_parse_bucket: ``bucket`` arrives as
     a zero-copy plasma reference; filter + join + parse + split in-task."""
     from scrapy_ray import schemas
@@ -272,10 +296,13 @@ def _fetch_parse_cached(bucket: pa.Table, sub: pa.Table, registry_ref=None,
     sub_urls = sub["url"].combine_chunks() if isinstance(sub["url"], pa.ChunkedArray) \
         else sub["url"]
     t = bucket.filter(pc.is_in(bucket["url"], value_set=sub_urls))
+    nd = nw = 0
+    if maxsize_cfg is not None and len(t):
+        t, nd, nw = _maxsize_split(t, *maxsize_cfg)
     if len(t) == 0:
         return (schemas.ITEMS.empty_table(), schemas.LINKS.empty_table(), 0,
                 HOST_STATS_SCHEMA.empty_table(), schemas.RETRY_ROWS.empty_table(),
-                schemas.REDIRECT_ROWS.empty_table())
+                schemas.REDIRECT_ROWS.empty_table(), (nd, nw))
     stats = _host_stats(t) if want_stats else HOST_STATS_SCHEMA.empty_table()
     t = t.join(sub, keys="url", join_type="inner")
     retries = (_retry_rows(t, *retry_cfg) if retry_cfg is not None
@@ -288,7 +315,7 @@ def _fetch_parse_cached(bucket: pa.Table, sub: pa.Table, registry_ref=None,
             redirects = pa.concat_tables([redirects, mr]) if len(redirects) else mr
     parsed = parse_page_batch(t, handlers=handlers, routes=routes)
     return (split_items(parsed), split_links(parsed, routes=routes), len(parsed),
-            stats, retries, redirects)
+            stats, retries, redirects, (nd, nw))
 
 
 class BucketCache:
@@ -376,7 +403,8 @@ def _corpus_has_metarefresh(corpus_root: str) -> bool:
 def fetch_parse_wave(corpus_root: str, wave: pa.Table, n_buckets: int,
                      cache: "BucketCache | None" = None, registry_ref=None,
                      want_stats: bool = False, retry_cfg=None,
-                     redirect_cfg=None, metarefresh_cfg=None) -> tuple:
+                     redirect_cfg=None, metarefresh_cfg=None,
+                     maxsize_cfg=None) -> tuple:
     """Wave-loop fast path (SURVEY §7.4.3): the per-wave fetch-join is a
     repeated *small indexed lookup*, for which per-wave ``read_parquet``
     Dataset construction costs seconds (fragment sampling). Raw Ray tasks —
@@ -431,20 +459,25 @@ def fetch_parse_wave(corpus_root: str, wave: pa.Table, n_buckets: int,
                 futs.append(_fetch_parse_cached.remote(cache.get(int(b)), sub,
                                                        registry_ref, want_stats,
                                                        retry_cfg, redirect_cfg,
-                                                       metarefresh_cfg))
+                                                       metarefresh_cfg,
+                                                       maxsize_cfg))
             else:
                 futs.append(_fetch_parse_bucket.remote(paths[int(b)], sub,
                                                        registry_ref, want_stats,
                                                        retry_cfg, redirect_cfg,
-                                                       metarefresh_cfg))
+                                                       metarefresh_cfg,
+                                                       maxsize_cfg))
     items_p, links_p, stats_p, retry_p, redir_p, n = [], [], [], [], [], 0
+    nd_sum = nw_sum = 0
     # consume incrementally: driver-side deserialization + concat overlap
     # with still-running tasks instead of waiting for the full barrier
     pending = futs
     while pending:
         done, pending = ray.wait(pending, num_returns=min(16, len(pending)))
-        for it, lk, nf, st, rr, rd in ray.get(done):
+        for it, lk, nf, st, rr, rd, (nd, nw) in ray.get(done):
             n += nf
+            nd_sum += nd
+            nw_sum += nw
             if len(it):
                 items_p.append(it)
             if len(lk):
@@ -463,7 +496,7 @@ def fetch_parse_wave(corpus_root: str, wave: pa.Table, n_buckets: int,
                else schemas.RETRY_ROWS.empty_table())
     redirects = (pa.concat_tables(redir_p) if redir_p
                  else schemas.REDIRECT_ROWS.empty_table())
-    return items, links, n, stats, retries, redirects
+    return items, links, n, stats, retries, redirects, (nd_sum, nw_sum)
 
 
 def fetch_wave(corpus_root: str, wave: pa.Table, n_buckets: int) -> ray.data.Dataset:
