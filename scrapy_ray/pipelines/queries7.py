@@ -471,9 +471,68 @@ ORDER BY o_orderkey
 """
 
 
+# ---------------------------------------------------------------------------
+# mode (argmax) per group
+# ---------------------------------------------------------------------------
+
+
+def q_mode_event_type(sf_dir: str):
+    """Per-user modal event type (the categorical argmax aggregate the
+    sum/max family doesn't cover), deterministic tie-break = lexicographically
+    smallest type. Shape: in-batch partial (user, type) counts shrink the
+    shuffle to O(users x types) cells, one salted groupby re-sums partials
+    and takes the per-user argmax vectorized (sort by count desc + first-row
+    mask — no per-group dispatch)."""
+    ds = _pq(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "event_type": t["event_type"].to_pylist(),
+        })
+        g = (df.groupby(["user_id", "event_type"], sort=False)
+               .size().reset_index(name="n"))
+        g["gkey"] = (g["user_id"] % _INC_PARTS).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def argmax(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["user_id", "event_type"], sort=False)["n"]
+               .sum().reset_index())
+        g = g.sort_values(["user_id", "n", "event_type"],
+                          ascending=[True, False, True], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        first = np.r_[True, u[1:] != u[:-1]]
+        out = g.loc[first, ["user_id", "event_type", "n"]]
+        return out.rename(columns={"event_type": "mode_event_type",
+                                   "n": "n_events"})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("gkey").map_groups(argmax, batch_format="pandas")
+             .to_pandas())
+    for c in ("user_id", "n_events"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_MODE = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY n DESC, event_type) AS rk
+  FROM c
+)
+SELECT user_id::BIGINT AS user_id, event_type AS mode_event_type,
+       n::BIGINT AS n_events
+FROM r WHERE rk = 1 ORDER BY user_id
+"""
+
+
 QUERIES7 = {
     "ppjoin_neardup": (q_ppjoin_neardup, SQL_PPJOIN),
     "incremental_user_state": (q_incremental_user_state, SQL_INCREMENTAL_STATE),
     "triangle_count_docs": (q_triangle_count_docs, SQL_TRIANGLES),
     "skyline_orders": (q_skyline_orders, SQL_SKYLINE),
+    "mode_event_type": (q_mode_event_type, SQL_MODE),
 }

@@ -69,6 +69,7 @@ SUBSET = [
     "incremental_user_state",
     "triangle_count_docs",
     "skyline_orders",
+    "mode_event_type",
 ]
 
 
