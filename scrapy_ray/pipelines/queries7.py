@@ -529,10 +529,123 @@ FROM r WHERE rk = 1 ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# audience overlap (exact pairwise distinct intersections + HLL in-query check)
+# ---------------------------------------------------------------------------
+
+
+def q_event_type_overlap(sf_dir: str):
+    """Pairwise audience overlap between event types: for every type pair,
+    exact distinct-user counts (each side, intersection, union) — the
+    segmentation table behind 'how much do these cohorts overlap'. ONE
+    salted hash shuffle co-partitions users; each partition dedups its
+    (user, type) pairs, self-joins them per user (bounded: a user holds at
+    most n_types rows), and emits partial pair/type counts plus per-type
+    partial HLL sketches that ride the same pass. The driver reduces
+    O(types^2) cells and 4 KB sketches — never user-level data.
+
+    The sketch guarantee is enforced IN-QUERY, driver-visible: per-type and
+    union HLL estimates must sit within 6% of the exact counts computed by
+    the same query (the skew.py approx_distinct bar), and the
+    inclusion-exclusion intersection estimate within 10% of the union.
+    Output columns are all exact integers, so the row stays fully
+    SQL-replayable (green oracle) while the approximate path is verified on
+    every run."""
+    from scrapy_ray.functions.hashing import hash64
+    from scrapy_ray.functions.sketch import HLL
+
+    ds = _pq(sf_dir, "events", ["user_id", "event_type"])
+
+    def pairs_batch(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "event_type": t["event_type"].to_pylist(),
+        }).drop_duplicates()
+        df["gkey"] = (df["user_id"] % _INC_PARTS).astype(np.int32)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def partition_overlap(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["user_id", "event_type"])
+        p = df.merge(df, on="user_id")
+        p = p[p["event_type_x"] < p["event_type_y"]]
+        pc_ = (p.groupby(["event_type_x", "event_type_y"], sort=False)
+                .size().reset_index(name="n"))
+        rows = {"ta": list(pc_["event_type_x"]),
+                "tb": list(pc_["event_type_y"]),
+                "n": list(pc_["n"].astype(np.int64)),
+                "sk": [b""] * len(pc_)}
+        for ty, sub in df.groupby("event_type", sort=False):
+            h = hash64([str(u) for u in sub["user_id"].tolist()])
+            rows["ta"].append(ty)
+            rows["tb"].append("")
+            rows["n"].append(np.int64(len(sub)))
+            rows["sk"].append(HLL().add_many(h).to_bytes())
+        return pd.DataFrame(rows)
+
+    parts = (ds.map_batches(pairs_batch, batch_format="pyarrow")
+               .groupby("gkey").map_groups(partition_overlap,
+                                           batch_format="pandas")
+               .to_pandas())
+    typ = parts[parts["tb"] == ""]
+    n_type = typ.groupby("ta")["n"].sum().to_dict()
+    hlls: dict[str, HLL] = {}
+    for ty, raw in zip(typ["ta"], typ["sk"]):
+        hlls.setdefault(ty, HLL()).merge(HLL.from_bytes(raw))
+    pairc = (parts[parts["tb"] != ""].groupby(["ta", "tb"])["n"]
+             .sum().to_dict())
+    types = sorted(n_type)
+    out = {"type_a": [], "type_b": [], "n_a": [], "n_b": [],
+           "n_inter": [], "n_union": []}
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            na, nb = int(n_type[a]), int(n_type[b])
+            ni = int(pairc.get((a, b), 0))
+            nu = na + nb - ni
+            est_a, est_b = hlls[a].estimate(), hlls[b].estimate()
+            est_u = HLL(hlls[a].reg.copy()).merge(hlls[b]).estimate()
+            assert abs(est_a - na) / max(1, na) < 0.06, (a, est_a, na)
+            assert abs(est_b - nb) / max(1, nb) < 0.06, (b, est_b, nb)
+            assert abs(est_u - nu) / max(1, nu) < 0.06, (a, b, est_u, nu)
+            assert abs((est_a + est_b - est_u) - ni) <= 0.10 * nu, \
+                (a, b, est_a + est_b - est_u, ni, nu)
+            out["type_a"].append(a)
+            out["type_b"].append(b)
+            out["n_a"].append(na)
+            out["n_b"].append(nb)
+            out["n_inter"].append(ni)
+            out["n_union"].append(nu)
+    res = pd.DataFrame(out)
+    for c in ("n_a", "n_b", "n_inter", "n_union"):
+        res[c] = res[c].astype(np.int64)
+    return res
+
+
+SQL_OVERLAP = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+c AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+p AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS n_inter
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+p0 AS (
+  SELECT ca.event_type AS ta, cb.event_type AS tb, ca.n AS na, cb.n AS nb
+  FROM c ca JOIN c cb ON ca.event_type < cb.event_type
+)
+SELECT p0.ta AS type_a, p0.tb AS type_b, p0.na::BIGINT AS n_a,
+       p0.nb::BIGINT AS n_b, COALESCE(p.n_inter, 0)::BIGINT AS n_inter,
+       (p0.na + p0.nb - COALESCE(p.n_inter, 0))::BIGINT AS n_union
+FROM p0 LEFT JOIN p ON p.ta = p0.ta AND p.tb = p0.tb
+ORDER BY type_a, type_b
+"""
+
+
 QUERIES7 = {
     "ppjoin_neardup": (q_ppjoin_neardup, SQL_PPJOIN),
     "incremental_user_state": (q_incremental_user_state, SQL_INCREMENTAL_STATE),
     "triangle_count_docs": (q_triangle_count_docs, SQL_TRIANGLES),
     "skyline_orders": (q_skyline_orders, SQL_SKYLINE),
     "mode_event_type": (q_mode_event_type, SQL_MODE),
+    "event_type_overlap": (q_event_type_overlap, SQL_OVERLAP),
 }

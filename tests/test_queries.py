@@ -70,6 +70,7 @@ SUBSET = [
     "triangle_count_docs",
     "skyline_orders",
     "mode_event_type",
+    "event_type_overlap",
 ]
 
 
