@@ -19,6 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from scrapy_ray.functions.sketch import shingle_hash_set
 from scrapy_ray.pipelines.queries import _pq
@@ -641,6 +642,76 @@ ORDER BY type_a, type_b
 """
 
 
+# ---------------------------------------------------------------------------
+# funnel (ordered event-sequence matching)
+# ---------------------------------------------------------------------------
+
+
+def q_funnel(sf_dir: str):
+    """Conversion funnel signup -> view -> purchase: per user, the first
+    signup, the first view STRICTLY after it, and the first purchase
+    strictly after that view; only fully-converted users are emitted — the
+    ordered-sequence-matching family (sessionize cuts on gaps, as-of joins
+    one step; a funnel chains ordered minima across stages). One salted
+    hash shuffle co-partitions each user's events; the three-stage chain is
+    pandas groupby minima + thresholds inside the partition, no per-row
+    loop. Strictness on exact microsecond integers matches the SQL `>`."""
+    ds = _pq(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def with_key(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"],
+                        value_set=pa.array(["signup", "view", "purchase"]))
+        t = t.filter(keep)
+        g = (t["user_id"].to_numpy(zero_copy_only=False) % _INC_PARTS
+             ).astype(np.int32)
+        return t.append_column("gkey", pa.array(g))
+
+    def chain(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].astype("int64")
+        et = df["event_type"]
+        u = df["user_id"]
+        s = ts[et == "signup"].groupby(u[et == "signup"]).min()
+        after_s = (et == "view") & (ts > u.map(s))
+        v = ts[after_s].groupby(u[after_s]).min()
+        after_v = (et == "purchase") & (ts > u.map(v))
+        p = ts[after_v].groupby(u[after_v]).min()
+        out = pd.DataFrame({"first_signup": s, "first_view": v,
+                            "first_purchase": p}).dropna()
+        out.index.name = "user_id"
+        out = out.reset_index()
+        for c in ("first_signup", "first_view", "first_purchase"):
+            out[c] = pd.to_datetime(out[c].astype(np.int64), unit="us")
+        return out
+
+    out = (ds.map_batches(with_key, batch_format="pyarrow")
+             .groupby("gkey").map_groups(chain, batch_format="pandas")
+             .to_pandas())
+    out["user_id"] = out["user_id"].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_FUNNEL = """
+WITH s AS (
+  SELECT user_id, min(ts) AS first_signup FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+),
+v AS (
+  SELECT e.user_id, min(e.ts) AS first_view
+  FROM events e JOIN s USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts > s.first_signup GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS first_purchase
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > v.first_view GROUP BY 1
+)
+SELECT s.user_id::BIGINT AS user_id, s.first_signup, v.first_view,
+       p.first_purchase
+FROM s JOIN v USING (user_id) JOIN p USING (user_id)
+ORDER BY user_id
+"""
+
+
 QUERIES7 = {
     "ppjoin_neardup": (q_ppjoin_neardup, SQL_PPJOIN),
     "incremental_user_state": (q_incremental_user_state, SQL_INCREMENTAL_STATE),
@@ -648,4 +719,5 @@ QUERIES7 = {
     "skyline_orders": (q_skyline_orders, SQL_SKYLINE),
     "mode_event_type": (q_mode_event_type, SQL_MODE),
     "event_type_overlap": (q_event_type_overlap, SQL_OVERLAP),
+    "funnel_signup_view_purchase": (q_funnel, SQL_FUNNEL),
 }

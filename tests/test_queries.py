@@ -71,6 +71,7 @@ SUBSET = [
     "skyline_orders",
     "mode_event_type",
     "event_type_overlap",
+    "funnel_signup_view_purchase",
 ]
 
 
