@@ -712,6 +712,78 @@ ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# grouped Pearson correlation (exact integer moments)
+# ---------------------------------------------------------------------------
+
+
+def q_corr_price_day(sf_dir: str):
+    """Per-status Pearson correlation between order price (whole dollars)
+    and day-of-month — the second-moment aggregate family (corr/cov/var).
+    The float-sum rule makes naive corr() uncomparable across engines, so
+    the moments (n, Sx, Sy, Sxy, Sxx, Syy) are accumulated as EXACT int64
+    partials inside map_batches (dollar-quantized x keeps Sxx < 2^63) and
+    only the final scalar r is computed in float64 — from identical
+    integers via the identical expression on both sides, then rounded to
+    6 dp half-away-from-zero. Shuffle payload is six ints per (block,
+    status) cell."""
+    ds = _pq(sf_dir, "orders",
+             ["o_orderstatus", "o_totalprice", "o_orderdate"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = pc.cast(pc.round(t["o_totalprice"], ndigits=0,
+                             round_mode="half_towards_infinity"),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        dus = t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        y = pd.to_datetime(pd.Series(dus), unit="us").dt.day.to_numpy() \
+            .astype(np.int64)
+        df = pd.DataFrame({"status": t["o_orderstatus"].to_pylist(),
+                           "n": 1, "sx": x, "sy": y, "sxy": x * y,
+                           "sxx": x * x, "syy": y * y})
+        g = df.groupby("status", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("status", sort=True).sum().reset_index()
+        n = g["n"].astype(np.float64)
+        sx, sy = g["sx"].astype(np.float64), g["sy"].astype(np.float64)
+        sxy = g["sxy"].astype(np.float64)
+        sxx, syy = g["sxx"].astype(np.float64), g["syy"].astype(np.float64)
+        r = (n * sxy - sx * sy) / np.sqrt((n * sxx - sx * sx)
+                                          * (n * syy - sy * sy))
+        r6 = np.sign(r) * np.floor(np.abs(r) * 1e6 + 0.5) / 1e6
+        return pd.DataFrame({"o_orderstatus": g["status"],
+                             "n_orders": g["n"].astype(np.int64),
+                             "corr6": r6})
+
+    out = (ds.map_batches(moments, batch_format="pyarrow")
+             .groupby("status").map_groups(finalize, batch_format="pandas")
+             .to_pandas())
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return out.sort_values("o_orderstatus").reset_index(drop=True)
+
+
+# identical integer moments, identical float expression, identical rounding
+SQL_CORR = """
+WITH m AS (
+  SELECT o_orderstatus,
+         count(*)::BIGINT AS n,
+         sum(CAST(round(o_totalprice) AS BIGINT))::BIGINT AS sx,
+         sum(day(o_orderdate))::BIGINT AS sy,
+         sum(CAST(round(o_totalprice) AS BIGINT) * day(o_orderdate))::BIGINT AS sxy,
+         sum(CAST(round(o_totalprice) AS BIGINT)
+             * CAST(round(o_totalprice) AS BIGINT))::BIGINT AS sxx,
+         sum(day(o_orderdate) * day(o_orderdate))::BIGINT AS syy
+  FROM orders GROUP BY 1
+)
+SELECT o_orderstatus, n AS n_orders,
+       round((n::DOUBLE * sxy - sx::DOUBLE * sy)
+             / sqrt((n::DOUBLE * sxx - sx::DOUBLE * sx)
+                    * (n::DOUBLE * syy - sy::DOUBLE * sy)), 6) AS corr6
+FROM m ORDER BY o_orderstatus
+"""
+
+
 QUERIES7 = {
     "ppjoin_neardup": (q_ppjoin_neardup, SQL_PPJOIN),
     "incremental_user_state": (q_incremental_user_state, SQL_INCREMENTAL_STATE),
@@ -720,4 +792,5 @@ QUERIES7 = {
     "mode_event_type": (q_mode_event_type, SQL_MODE),
     "event_type_overlap": (q_event_type_overlap, SQL_OVERLAP),
     "funnel_signup_view_purchase": (q_funnel, SQL_FUNNEL),
+    "corr_price_day_by_status": (q_corr_price_day, SQL_CORR),
 }

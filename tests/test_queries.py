@@ -72,6 +72,7 @@ SUBSET = [
     "mode_event_type",
     "event_type_overlap",
     "funnel_signup_view_purchase",
+    "corr_price_day_by_status",
 ]
 
 
