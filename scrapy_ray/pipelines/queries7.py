@@ -784,6 +784,71 @@ FROM m ORDER BY o_orderstatus
 """
 
 
+# ---------------------------------------------------------------------------
+# grouped Shannon entropy (information-theoretic aggregate)
+# ---------------------------------------------------------------------------
+
+
+def q_entropy_event_mix(sf_dir: str):
+    """Per-user Shannon entropy (bits) of the event-type mix — the behavior-
+    diversity score (0 = single-type user, log2(5) = uniform). Same moment
+    discipline as the correlation query: the shuffle carries only exact
+    integer (user, type) cell counts; entropy is finalized in float64 from
+    identical integers via the identical expression both sides
+    (-sum(c/n*log2(c/n))), rounded to 6 dp half-away."""
+    ds = _pq(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "event_type": t["event_type"].to_pylist(),
+        })
+        g = (df.groupby(["user_id", "event_type"], sort=False)
+               .size().reset_index(name="c"))
+        g["gkey"] = (g["user_id"] % _INC_PARTS).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["user_id", "event_type"], sort=False)["c"]
+               .sum().reset_index())
+        n = g.groupby("user_id")["c"].transform("sum").astype(np.float64)
+        p = g["c"].astype(np.float64) / n
+        g["h"] = -p * np.log2(p)
+        out = g.groupby("user_id").agg(n_events=("c", "sum"),
+                                       entropy=("h", "sum")).reset_index()
+        out["entropy6"] = (np.sign(out["entropy"])
+                           * np.floor(np.abs(out["entropy"]) * 1e6 + 0.5) / 1e6)
+        return out[["user_id", "n_events", "entropy6"]]
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("gkey").map_groups(finalize, batch_format="pandas")
+             .to_pandas())
+    for c in ("user_id", "n_events"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+# Float-sum caveat: the per-user sum has at most n_types (=5) addends, whose
+# addition order DuckDB does not pin — a last-ulp divergence before round6
+# is possible in principle but needs the true value within 1 ulp of a
+# 0.5e-6 boundary (~1e-11 per row); the exact-int columns are unaffected.
+SQL_ENTROPY = """
+WITH c AS (
+  SELECT user_id, event_type, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+e AS (
+  SELECT user_id, c,
+         -(c::DOUBLE / sum(c) OVER (PARTITION BY user_id))
+           * log2(c::DOUBLE / sum(c) OVER (PARTITION BY user_id)) AS h
+  FROM c
+)
+SELECT user_id::BIGINT AS user_id, sum(c)::BIGINT AS n_events,
+       round(sum(h), 6) AS entropy6
+FROM e GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES7 = {
     "ppjoin_neardup": (q_ppjoin_neardup, SQL_PPJOIN),
     "incremental_user_state": (q_incremental_user_state, SQL_INCREMENTAL_STATE),
@@ -793,4 +858,5 @@ QUERIES7 = {
     "event_type_overlap": (q_event_type_overlap, SQL_OVERLAP),
     "funnel_signup_view_purchase": (q_funnel, SQL_FUNNEL),
     "corr_price_day_by_status": (q_corr_price_day, SQL_CORR),
+    "entropy_event_mix": (q_entropy_event_mix, SQL_ENTROPY),
 }

@@ -73,6 +73,7 @@ SUBSET = [
     "event_type_overlap",
     "funnel_signup_view_purchase",
     "corr_price_day_by_status",
+    "entropy_event_mix",
 ]
 
 
