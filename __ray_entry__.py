@@ -42,6 +42,7 @@ def _registry() -> dict[str, tuple]:
     from scrapy_ray.pipelines.queries5 import QUERIES5
     from scrapy_ray.pipelines.queries6 import QUERIES6
     from scrapy_ray.pipelines.queries7 import QUERIES7
+    from scrapy_ray.pipelines.queries8 import QUERIES8
     from scrapy_ray.pipelines.skew import SKEW_QUERIES
     from scrapy_ray.pipelines.textqual import TEXTQUAL_QUERIES
     from scrapy_ray.pipelines.training import TRAINING_QUERIES
@@ -54,6 +55,7 @@ def _registry() -> dict[str, tuple]:
     reg.update(QUERIES5)
     reg.update(QUERIES6)
     reg.update(QUERIES7)
+    reg.update(QUERIES8)
     reg.update(TRAINING_QUERIES)
     reg.update(TEXTQUAL_QUERIES)
     reg.update(MULTIMODAL_QUERIES)

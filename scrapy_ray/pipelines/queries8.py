@@ -1,0 +1,386 @@
+"""Eighth oracle-query batch (round 3 tail): language-model scoring,
+grouped exact count-distinct, native anti-join, and distributed BPE
+tokenizer training —
+
+- bigram LM cross-entropy per document (the CCNet/Wenzek et al. perplexity
+  quality-filter shape): the LM is trained distributed from exact integer
+  bigram counts and the score finalized in float64 via the identical
+  expression on both sides;
+- grouped exact COUNT(DISTINCT): the two-level aggregate (partial in-batch
+  dedup -> user-co-partitioned exact dedup -> tiny per-type cells);
+- customers-without-orders via Ray Data's native ``left_anti`` hash join
+  (the generic distributed anti-join; the engine's J4 and the coded-Bloom
+  semi-joins are this repo's optimized special cases);
+- BPE merge-table training (Sennrich et al.): corpus -> word-frequency
+  table once, then one pair-count shuffle + distributed argmax per merge —
+  the tokenizer-training primitive of an LLM data pipeline (rows-only;
+  pinned against a single-process reference BPE in pytest).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from scrapy_ray.functions.hashing import hash64
+from scrapy_ray.pipelines.queries import _cents, _pq
+
+_P = 64
+
+
+def _round6(x: np.ndarray | pd.Series) -> np.ndarray:
+    # half-away-from-zero at 6 dp — DuckDB's round()
+    x = np.asarray(x, dtype=np.float64)
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+
+# ---------------------------------------------------------------------------
+# grouped exact count-distinct
+# ---------------------------------------------------------------------------
+
+
+def q_distinct_users_per_type(sf_dir: str):
+    """Exact per-type distinct-user counts (grouped COUNT(DISTINCT)) plus
+    total event counts in the same pass. Two-level shape: in-batch dedup
+    shrinks the shuffle to O(cells) rows each carrying its event
+    multiplicity, ONE user-co-partitioned salted groupby finishes the
+    global (type, user) dedup and emits per-partition (type, n_users,
+    n_events) partials, and the driver sums the tiny O(P x types) cell
+    table. The full user set never assembles in one place — each partition
+    holds only its user residue class."""
+    ds = _pq(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "event_type": t["event_type"].to_pylist(),
+        })
+        g = (df.groupby(["user_id", "event_type"], sort=False)
+               .size().reset_index(name="ev"))
+        g["gkey"] = (g["user_id"] % _P).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        cell = (df.groupby(["event_type", "user_id"], sort=False)["ev"]
+                  .sum().reset_index())
+        out = cell.groupby("event_type", sort=False).agg(
+            n_users=("user_id", "size"), n_events=("ev", "sum")).reset_index()
+        return out
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby("gkey").map_groups(per_partition, batch_format="pandas")
+               .to_pandas())
+    out = parts.groupby("event_type", sort=True).sum().reset_index()
+    for c in ("n_users", "n_events"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+SQL_DISTINCT_USERS = """
+SELECT event_type,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       count(*)::BIGINT AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# bigram LM cross-entropy (perplexity quality scoring)
+# ---------------------------------------------------------------------------
+
+
+def q_bigram_cross_entropy(sf_dir: str):
+    """Per-document bigram-LM cross-entropy in bits/token — the
+    perplexity-based quality score of CCNet-style corpus filtering, with
+    the LM trained ON the corpus itself (MLE, so every probability is
+    positive by construction and no smoothing constant has to be mirrored).
+
+    Distributed shape: ONE shuffle keyed by hash(w1) co-locates every
+    bigram sharing a context word, so the context count C(w1) AND the
+    bigram count C(w1,w2) are both computed inside the same partition —
+    the same ride-the-shuffle trick as q_tfidf_top_terms' df. Each
+    (doc, w1, w2) cell then computes its addend
+    ``mult * (log2(C1) - log2(C12))`` there, and a second O(cells)
+    shuffle keyed by doc_id sums addends per document.
+
+    Float discipline (CLAUDE rule): counts are exact int64 end to end;
+    the addend multiset is IDENTICAL on both sides (per (doc,w1,w2) cell,
+    same expression on the same integers), only the summation order is
+    engine-chosen — the entropy-query caveat, bounded ~1e-13 against a
+    0.5e-6 rounding boundary."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def emit_bigrams(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        did_l, w1_l, w2_l = [], [], []
+        for did, txt in zip(ids, t["text"].to_pylist()):
+            ws = txt.split()
+            if len(ws) < 2:
+                continue
+            did_l.append(np.full(len(ws) - 1, did, dtype=np.int64))
+            w1_l.extend(ws[:-1])
+            w2_l.extend(ws[1:])
+        if not did_l:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "mult": pa.array([], pa.int64()),
+                             "gkey": pa.array([], pa.int32())})
+        df = pd.DataFrame({"doc_id": np.concatenate(did_l),
+                           "w1": w1_l, "w2": w2_l})
+        g = (df.groupby(["doc_id", "w1", "w2"], sort=False)
+               .size().reset_index(name="mult"))
+        g["gkey"] = (hash64(g["w1"].to_numpy()) % _P).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def score_cells(df: pd.DataFrame) -> pd.DataFrame:
+        # all rows sharing w1 are here: C1 and C12 are GLOBAL counts
+        c12 = df.groupby(["w1", "w2"], sort=False)["mult"].transform("sum")
+        c1 = df.groupby("w1", sort=False)["mult"].transform("sum")
+        mult = df["mult"].to_numpy(dtype=np.int64)
+        addend = mult.astype(np.float64) * (
+            np.log2(c1.to_numpy(dtype=np.float64))
+            - np.log2(c12.to_numpy(dtype=np.float64)))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+            "mult": mult,
+            "addend": addend,
+            "gkey": (df["doc_id"].to_numpy(dtype=np.int64) % _P
+                     ).astype(np.int32),
+        })
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", sort=False).agg(
+            n_bigrams=("mult", "sum"), s=("addend", "sum")).reset_index()
+        g["xent6"] = _round6(g["s"] / g["n_bigrams"])
+        return g[["doc_id", "n_bigrams", "xent6"]]
+
+    out = (ds.map_batches(emit_bigrams, batch_format="pyarrow")
+             .groupby("gkey").map_groups(score_cells, batch_format="pandas")
+             .groupby("gkey").map_groups(finalize, batch_format="pandas")
+             .to_pandas())
+    for c in ("doc_id", "n_bigrams"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# identical integer counts, identical per-cell float expression, identical
+# rounding; docs with <2 tokens drop out of both sides by construction
+SQL_BIGRAM_XENT = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM documents
+),
+bg AS (
+  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(1, len(ts))) AS i) r(i)
+  WHERE len(ts) >= 2
+),
+dbg AS (
+  SELECT doc_id, w1, w2, count(*)::BIGINT AS mult FROM bg GROUP BY 1, 2, 3
+),
+c12 AS (SELECT w1, w2, sum(mult)::BIGINT AS c12 FROM dbg GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY 1)
+SELECT d.doc_id::BIGINT AS doc_id,
+       sum(d.mult)::BIGINT AS n_bigrams,
+       round(sum(d.mult::DOUBLE * (log2(c1.c1::DOUBLE) - log2(c12.c12::DOUBLE)))
+             / sum(d.mult), 6) AS xent6
+FROM dbg d
+JOIN c12 ON c12.w1 = d.w1 AND c12.w2 = d.w2
+JOIN c1 ON c1.w1 = d.w1
+GROUP BY d.doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# native distributed anti-join
+# ---------------------------------------------------------------------------
+
+
+def q_native_anti_join_customers(sf_dir: str):
+    """Customers with no URGENT order via Ray Data's native ``left_anti``
+    hash join — the fully-distributed anti-join that works when NEITHER
+    side fits a broadcast (queries2's ``customers_without_orders`` is the
+    broadcast-key-set variant of the same relational op; the engine-side
+    twin is J4, candidate links ANTI-JOIN url-seen shards). Keyed on
+    '1-URGENT' because in this testdata every customer has SOME order at
+    every sf — the urgency predicate keeps the result non-empty. The
+    build side is pre-shrunk to in-batch-deduped custkeys so the shuffle
+    carries O(distinct keys), not O(orders). num_partitions=8 per the
+    measured native-join sweet spot (queries4.py: aggregator actors
+    oversubscribe at 32)."""
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def dedup_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+        k = np.unique(t["o_custkey"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
+        return pa.table({"o_custkey": pa.array(k, pa.int64())})
+
+    def prep_cust(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+            "c_name": t["c_name"],
+            "acctbal_cents": _cents(t["c_acctbal"]),
+        })
+
+    joined = (cust.map_batches(prep_cust, batch_format="pyarrow")
+                  .join(orders.map_batches(dedup_keys, batch_format="pyarrow"),
+                        join_type="left_anti", num_partitions=8,
+                        on=("c_custkey",), right_on=("o_custkey",)))
+    parts = list(joined.iter_batches(batch_size=None, batch_format="pyarrow"))
+    schema = pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string()),
+                        ("acctbal_cents", pa.int64())])
+    t = (pa.concat_tables([p.select(schema.names).cast(schema) for p in parts])
+         if parts else schema.empty_table())
+    out = t.to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+SQL_CUST_NO_ORDERS = """
+SELECT c_custkey::BIGINT AS c_custkey, c_name,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# distributed BPE tokenizer training
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 12
+
+
+def _word_counts_ds(sf_dir: str):
+    """documents -> (word, n) frequency table with initial char symbol
+    lists — the ONE corpus-scale pass; every merge iteration afterwards
+    runs over this compressed table (O(distinct words), the classic BPE
+    economics)."""
+    import ray.data  # noqa: F401  (Dataset ops below)
+
+    ds = _pq(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter()
+        for txt in t["text"].to_pylist():
+            c.update(txt.split())
+        words = list(c.keys())
+        return pa.table({
+            "word": pa.array(words, pa.string()),
+            "n": pa.array([c[w] for w in words], pa.int64()),
+            "gkey": pa.array((hash64(words) % _P).astype(np.int32))
+            if words else pa.array([], pa.int32()),
+        })
+
+    def merge_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("word", sort=False)["n"].sum().reset_index()
+        g["syms"] = [list(w) for w in g["word"]]
+        return g[["word", "n", "syms"]]
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("gkey").map_groups(merge_counts, batch_format="pandas"))
+
+
+def _pair_partials(t: pa.Table) -> pa.Table:
+    """Adjacent-symbol pair counts weighted by word frequency, aggregated
+    in-batch so the shuffle carries O(distinct pairs) partials."""
+    from collections import Counter
+    c: Counter = Counter()
+    ns = t["n"].to_numpy(zero_copy_only=False)
+    for syms, n in zip(t["syms"].to_pylist(), ns):
+        for a, b in zip(syms, syms[1:]):
+            c[(a, b)] += int(n)
+    if not c:
+        return pa.table({"a": pa.array([], pa.string()),
+                         "b": pa.array([], pa.string()),
+                         "c": pa.array([], pa.int64()),
+                         "gkey": pa.array([], pa.int32())})
+    ka = [k[0] for k in c]
+    kb = [k[1] for k in c]
+    key = [a + "\x00" + b for a, b in zip(ka, kb)]
+    return pa.table({"a": pa.array(ka, pa.string()),
+                     "b": pa.array(kb, pa.string()),
+                     "c": pa.array(list(c.values()), pa.int64()),
+                     "gkey": pa.array((hash64(key) % _P).astype(np.int32))})
+
+
+def _partition_argmax(df: pd.DataFrame) -> pd.DataFrame:
+    g = df.groupby(["a", "b"], sort=False)["c"].sum().reset_index()
+    g = g.sort_values(["c", "a", "b"], ascending=[False, True, True],
+                      kind="mergesort")
+    return g.head(1)
+
+
+def q_bpe_train_merges(sf_dir: str):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): learn the
+    first 12 merge rules over the corpus vocabulary. The corpus is read
+    ONCE into a word-frequency table (the compressed representation BPE
+    iterates on); each merge is one pair-count shuffle — in-batch Counter
+    partials, salted groupby sum, per-partition argmax, driver argmax over
+    <= 64 candidate rows (a distributed argmax, same shape as pagerank's
+    per-iteration reduction) — followed by a vectorless but
+    word-table-local merge-apply map. The word table is materialized per
+    iteration so lineage doesn't replay the whole chain. Tie-break:
+    (count desc, left asc, right asc) — pinned against a single-process
+    reference BPE in tests/test_queries8.py. Rows-only (SQL cannot rewrite
+    symbol sequences); the merge table itself is the deliverable."""
+    words = _word_counts_ds(sf_dir).materialize()
+
+    steps, lefts, rights, counts = [], [], [], []
+    for step in range(_BPE_MERGES):
+        cand = (words.map_batches(_pair_partials, batch_format="pyarrow")
+                     .groupby("gkey").map_groups(_partition_argmax,
+                                                 batch_format="pandas")
+                     .to_pandas())
+        if len(cand) == 0:
+            break
+        cand = cand.sort_values(["c", "a", "b"],
+                                ascending=[False, True, True],
+                                kind="mergesort")
+        a, b, c = (cand.iloc[0]["a"], cand.iloc[0]["b"],
+                   int(cand.iloc[0]["c"]))
+
+        def apply_merge(t: pa.Table, a=a, b=b) -> pa.Table:
+            merged = a + b
+            out = []
+            for syms in t["syms"].to_pylist():
+                i, res = 0, []
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        res.append(merged)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                out.append(res)
+            return pa.table({"word": t["word"], "n": t["n"],
+                             "syms": pa.array(out, pa.list_(pa.string()))})
+
+        words = words.map_batches(apply_merge,
+                                  batch_format="pyarrow").materialize()
+        steps.append(step)
+        lefts.append(a)
+        rights.append(b)
+        counts.append(c)
+
+    return pd.DataFrame({
+        "step": pd.Series(steps, dtype=np.int64),
+        "left": lefts, "right": rights,
+        "merged": [l + r for l, r in zip(lefts, rights)],
+        "pair_count": pd.Series(counts, dtype=np.int64),
+    })
+
+
+QUERIES8: dict[str, tuple] = {
+    "distinct_users_per_type": (q_distinct_users_per_type, SQL_DISTINCT_USERS),
+    "bigram_cross_entropy": (q_bigram_cross_entropy, SQL_BIGRAM_XENT),
+    "native_anti_join_customers": (q_native_anti_join_customers, SQL_CUST_NO_ORDERS),
+    "bpe_train_merges": (q_bpe_train_merges, None),
+}

@@ -74,6 +74,9 @@ SUBSET = [
     "funnel_signup_view_purchase",
     "corr_price_day_by_status",
     "entropy_event_mix",
+    "distinct_users_per_type",
+    "bigram_cross_entropy",
+    "native_anti_join_customers",
 ]
 
 
