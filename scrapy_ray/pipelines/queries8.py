@@ -378,9 +378,273 @@ def q_bpe_train_merges(sf_dir: str):
     })
 
 
+# ---------------------------------------------------------------------------
+# retention cohorts
+# ---------------------------------------------------------------------------
+
+
+def q_retention_cohorts(sf_dir: str):
+    """Weekly retention-cohort matrix: users grouped by their first-activity
+    week (cohort), counted at each later week they return — the classic
+    growth-analytics triangle (funnel chains stages, sessionize cuts gaps;
+    a cohort matrix pivots users on their own start time). ONE
+    user-co-partitioned pass computes each user's cohort AND offsets
+    together (the per-user min never leaves the partition that owns the
+    user); the driver sums tiny O(weeks^2) cells. Week = epoch-day // 7 on
+    exact integer microseconds — mirrored in SQL as epoch_us // 86400e6 // 7."""
+    ds = _pq(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        wk = (us // 86_400_000_000) // 7
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "wk": wk,
+        }).drop_duplicates()
+        df["gkey"] = (df["user_id"] % _P).astype(np.int32)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def cohort_cells(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["user_id", "wk"])
+        cw = df.groupby("user_id", sort=False)["wk"].transform("min")
+        cells = pd.DataFrame({"cohort_week": cw, "offset_weeks": df["wk"] - cw})
+        out = (cells.groupby(["cohort_week", "offset_weeks"], sort=False)
+                    .size().reset_index(name="n_users"))
+        return out
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby("gkey").map_groups(cohort_cells, batch_format="pandas")
+               .to_pandas())
+    out = (parts.groupby(["cohort_week", "offset_weeks"], sort=True)["n_users"]
+                .sum().reset_index())
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+SQL_RETENTION = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         (epoch_us(ts) // 86400000000) // 7 AS wk
+  FROM events
+),
+c AS (SELECT user_id, min(wk) AS cw FROM uw GROUP BY 1)
+SELECT c.cw::BIGINT AS cohort_week,
+       (uw.wk - c.cw)::BIGINT AS offset_weeks,
+       count(*)::BIGINT AS n_users
+FROM uw JOIN c USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (data-mixing / reweighting)
+# ---------------------------------------------------------------------------
+
+
+def q_dsir_importance(sf_dir: str):
+    """Per-document importance weight for target-distribution resampling
+    (the DSIR shape, Xie et al. 2023: weight = mean log-likelihood ratio of
+    the doc's unigrams under a target LM vs the raw LM; here target =
+    lang='en' docs, raw = the whole corpus, add-1 smoothing over the raw
+    vocabulary). DSIR hashes unigrams into fixed buckets purely to bound
+    the count table — the bucketed variant is this exact pipeline with
+    word -> hash64(word) % B; exact words keep the query SQL-replayable.
+
+    One corpus read, two shuffles: the hash(w1)-keyed shuffle computes the
+    per-word target/raw counts AND each (doc, word) cell's addend in the
+    same partition (counts ride the shuffle), plus one sentinel row per
+    partition carrying (V, Tt, Tr) partials — the global scalars arrive
+    with the data instead of a second corpus pass. The doc-keyed shuffle
+    sums addends; the driver folds in the scalar constant and rounds.
+    Float discipline: identical addend multiset both sides, identical
+    final expression on identical integers, round6 half-away."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def emit_cells(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        langs = t["lang"].to_pylist()
+        did_l, w_l, tgt_l = [], [], []
+        for did, lang, txt in zip(ids, langs, t["text"].to_pylist()):
+            ws = txt.split()
+            if not ws:
+                continue
+            did_l.append(np.full(len(ws), did, dtype=np.int64))
+            w_l.extend(ws)
+            tgt_l.append(np.full(len(ws), 1 if lang == "en" else 0,
+                                 dtype=np.int64))
+        if not did_l:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "word": pa.array([], pa.string()),
+                             "mult": pa.array([], pa.int64()),
+                             "tgt": pa.array([], pa.int64()),
+                             "gkey": pa.array([], pa.int32())})
+        df = pd.DataFrame({"doc_id": np.concatenate(did_l), "word": w_l,
+                           "tgt": np.concatenate(tgt_l)})
+        g = (df.groupby(["doc_id", "word", "tgt"], sort=False)
+               .size().reset_index(name="mult"))
+        g["gkey"] = (hash64(g["word"].to_numpy()) % _P).astype(np.int32)
+        return pa.Table.from_pandas(
+            g[["doc_id", "word", "mult", "tgt", "gkey"]],
+            preserve_index=False)
+
+    def word_partition(df: pd.DataFrame) -> pd.DataFrame:
+        # this partition owns its words globally (hash-partitioned by word)
+        ct = (df["mult"] * df["tgt"]).groupby(df["word"]).transform("sum")
+        cr = df.groupby("word", sort=False)["mult"].transform("sum")
+        mult = df["mult"].to_numpy(dtype=np.int64)
+        addend = mult.astype(np.float64) * (
+            np.log2(ct.to_numpy(dtype=np.float64) + 1.0)
+            - np.log2(cr.to_numpy(dtype=np.float64) + 1.0))
+        cells = pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+            "mult": mult, "addend": addend,
+            "v": np.zeros(len(df), dtype=np.int64),
+            "st": np.zeros(len(df), dtype=np.int64),
+            "sr": np.zeros(len(df), dtype=np.int64),
+        })
+        # sentinel: this partition's scalar partials (V, Tt, Tr)
+        per_word = df.groupby("word", sort=False)["mult"].sum()
+        sent = pd.DataFrame({
+            "doc_id": [np.int64(-1)], "mult": [np.int64(0)],
+            "addend": [0.0],
+            "v": [np.int64(len(per_word))],
+            "st": [np.int64((df["mult"] * df["tgt"]).sum())],
+            "sr": [np.int64(df["mult"].sum())],
+        })
+        out = pd.concat([cells, sent], ignore_index=True)
+        out["gkey"] = (out["doc_id"].to_numpy() % _P).astype(np.int32)
+        return out
+
+    def doc_partials(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", sort=False).agg(
+            n_tokens=("mult", "sum"), s=("addend", "sum"),
+            v=("v", "sum"), st=("st", "sum"), sr=("sr", "sum")).reset_index()
+        return g
+
+    parts = (ds.map_batches(emit_cells, batch_format="pyarrow")
+               .groupby("gkey").map_groups(word_partition, batch_format="pandas")
+               .groupby("gkey").map_groups(doc_partials, batch_format="pandas")
+               .to_pandas())
+    sent = parts[parts["doc_id"] < 0]
+    v, tt, tr = (float(sent["v"].sum()), float(sent["st"].sum()),
+                 float(sent["sr"].sum()))
+    const = np.log2(tt + v) - np.log2(tr + v)
+    out = parts[parts["doc_id"] >= 0].copy()
+    out["dsir6"] = _round6(out["s"] / out["n_tokens"] - const)
+    for c in ("doc_id", "n_tokens"):
+        out[c] = out[c].astype(np.int64)
+    return (out[["doc_id", "n_tokens", "dsir6"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+SQL_DSIR = """
+WITH toks AS (
+  SELECT doc_id, lang, regexp_extract_all(text, '\\S+') AS ts FROM documents
+),
+w AS (SELECT doc_id, lang, unnest(ts) AS word FROM toks),
+cell AS (
+  SELECT doc_id, word, count(*)::BIGINT AS mult,
+         max(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS tgt
+  FROM w GROUP BY 1, 2
+),
+wc AS (
+  SELECT word, sum(mult)::BIGINT AS cr, sum(mult * tgt)::BIGINT AS ct
+  FROM cell GROUP BY 1
+),
+scal AS (
+  SELECT count(*)::BIGINT AS v, sum(cr)::BIGINT AS tr, sum(ct)::BIGINT AS tt
+  FROM wc
+)
+SELECT c.doc_id::BIGINT AS doc_id, sum(c.mult)::BIGINT AS n_tokens,
+       round(sum(c.mult::DOUBLE * (log2((wc.ct + 1)::DOUBLE)
+                                   - log2((wc.cr + 1)::DOUBLE)))
+             / sum(c.mult)
+             - (log2((s.tt + s.v)::DOUBLE) - log2((s.tr + s.v)::DOUBLE)),
+             6) AS dsir6
+FROM cell c JOIN wc USING (word) CROSS JOIN scal s
+GROUP BY c.doc_id, s.tt, s.tr, s.v ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# BPE encode (apply trained merges to the corpus)
+# ---------------------------------------------------------------------------
+
+
+def bpe_encode_word(word: str, ranks: dict) -> list[str]:
+    """Standard rank-greedy BPE encode of one word: repeatedly merge the
+    adjacent pair with the lowest merge rank until none applies."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_i, best_r = -1, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_r is None or r < best_r):
+                best_i, best_r = i, r
+        if best_i < 0:
+            break
+        syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def q_bpe_encode_tokens(sf_dir: str):
+    """Tokenize the corpus with the trained BPE merge table — the APPLY
+    half of tokenizer training (the model-broadcast pattern: train once,
+    ``ray.put`` the tiny rank table, every encode task reads the same
+    copy; per-batch word memoization keeps the hot path off repeat words).
+    Output is per-document token counts before/after BPE plus the
+    compression ratio. Rows-only: SQL cannot replay sequence rewriting —
+    pinned against a reference encode in tests/test_queries8.py."""
+    import ray
+
+    merges = q_bpe_train_merges(sf_dir)
+    ranks = {(l, r): i for i, (l, r) in
+             enumerate(zip(merges["left"], merges["right"]))}
+    ranks_ref = ray.put(ranks)
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def encode(t: pa.Table) -> pa.Table:
+        rk = ray.get(ranks_ref) if isinstance(ranks_ref, ray.ObjectRef) \
+            else ranks_ref
+        memo: dict[str, int] = {}
+        ids, n_words, n_bpe = [], [], []
+        for did, txt in zip(
+                t["doc_id"].to_numpy(zero_copy_only=False), t["text"].to_pylist()):
+            ws = txt.split()
+            tot = 0
+            for w in ws:
+                k = memo.get(w)
+                if k is None:
+                    k = memo[w] = len(bpe_encode_word(w, rk))
+                tot += k
+            ids.append(int(did))
+            n_words.append(len(ws))
+            n_bpe.append(tot)
+        nw = np.asarray(n_words, dtype=np.int64)
+        nb = np.asarray(n_bpe, dtype=np.int64)
+        ratio = np.divide(nb, nw, out=np.zeros_like(nb, dtype=np.float64),
+                          where=nw > 0)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_words": pa.array(nw),
+            "n_bpe_tokens": pa.array(nb),
+            "bpe_ratio6": pa.array(_round6(ratio)),
+        })
+
+    out = ds.map_batches(encode, batch_format="pyarrow").to_pandas()
+    for c in ("doc_id", "n_words", "n_bpe_tokens"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 QUERIES8: dict[str, tuple] = {
     "distinct_users_per_type": (q_distinct_users_per_type, SQL_DISTINCT_USERS),
     "bigram_cross_entropy": (q_bigram_cross_entropy, SQL_BIGRAM_XENT),
     "native_anti_join_customers": (q_native_anti_join_customers, SQL_CUST_NO_ORDERS),
     "bpe_train_merges": (q_bpe_train_merges, None),
+    "retention_cohorts": (q_retention_cohorts, SQL_RETENTION),
+    "dsir_importance": (q_dsir_importance, SQL_DSIR),
+    "bpe_encode_tokens": (q_bpe_encode_tokens, None),
 }

@@ -77,6 +77,8 @@ SUBSET = [
     "distinct_users_per_type",
     "bigram_cross_entropy",
     "native_anti_join_customers",
+    "retention_cohorts",
+    "dsir_importance",
 ]
 
 

@@ -62,6 +62,33 @@ def test_bpe_matches_reference(ray_session):
         want.astype({"step": np.int64, "pair_count": np.int64}))
 
 
+def test_bpe_encode_matches_reference(ray_session):
+    """Encode must agree with a rank-greedy reference applied to the
+    reference merge table, word by word."""
+    from scrapy_ray.pipelines.queries8 import (_BPE_MERGES, bpe_encode_word,
+                                               q_bpe_encode_tokens)
+
+    got = q_bpe_encode_tokens(SF)
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    wc: Counter = Counter()
+    for txt in docs["text"]:
+        wc.update(txt.split())
+    merges = _reference_bpe(wc, _BPE_MERGES)
+    ranks = {(l, r): i for i, (l, r) in
+             enumerate(zip(merges["left"], merges["right"]))}
+
+    for _, row in docs.head(20).iterrows():
+        ws = row["text"].split()
+        want = sum(len(bpe_encode_word(w, ranks)) for w in ws)
+        grow = got.loc[got["doc_id"] == row["doc_id"]].iloc[0]
+        assert int(grow["n_words"]) == len(ws)
+        assert int(grow["n_bpe_tokens"]) == want, row["doc_id"]
+        # every merge shrinks: bounded by char count and >= word count
+        assert len(ws) <= want <= sum(len(w) for w in ws)
+
+
 def test_bigram_xent_semantics(ray_session):
     """On the real corpus: every score is finite and >= 0, and a document
     made only of the corpus's most predictable bigrams scores lower than a
