@@ -639,6 +639,139 @@ def q_bpe_encode_tokens(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+# ---------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences
+# ---------------------------------------------------------------------------
+
+
+def q_event_transitions(sf_dir: str):
+    """Global Markov transition matrix of event types: order each user's
+    events by (ts, event_id) — the deterministic total order both sides
+    share — and count (prev_type -> next_type) transitions, finalizing
+    row-normalized probabilities. The sequence-analytics primitive under
+    next-event prediction and behavior modeling (funnel matches one fixed
+    pattern; this counts ALL adjacent pairs). One user-co-partitioned
+    shuffle; in-partition sort + vectorized shift recovers each user's
+    chain; the driver sums the tiny O(types^2) matrix. Probabilities are
+    finalized from exact integer counts via the identical expression both
+    sides, round6."""
+    ds = _pq(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+
+    def with_key(t: pa.Table) -> pa.Table:
+        g = (t["user_id"].to_numpy(zero_copy_only=False) % _P).astype(np.int32)
+        return t.append_column("gkey", pa.array(g))
+
+    def transitions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        same = u[1:] == u[:-1]
+        pairs = pd.DataFrame({"prev_type": et[:-1][same],
+                              "next_type": et[1:][same]})
+        return (pairs.groupby(["prev_type", "next_type"], sort=False)
+                     .size().reset_index(name="n"))
+
+    parts = (ds.map_batches(with_key, batch_format="pyarrow")
+               .groupby("gkey").map_groups(transitions, batch_format="pandas")
+               .to_pandas())
+    out = (parts.groupby(["prev_type", "next_type"], sort=True)["n"]
+                .sum().reset_index())
+    row_tot = out.groupby("prev_type")["n"].transform("sum")
+    out["p6"] = _round6(out["n"].astype(np.float64)
+                        / row_tot.astype(np.float64))
+    out["n"] = out["n"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+SQL_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+c AS (
+  SELECT event_type AS prev_type, next_type, count(*)::BIGINT AS n
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       round(n::DOUBLE / sum(n) OVER (PARTITION BY prev_type), 6) AS p6
+FROM c ORDER BY prev_type, next_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# grouped OLS trend (linear regression from exact integer moments)
+# ---------------------------------------------------------------------------
+
+
+def q_ols_trend_by_type(sf_dir: str):
+    """Per-event-type OLS fit of value (exact cents) against time (epoch
+    day) — 'is this metric trending, and how fast', the regression member
+    of the moment-aggregate family (corr gives direction strength; OLS
+    gives slope + intercept in units). Same discipline as
+    q_corr_price_day: int64 moment partials (n, Sx, Sy, Sxy, Sxx)
+    accumulate in map_batches — day ~2e4 and cents ~1e4 keep every sum
+    far under 2^63 — and slope/intercept are finalized in float64 from
+    identical integers via the identical expression both sides, round6."""
+    ds = _pq(sf_dir, "events", ["event_type", "value", "ts"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+             // 86_400_000_000)
+        y = _cents(t["value"]).to_numpy()
+        df = pd.DataFrame({"event_type": t["event_type"].to_pylist(),
+                           "n": 1, "sx": x, "sy": y, "sxy": x * y,
+                           "sxx": x * x})
+        g = df.groupby("event_type", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", sort=True).sum().reset_index()
+        n = g["n"].astype(np.float64)
+        sx = g["sx"].astype(np.float64)
+        sy = g["sy"].astype(np.float64)
+        sxy = g["sxy"].astype(np.float64)
+        sxx = g["sxx"].astype(np.float64)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy - slope * sx) / n
+        return pd.DataFrame({
+            "event_type": g["event_type"],
+            "n_events": g["n"].astype(np.int64),
+            "slope6": _round6(slope),
+            "intercept6": _round6(intercept),
+        })
+
+    out = (ds.map_batches(moments, batch_format="pyarrow")
+             .groupby("event_type").map_groups(finalize,
+                                               batch_format="pandas")
+             .to_pandas())
+    out["n_events"] = out["n_events"].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_OLS = """
+WITH m AS (
+  SELECT event_type,
+         count(*)::BIGINT AS n,
+         sum(epoch_us(ts) // 86400000000)::BIGINT AS sx,
+         sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sy,
+         sum((epoch_us(ts) // 86400000000)
+             * CAST(round(value * 100) AS BIGINT))::BIGINT AS sxy,
+         sum((epoch_us(ts) // 86400000000)
+             * (epoch_us(ts) // 86400000000))::BIGINT AS sxx
+  FROM events GROUP BY 1
+)
+SELECT event_type, n AS n_events,
+       round((n::DOUBLE * sxy - sx::DOUBLE * sy)
+             / (n::DOUBLE * sxx - sx::DOUBLE * sx), 6) AS slope6,
+       round((sy::DOUBLE - ((n::DOUBLE * sxy - sx::DOUBLE * sy)
+                            / (n::DOUBLE * sxx - sx::DOUBLE * sx))
+                           * sx::DOUBLE) / n::DOUBLE, 6) AS intercept6
+FROM m ORDER BY event_type
+"""
+
+
 QUERIES8: dict[str, tuple] = {
     "distinct_users_per_type": (q_distinct_users_per_type, SQL_DISTINCT_USERS),
     "bigram_cross_entropy": (q_bigram_cross_entropy, SQL_BIGRAM_XENT),
@@ -647,4 +780,6 @@ QUERIES8: dict[str, tuple] = {
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION),
     "dsir_importance": (q_dsir_importance, SQL_DSIR),
     "bpe_encode_tokens": (q_bpe_encode_tokens, None),
+    "event_transitions": (q_event_transitions, SQL_TRANSITIONS),
+    "ols_trend_by_type": (q_ols_trend_by_type, SQL_OLS),
 }

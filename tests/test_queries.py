@@ -79,6 +79,8 @@ SUBSET = [
     "native_anti_join_customers",
     "retention_cohorts",
     "dsir_importance",
+    "event_transitions",
+    "ols_trend_by_type",
 ]
 
 
