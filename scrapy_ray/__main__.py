@@ -40,6 +40,9 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--sitemap-seeds", default=None, metavar="PATH",
                    help="seed from a sitemap.xml / index / directory instead "
                         "of the corpus seeds.parquet ([S:SitemapSpider])")
+    c.add_argument("--sitemap-from-robots", action="store_true",
+                   help="discover sitemaps from the corpus robots.txt "
+                        "Sitemap: directives and seed from them")
     c.add_argument("--deltafetch", default=None, metavar="ITEMS",
                    help="previous crawl's items parquet (file or dir): skip "
                         "pages that already yielded items (DeltaFetch)")
@@ -109,6 +112,9 @@ def main(argv: list[str] | None = None) -> int:
             if args.sitemap_seeds:
                 from scrapy_ray.sources.sitemap import read_sitemap_seeds
                 seeds = read_sitemap_seeds(args.sitemap_seeds)
+            elif args.sitemap_from_robots:
+                from scrapy_ray.sources.sitemap import read_robots_sitemap_seeds
+                seeds = read_robots_sitemap_seeds(args.corpus)
             res = run_crawl(args.corpus, cfg, seeds=seeds, resume=args.resume)
             export_items(res.items, args.out, fmt=args.format)
             print(json.dumps(res.metrics))

@@ -121,3 +121,68 @@ def write_corpus_sitemaps(corpus_root: str) -> str:
             fh.write(f"  <sitemap><loc>{n}</loc></sitemap>\n")
         fh.write("</sitemapindex>\n")
     return os.path.join(d, "index.xml")
+
+
+def write_robots_sitemap_directives(corpus_root: str) -> int:
+    """Append ``Sitemap: sitemaps/<host>.xml`` directives to the corpus
+    robots fixtures (for hosts whose sitemap file exists) — the wild-web
+    convention SitemapSpider discovers sitemaps through. Rewrites
+    robots.parquet in place (fixture mutation: call on a private copy of a
+    corpus, never on a shared golden one). Returns #hosts annotated."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scrapy_ray import schemas
+    from scrapy_ray.sources.corpus import corpus_paths
+
+    p = corpus_paths(corpus_root)["robots"]
+    t = pq.read_table(p)
+    hosts = t["host"].to_pylist()
+    bodies = t["body"].to_pylist()
+    n = 0
+    out = []
+    for h, b in zip(hosts, bodies):
+        rel = os.path.join("sitemaps", f"{h}.xml")
+        if os.path.exists(os.path.join(corpus_root, rel)):
+            b = b.rstrip("\n") + f"\nSitemap: {rel}\n"
+            n += 1
+        out.append(b)
+    pq.write_table(pa.table({"host": hosts, "body": out},
+                            schema=schemas.ROBOTS), p)
+    return n
+
+
+def read_robots_sitemap_seeds(corpus_root: str, priority: int = 0,
+                              allow: "str | None" = None) -> list[dict]:
+    """Seed discovery via robots.txt ``Sitemap:`` directives
+    ([S:scrapy/spiders/sitemap.py] — a robots.txt url in ``sitemap_urls``
+    expands to the sitemaps it announces): parse every host's robots
+    fixture, resolve announced sitemap locations (relative paths and
+    file:// against the corpus root; http(s) locs pass through as seeds),
+    and expand them with the standard sitemap reader."""
+    import pyarrow.parquet as pq
+
+    from scrapy_ray.sources.corpus import corpus_paths
+    from scrapy_ray.state.robots import parse_robots
+
+    t = pq.read_table(corpus_paths(corpus_root)["robots"])
+    files: list[str] = []
+    remote: list[str] = []
+    for body in t["body"].to_pylist():
+        for loc in parse_robots(body).sitemaps:
+            if loc.startswith("file://"):
+                files.append(loc[len("file://"):])
+            elif "://" not in loc:
+                files.append(os.path.join(corpus_root, loc))
+            else:
+                # http(s) sitemap on another host: seed it directly
+                # (out-of-corpus fetch is the engine's job, not the reader's)
+                remote.append(loc)
+    out = read_sitemap_seeds(files, priority=priority, allow=allow)
+    seen = {s["url"] for s in out}
+    rx = re.compile(allow) if allow else None
+    for u in remote:
+        if u not in seen and not (rx and not rx.search(u)):
+            seen.add(u)
+            out.append({"url": u, "priority": priority})
+    return out

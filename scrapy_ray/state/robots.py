@@ -33,6 +33,10 @@ class RobotsRules:
     allow: list[str] = field(default_factory=list)
     disallow: list[str] = field(default_factory=list)
     crawl_delay: float = 0.0
+    # `Sitemap:` directives are group-INDEPENDENT per the REP (collected
+    # wherever they appear) — [S:scrapy/spiders/sitemap.py SitemapSpider
+    # accepts robots.txt entries in sitemap_urls and follows these lines]
+    sitemaps: list[str] = field(default_factory=list)
     _m: dict = field(default_factory=dict, repr=False, compare=False)
 
     def _matches(self, pattern: str, path: str) -> bool:
@@ -68,7 +72,10 @@ def parse_robots(body: str) -> RobotsRules:
         key, _, val = line.partition(":")
         key = key.strip().lower()
         val = val.strip()
-        if key == "user-agent":
+        if key == "sitemap":
+            if val:
+                rules.sitemaps.append(val)
+        elif key == "user-agent":
             in_star = val == "*"
             seen_any_group = True
         elif in_star or not seen_any_group:

@@ -69,3 +69,46 @@ def test_crawl_seeded_from_sitemaps_matches_seed_file(ray_session, e2e_corpus):
     b = run_crawl(e2e_corpus, cfg)          # seeds.parquet path
     assert a.crawl_order.to_pydict() == b.crawl_order.to_pydict()
     assert a.items.sort_by("url").equals(b.items.sort_by("url"))
+
+
+def test_parse_robots_collects_sitemap_directives():
+    from scrapy_ray.state.robots import parse_robots
+
+    r = parse_robots(
+        "Sitemap: sitemaps/a.xml\n"          # before any group
+        "User-agent: googlebot\nDisallow: /\n"
+        "Sitemap: https://a.example.com/sm.xml\n"  # inside a non-* group
+        "User-agent: *\nAllow: /\nSitemap: file:///tmp/x.xml\n")
+    # group-independent per REP: all three collected
+    assert r.sitemaps == ["sitemaps/a.xml",
+                          "https://a.example.com/sm.xml",
+                          "file:///tmp/x.xml"]
+    # rule matching unaffected
+    assert r.is_allowed("/hotel/1")
+
+
+def test_crawl_seeded_from_robots_sitemaps(ray_session, tmp_path):
+    """End-to-end SitemapSpider-style discovery: corpus robots.txt announce
+    their sitemaps; the crawl seeded from those announcements equals the
+    crawl seeded from seeds.parquet (private corpus copy — directive
+    injection mutates robots.parquet)."""
+    from scrapy_ray.config import CrawlConfig
+    from scrapy_ray.pipelines.crawl import run_crawl
+    from scrapy_ray.sources.corpus import CorpusSpec, generate_corpus
+    from scrapy_ray.sources.sitemap import (read_robots_sitemap_seeds,
+                                            write_robots_sitemap_directives)
+
+    root = str(tmp_path / "corpus")
+    generate_corpus(root, CorpusSpec(n_hosts=6, total_pages=200, seed=77))
+    write_corpus_sitemaps(root)
+    n = write_robots_sitemap_directives(root)
+    assert n == 6
+
+    seeds = read_robots_sitemap_seeds(root)
+    assert len(seeds) == 6
+
+    cfg = CrawlConfig(n_filter_shards=2, n_frontier_shards=2, max_pages=100)
+    a = run_crawl(root, cfg, seeds=seeds)
+    b = run_crawl(root, cfg)                 # seeds.parquet path
+    assert a.crawl_order.to_pydict() == b.crawl_order.to_pydict()
+    assert a.items.sort_by("url").equals(b.items.sort_by("url"))
