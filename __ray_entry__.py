@@ -43,6 +43,7 @@ def _registry() -> dict[str, tuple]:
     from scrapy_ray.pipelines.queries6 import QUERIES6
     from scrapy_ray.pipelines.queries7 import QUERIES7
     from scrapy_ray.pipelines.queries8 import QUERIES8
+    from scrapy_ray.pipelines.queries9 import QUERIES9
     from scrapy_ray.pipelines.skew import SKEW_QUERIES
     from scrapy_ray.pipelines.textqual import TEXTQUAL_QUERIES
     from scrapy_ray.pipelines.training import TRAINING_QUERIES
@@ -56,6 +57,7 @@ def _registry() -> dict[str, tuple]:
     reg.update(QUERIES6)
     reg.update(QUERIES7)
     reg.update(QUERIES8)
+    reg.update(QUERIES9)
     reg.update(TRAINING_QUERIES)
     reg.update(TEXTQUAL_QUERIES)
     reg.update(MULTIMODAL_QUERIES)

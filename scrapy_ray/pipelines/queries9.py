@@ -1,0 +1,183 @@
+"""Ninth oracle-query batch: stateful sequential scans and statistical
+testing —
+
+- per-user EWMA (alpha = 1/2) over the deterministic (ts, event_id) event
+  order: an inherently SEQUENTIAL recurrence (each value depends on the
+  previous state) — the family running totals/windows can't express.
+  Mirrored step-for-step against a DuckDB RECURSIVE CTE: both sides run
+  the identical float64 recurrence on identical integer cents in the
+  identical order, so the final state matches bit-for-bit before round6;
+- chi-square divergence of the event-type mix between two user cohorts
+  (A/B-shaped statistical test): exact integer contingency cells ride the
+  shuffle, the statistic finalizes in float64 from identical integers via
+  the identical expression both sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from scrapy_ray.pipelines.queries import _cents, _pq
+from scrapy_ray.pipelines.queries8 import _round6
+
+_P = 64
+
+
+# ---------------------------------------------------------------------------
+# per-user EWMA (sequential stateful scan)
+# ---------------------------------------------------------------------------
+
+
+def q_ewma_user_value(sf_dir: str):
+    """Final exponentially-weighted moving average (alpha = 1/2) of each
+    user's event values: s_1 = c_1; s_k = (s_{k-1} + c_k) / 2, over exact
+    integer cents in the deterministic (ts, event_id) order. One
+    user-co-partitioned shuffle; the recurrence runs inside the partition
+    (a sequential dependence has no vectorized form — the loop is the
+    operator; at 100 TB each partition scans only its own users' rows
+    once). The oracle replays the identical recurrence with a RECURSIVE
+    CTE, so every intermediate float64 state is bit-identical and round6
+    touches equal numbers."""
+    ds = _pq(sf_dir, "events", ["user_id", "value", "ts", "event_id"])
+
+    def with_key(t: pa.Table) -> pa.Table:
+        g = (t["user_id"].to_numpy(zero_copy_only=False) % _P).astype(np.int32)
+        return t.append_column("gkey", pa.array(g))
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = df["user_id"].to_numpy()
+        c = (np.sign(df["value"].to_numpy() * 100.0)
+             * np.floor(np.abs(df["value"].to_numpy() * 100.0) + 0.5))
+        users, ns, ewmas = [], [], []
+        i, n = 0, len(u)
+        while i < n:
+            j = i
+            s = c[i]
+            while j + 1 < n and u[j + 1] == u[i]:
+                j += 1
+                s = (s + c[j]) / 2.0
+            users.append(u[i])
+            ns.append(j - i + 1)
+            ewmas.append(s)
+            i = j + 1
+        return pd.DataFrame({"user_id": np.asarray(users, dtype=np.int64),
+                             "n_events": np.asarray(ns, dtype=np.int64),
+                             "ewma6": _round6(np.asarray(ewmas))})
+
+    out = (ds.map_batches(with_key, batch_format="pyarrow")
+             .groupby("gkey").map_groups(scan, batch_format="pandas")
+             .to_pandas())
+    for c in ("user_id", "n_events"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_EWMA = """
+WITH RECURSIVE e AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS c,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rk
+  FROM events
+),
+mx AS (SELECT user_id, max(rk) AS n FROM e GROUP BY 1),
+r AS (
+  SELECT user_id, rk, c::DOUBLE AS s FROM e WHERE rk = 1
+  UNION ALL
+  SELECT e.user_id, e.rk, (r.s + e.c::DOUBLE) / 2.0
+  FROM r JOIN e ON e.user_id = r.user_id AND e.rk = r.rk + 1
+)
+SELECT r.user_id::BIGINT AS user_id, mx.n::BIGINT AS n_events,
+       round(r.s, 6) AS ewma6
+FROM r JOIN mx ON mx.user_id = r.user_id AND mx.n = r.rk
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# chi-square cohort divergence (statistical testing)
+# ---------------------------------------------------------------------------
+
+
+def q_chisq_event_mix(sf_dir: str):
+    """Pearson chi-square statistic for 'do even- and odd-id user cohorts
+    draw event types from the same distribution?' — the A/B-test aggregate.
+    The contingency table (cohort x type) accumulates as exact int64 cells
+    inside map_batches (the shuffle carries O(2 x types) integers); the
+    statistic sum((obs - exp)^2 / exp) finalizes in float64 from identical
+    integers via the identical expression both sides. Returns one row per
+    type (its contribution) so the output is a table, not a scalar."""
+    ds = _pq(sf_dir, "events", ["user_id", "event_type"])
+
+    def cells(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "cohort": (t["user_id"].to_numpy(zero_copy_only=False) % 2
+                       ).astype(np.int64),
+            "event_type": t["event_type"].to_pylist(),
+        })
+        g = (df.groupby(["cohort", "event_type"], sort=False)
+               .size().reset_index(name="n"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = (ds.map_batches(cells, batch_format="pyarrow").to_pandas()
+               .groupby(["cohort", "event_type"], sort=True)["n"]
+               .sum().reset_index())
+    piv = parts.pivot(index="event_type", columns="cohort",
+                      values="n").fillna(0).astype(np.int64)
+    o0 = piv[0].to_numpy(dtype=np.float64)
+    o1 = piv[1].to_numpy(dtype=np.float64)
+    r0, r1 = o0.sum(), o1.sum()
+    tot = r0 + r1
+    colt = o0 + o1
+    e0 = r0 * colt / tot
+    e1 = r1 * colt / tot
+    d0, d1 = o0 - e0, o1 - e1
+    chi = d0 * d0 / e0 + d1 * d1 / e1
+    out = pd.DataFrame({
+        "event_type": piv.index,
+        "n_cohort0": piv[0].to_numpy(dtype=np.int64),
+        "n_cohort1": piv[1].to_numpy(dtype=np.int64),
+        "chisq6": _round6(chi),
+    })
+    return out.reset_index(drop=True)
+
+
+SQL_CHISQ = """
+WITH c AS (
+  SELECT (user_id % 2)::BIGINT AS cohort, event_type,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+p AS (
+  SELECT event_type,
+         sum(CASE WHEN cohort = 0 THEN n ELSE 0 END)::BIGINT AS o0,
+         sum(CASE WHEN cohort = 1 THEN n ELSE 0 END)::BIGINT AS o1
+  FROM c GROUP BY 1
+),
+t AS (
+  SELECT sum(o0)::BIGINT AS r0, sum(o1)::BIGINT AS r1,
+         sum(o0 + o1)::BIGINT AS tot
+  FROM p
+),
+e AS (
+  -- expected counts: identical (r * col) / tot evaluation order as the
+  -- Ray side; (obs-exp)^2 is spelled d*d (pow() need not bit-match x*x)
+  SELECT p.event_type, p.o0, p.o1,
+         t.r0::DOUBLE * (p.o0 + p.o1)::DOUBLE / t.tot::DOUBLE AS e0,
+         t.r1::DOUBLE * (p.o0 + p.o1)::DOUBLE / t.tot::DOUBLE AS e1
+  FROM p CROSS JOIN t
+)
+SELECT event_type, o0 AS n_cohort0, o1 AS n_cohort1,
+       round((o0::DOUBLE - e0) * (o0::DOUBLE - e0) / e0
+             + (o1::DOUBLE - e1) * (o1::DOUBLE - e1) / e1, 6) AS chisq6
+FROM e ORDER BY event_type
+"""
+
+
+QUERIES9: dict[str, tuple] = {
+    "ewma_user_value": (q_ewma_user_value, SQL_EWMA),
+    "chisq_event_mix": (q_chisq_event_mix, SQL_CHISQ),
+}

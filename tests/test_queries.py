@@ -81,6 +81,8 @@ SUBSET = [
     "dsir_importance",
     "event_transitions",
     "ols_trend_by_type",
+    "ewma_user_value",
+    "chisq_event_mix",
 ]
 
 
