@@ -40,6 +40,9 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--sitemap-seeds", default=None, metavar="PATH",
                    help="seed from a sitemap.xml / index / directory instead "
                         "of the corpus seeds.parquet ([S:SitemapSpider])")
+    c.add_argument("--handle-httpstatus", default=None, metavar="CODES",
+                   help="comma-separated non-2xx statuses the parser should "
+                        "handle as OK (handle_httpstatus_list)")
     c.add_argument("--sitemap-from-robots", action="store_true",
                    help="discover sitemaps from the corpus robots.txt "
                         "Sitemap: directives and seed from them")
@@ -107,6 +110,9 @@ def main(argv: list[str] | None = None) -> int:
                 deltafetch_items=args.deltafetch,
                 download_maxsize=args.download_maxsize,
                 download_warnsize=args.download_warnsize,
+                handle_httpstatus_list=(
+                    tuple(int(x) for x in args.handle_httpstatus.split(","))
+                    if args.handle_httpstatus else ()),
             )
             seeds = None
             if args.sitemap_seeds:

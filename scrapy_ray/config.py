@@ -93,6 +93,13 @@ class CrawlConfig:
     depth_priority: int = 0          # DEPTH_PRIORITY: priority += depth * this
     url_length_limit: int = 2083     # URLLENGTH_LIMIT
     allowed_domains: tuple[str, ...] = ()  # empty = allow all (offsite filter off)
+    # HttpError pass-through ([S:scrapy/spidermiddlewares/httperror.py],
+    # spider.handle_httpstatus_list): non-2xx statuses listed here reach
+    # the parse callback as if OK (items + links extracted). Must be
+    # disjoint from retry_codes/redirect_codes while those middlewares are
+    # on — downloader middlewares act first in the reference, so an
+    # overlapping code would be double-handled; run_crawl raises instead.
+    handle_httpstatus_list: tuple[int, ...] = ()
 
     # DeltaFetch ([S:scrapy-plugins/scrapy-deltafetch]): incremental
     # re-crawl — skip pages whose URL yielded an item in a previous crawl.

@@ -408,7 +408,8 @@ class CrawlEngine:
                              else None),
             maxsize_cfg=((cfg.download_maxsize, cfg.download_warnsize)
                          if (cfg.download_maxsize or cfg.download_warnsize)
-                         else None))
+                         else None),
+            allowed_statuses=cfg.handle_httpstatus_list)
         self.maxsize_dropped += n_maxsize_drop
         self.maxsize_warned += n_maxsize_warn
         self.phase_times["fetch_parse"] += _time.perf_counter() - _t0
@@ -545,6 +546,15 @@ def run_crawl(corpus_root: str, cfg: CrawlConfig | None = None,
     import ray.exceptions
 
     cfg = cfg or CrawlConfig()
+    if cfg.handle_httpstatus_list:
+        clash = set(cfg.handle_httpstatus_list) & (
+            (set(cfg.retry_codes) if cfg.retry_max else set())
+            | (set(cfg.redirect_codes) if cfg.redirect_max else set()))
+        if clash:
+            raise ValueError(
+                f"handle_httpstatus_list overlaps active retry/redirect "
+                f"codes {sorted(clash)} — downloader middlewares act first "
+                f"([S:httperror.py]); disable them for these codes instead")
     eng = CrawlEngine(corpus_root, cfg, **engine_kwargs)
     if not (resume and eng.try_resume()):
         eng.seed(seeds)

@@ -218,14 +218,22 @@ def simulate_crawl(corpus_root: str, cfg: CrawlConfig | None = None,
                                            "depth": c["depth"],
                                            "priority": c["priority"],
                                            "redirects": c.get("redirects", 0) + 1})
+                    continue
                 elif (cfg.retry_max and statuses[i] in cfg.retry_codes
                         and c.get("retries", 0) < cfg.retry_max):
                     retry_cands.append(c)
-                continue
+                    continue
+                elif statuses[i] not in cfg.handle_httpstatus_list:
+                    continue
+                # else: HttpError pass-through ([S:httperror.py
+                # handle_httpstatus_list]) — parse like a 2xx
             html = htmls[i]
             # meta-refresh mirror ([S:redirect.py MetaRefreshMiddleware]):
-            # a followable refresh REPLACES the response — no parse
+            # a followable refresh REPLACES the response — no parse.
+            # 2xx-only: the engine's _meta_refresh_split gates on status,
+            # so an allowed-through error page never refresh-redirects.
             if cfg.metarefresh and cfg.redirect_max \
+                    and 200 <= statuses[i] < 300 \
                     and c.get("redirects", 0) < cfg.redirect_max:
                 from scrapy_ray.functions.htmlx import base_url as _b
                 from scrapy_ray.functions.htmlx import meta_refresh

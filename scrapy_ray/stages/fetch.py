@@ -223,7 +223,7 @@ def _empty_fetched(page_schema: pa.Schema) -> pa.Table:
 def _fetch_parse_bucket(path: str, sub: pa.Table, registry_ref=None,
                         want_stats: bool = False, retry_cfg=None,
                         redirect_cfg=None, metarefresh_cfg=None,
-                        maxsize_cfg=None) -> tuple:
+                        maxsize_cfg=None, allowed_statuses: tuple = ()) -> tuple:
     """Read one corpus bucket with an ``url IN (...)`` parquet filter
     (row-group pruning — bucket files are written sorted by url and ``sub``
     is a url-sorted contiguous wave slice, so a chunk touches few row
@@ -263,7 +263,8 @@ def _fetch_parse_bucket(path: str, sub: pa.Table, registry_ref=None,
         mr, t = _meta_refresh_split(t, *metarefresh_cfg)
         if len(mr):
             redirects = pa.concat_tables([redirects, mr]) if len(redirects) else mr
-    parsed = parse_page_batch(t, handlers=handlers, routes=routes)
+    parsed = parse_page_batch(t, handlers=handlers, routes=routes,
+                              allowed_statuses=allowed_statuses)
     return (split_items(parsed), split_links(parsed, routes=routes), len(parsed),
             stats, retries, redirects, (nd, nw))
 
@@ -283,7 +284,7 @@ def _load_bucket(path: str) -> pa.Table:
 def _fetch_parse_cached(bucket: pa.Table, sub: pa.Table, registry_ref=None,
                         want_stats: bool = False, retry_cfg=None,
                         redirect_cfg=None, metarefresh_cfg=None,
-                        maxsize_cfg=None) -> tuple:
+                        maxsize_cfg=None, allowed_statuses: tuple = ()) -> tuple:
     """In-memory probe variant of _fetch_parse_bucket: ``bucket`` arrives as
     a zero-copy plasma reference; filter + join + parse + split in-task."""
     from scrapy_ray import schemas
@@ -313,7 +314,8 @@ def _fetch_parse_cached(bucket: pa.Table, sub: pa.Table, registry_ref=None,
         mr, t = _meta_refresh_split(t, *metarefresh_cfg)
         if len(mr):
             redirects = pa.concat_tables([redirects, mr]) if len(redirects) else mr
-    parsed = parse_page_batch(t, handlers=handlers, routes=routes)
+    parsed = parse_page_batch(t, handlers=handlers, routes=routes,
+                              allowed_statuses=allowed_statuses)
     return (split_items(parsed), split_links(parsed, routes=routes), len(parsed),
             stats, retries, redirects, (nd, nw))
 
@@ -404,7 +406,7 @@ def fetch_parse_wave(corpus_root: str, wave: pa.Table, n_buckets: int,
                      cache: "BucketCache | None" = None, registry_ref=None,
                      want_stats: bool = False, retry_cfg=None,
                      redirect_cfg=None, metarefresh_cfg=None,
-                     maxsize_cfg=None) -> tuple:
+                     maxsize_cfg=None, allowed_statuses: tuple = ()) -> tuple:
     """Wave-loop fast path (SURVEY §7.4.3): the per-wave fetch-join is a
     repeated *small indexed lookup*, for which per-wave ``read_parquet``
     Dataset construction costs seconds (fragment sampling). Raw Ray tasks —
@@ -460,13 +462,15 @@ def fetch_parse_wave(corpus_root: str, wave: pa.Table, n_buckets: int,
                                                        registry_ref, want_stats,
                                                        retry_cfg, redirect_cfg,
                                                        metarefresh_cfg,
-                                                       maxsize_cfg))
+                                                       maxsize_cfg,
+                                                       allowed_statuses))
             else:
                 futs.append(_fetch_parse_bucket.remote(paths[int(b)], sub,
                                                        registry_ref, want_stats,
                                                        retry_cfg, redirect_cfg,
                                                        metarefresh_cfg,
-                                                       maxsize_cfg))
+                                                       maxsize_cfg,
+                                                       allowed_statuses))
     items_p, links_p, stats_p, retry_p, redir_p, n = [], [], [], [], [], 0
     nd_sum = nw_sum = 0
     # consume incrementally: driver-side deserialization + concat overlap

@@ -72,7 +72,8 @@ def _item_from_handler(item: dict | None, cb: str, html: bytes) -> tuple[bool, d
 
 
 def parse_page_batch(t: pa.Table, handlers: dict | None = None,
-                     routes: list | None = None) -> pa.Table:
+                     routes: list | None = None,
+                     allowed_statuses: tuple = ()) -> pa.Table:
     """``handlers``/``routes``: the driver's registry snapshot (shipped into
     worker tasks by the engine — see registry.py). None = use the process-
     local registry (driver-side standalone pipelines, simulator parity)."""
@@ -89,10 +90,12 @@ def parse_page_batch(t: pa.Table, handlers: dict | None = None,
     depths = t["depth"].to_pylist()
     status = t["status"].to_pylist() if "status" in t.column_names else [200] * n
     cbs = classify_callback(urls, routes=routes) if handlers else [None] * n
+    allowed = frozenset(allowed_statuses)
 
     cols: dict[str, list] = {k: [] for k in PARSED_SCHEMA.names}
     for url, html, seq, depth, st, cb in zip(urls, htmls, seqs, depths, status, cbs):
-        ok = 200 <= st < 300
+        # M10 + HttpError pass-through ([S:httperror.py handle_httpstatus_list])
+        ok = 200 <= st < 300 or st in allowed
         handler = handlers.get(cb) if (handlers and cb is not None) else None
         if handler is not None:
             res = (handler(url, html) or {}) if ok else {}
