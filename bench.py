@@ -203,6 +203,51 @@ def run_crawl_mode() -> None:
     ray.shutdown()
 
 
+CRAWL1M_ROOT = os.path.join(BENCH_ROOT, "corpus_crawl1m")
+
+
+def run_crawl1m_mode() -> None:
+    """Opt-in (not part of the default suite the driver times): 1M-page /
+    10k-host crawl in Bloom-only memory-bounded dedup mode — the 10^10-URL
+    configuration (CrawlConfig.exact_urlseen=False) exercised at 5x the
+    standard bench scale. Evidence that the wave loop, sharded frontier and
+    Bloom anti-join hold their shape as the corpus grows; recorded in
+    BENCH/BASELINE.md."""
+    from scrapy_ray.config import CrawlConfig
+    from scrapy_ray.pipelines.crawl import CrawlEngine
+    from scrapy_ray.sources.corpus import CorpusSpec, generate_corpus
+
+    _init_ray(NUM_CPUS)
+    generate_corpus(CRAWL1M_ROOT, CorpusSpec(
+        n_hosts=10_000, total_pages=1_000_000, page_size=120, seed=43,
+        n_buckets=64, max_details_per_host=800))
+    _warm_workers(NUM_CPUS)
+    time.sleep(8)
+    sink = os.path.join(BENCH_ROOT, f"crawl1m_out_{NUM_CPUS}")
+    if os.path.exists(sink):
+        shutil.rmtree(sink)
+    cfg = CrawlConfig(n_filter_shards=4, n_frontier_shards=4,
+                      per_domain_cap=1 << 20, respect_crawl_delay=False,
+                      exact_urlseen=False, bloom_capacity=2_000_000,
+                      checkpoint_dir=sink, checkpoint_every=1_000_000)
+    eng = CrawlEngine(CRAWL1M_ROOT, cfg)
+    eng.warm()
+    t0 = time.time()
+    eng.seed()
+    while eng.run_wave():
+        pass
+    dt = time.time() - t0
+    print(json.dumps({
+        "metric": "crawl_1m_pages_bloom_only", "value": round(dt, 3),
+        "unit": "sec", "num_cpus": NUM_CPUS,
+        "pages_fetched": eng.pages_fetched,
+        "waves": len(eng.lineage),
+        "pages_per_sec": round(eng.pages_fetched / dt, 1),
+    }))
+    import ray
+    ray.shutdown()
+
+
 def run_full() -> None:
     _init_ray(NUM_CPUS)
     ensure_corpora("both")
@@ -309,6 +354,8 @@ if __name__ == "__main__":
         run_scaling()
     elif "--kernel" in sys.argv:
         run_kernel_mode()
+    elif "--crawl1m" in sys.argv:
+        run_crawl1m_mode()
     elif "--crawl" in sys.argv:
         run_crawl_mode()
     else:
