@@ -177,7 +177,84 @@ FROM e ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Gini coefficient per group (inequality aggregate, histogram-rank form)
+# ---------------------------------------------------------------------------
+
+
+def q_gini_order_value(sf_dir: str):
+    """Per-status Gini coefficient of order value — the
+    inequality/concentration aggregate (0 = all orders equal, →1 = one
+    order holds all the value). The textbook formula needs ranks over a
+    GLOBAL per-group sort; this uses the value-HISTOGRAM decomposition
+    instead (the ntile_orders trick): for a value v with count c and
+    cumulative count b below it, its rows occupy ranks b+1..b+c whose sum
+    is c*b + c(c+1)/2 — tie order never matters because tied rows carry
+    the same value. So the shuffle moves O(distinct cents) exact integer
+    cells, never rows, and no global sort exists. Rank-sum magnitude is
+    n^2*x_max (~1e18 at sf0.1) — int64-safe here; at 1e8+ rows per group
+    the rank sums need int128/python-int accumulation (documented bound).
+    Finalization float64, identical expression both sides, round6."""
+    ds = _pq(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+
+    def cells(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "s": t["o_orderstatus"].to_pylist(),
+            "v": _cents(t["o_totalprice"]).to_numpy(),
+        })
+        g = df.groupby(["s", "v"], sort=False).size().reset_index(name="c")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def gini(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("v", sort=True)["c"].sum().reset_index())
+        v = g["v"].to_numpy(dtype=np.int64)
+        c = g["c"].to_numpy(dtype=np.int64)
+        b = np.concatenate([[0], np.cumsum(c)[:-1]])
+        n = int(c.sum())
+        sx = int((v * c).sum())
+        sr = int((v * (c * b + c * (c + 1) // 2)).sum())
+        gini6 = _round6(np.array([(2.0 * float(sr)
+                                   - float(n + 1) * float(sx))
+                                  / (float(n) * float(sx))]))[0]
+        return pd.DataFrame({"o_orderstatus": [df["s"].iloc[0]],
+                             "n_orders": [np.int64(n)],
+                             "gini6": [gini6]})
+
+    out = (ds.map_batches(cells, batch_format="pyarrow")
+             .groupby("s").map_groups(gini, batch_format="pandas")
+             .to_pandas())
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return out.sort_values("o_orderstatus").reset_index(drop=True)
+
+
+SQL_GINI = """
+WITH x AS (
+  SELECT o_orderstatus AS s,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders
+),
+h AS (SELECT s, v, count(*)::BIGINT AS c FROM x GROUP BY 1, 2),
+k AS (
+  SELECT s, v, c,
+         COALESCE(sum(c) OVER (PARTITION BY s ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0)::BIGINT AS b
+  FROM h
+),
+a AS (
+  SELECT s, sum(c)::BIGINT AS n, sum(v * c)::BIGINT AS sx,
+         sum(v * (c * b + c * (c + 1) // 2))::BIGINT AS sr
+  FROM k GROUP BY 1
+)
+SELECT s AS o_orderstatus, n AS n_orders,
+       round((2 * sr::DOUBLE - (n + 1)::DOUBLE * sx::DOUBLE)
+             / (n::DOUBLE * sx::DOUBLE), 6) AS gini6
+FROM a ORDER BY o_orderstatus
+"""
+
+
 QUERIES9: dict[str, tuple] = {
     "ewma_user_value": (q_ewma_user_value, SQL_EWMA),
     "chisq_event_mix": (q_chisq_event_mix, SQL_CHISQ),
+    "gini_order_value": (q_gini_order_value, SQL_GINI),
 }

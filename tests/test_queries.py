@@ -83,6 +83,7 @@ SUBSET = [
     "ols_trend_by_type",
     "ewma_user_value",
     "chisq_event_mix",
+    "gini_order_value",
 ]
 
 
