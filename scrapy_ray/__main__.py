@@ -72,6 +72,14 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--buckets", type=int, default=16)
     g.add_argument("--num-cpus", type=int, default=None)
 
+    k = sub.add_parser("compact", help="bin-pack small parquet files into "
+                                       "~target-size files (no shuffle)")
+    k.add_argument("--src", required=True, help="directory of parquet files")
+    k.add_argument("--dst", default=None, help="output dir "
+                                               "(default <src>.compacted)")
+    k.add_argument("--target-mb", type=int, default=128)
+    k.add_argument("--num-cpus", type=int, default=None)
+
     args = p.parse_args(argv)
 
     import ray
@@ -92,6 +100,14 @@ def main(argv: list[str] | None = None) -> int:
                               n_buckets=args.buckets)
             generate_corpus(args.out, spec)
             print(json.dumps({"corpus": args.out, "spec": spec.__dict__}))
+        elif args.cmd == "compact":
+            from scrapy_ray.sources.compact import (compact_parquet_dir,
+                                                    verify_compaction)
+
+            res = compact_parquet_dir(args.src, args.dst,
+                                      target_mb=args.target_mb)
+            res["verified"] = verify_compaction(args.src, res["out_dir"])
+            print(json.dumps(res))
         else:
             from scrapy_ray.config import CrawlConfig
             from scrapy_ray.pipelines.crawl import run_crawl
