@@ -253,8 +253,119 @@ FROM a ORDER BY o_orderstatus
 """
 
 
+# ---------------------------------------------------------------------------
+# max concurrent sessions (sweep line = distributed prefix scan with carry)
+# ---------------------------------------------------------------------------
+
+
+def q_max_concurrent_sessions(sf_dir: str):
+    """Peak number of simultaneously-active user sessions (30-min-gap
+    sessions, active on [first_ts, last_ts] inclusive) and the earliest
+    instant it is reached — the sweep-line/max-overlap query, and the one
+    shape in this suite that needs a GLOBAL PREFIX SCAN rather than a
+    keyed aggregate. Classic two-phase parallel scan: sessions emit
+    (+1 at start, -1 at end) deltas; deltas hash into hour buckets where
+    each bucket computes (sum, local peak over its +1 rows, earliest peak
+    ts) over its (ts, delta desc)-sorted slice; the driver prefix-sums the
+    O(buckets) carry totals and combines — no global sort, driver work
+    O(hours). Tie rule mirrored in SQL: at one instant starts apply before
+    ends (delta DESC), so back-to-back sessions overlap at the boundary;
+    within-tie identity order provably cannot change the peak value or its
+    timestamp. All-integer output — no float discipline needed."""
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def with_key(t: pa.Table) -> pa.Table:
+        g = (t["user_id"].to_numpy(zero_copy_only=False) % _P).astype(np.int32)
+        return t.append_column("gkey", pa.array(g))
+
+    def sessions_to_deltas(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = df["user_id"].to_numpy()
+        ts = df["ts"].astype("int64").to_numpy()
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        brk = new_user | (np.r_[0, np.diff(ts)] > 30 * 60 * 1_000_000)
+        sid = np.cumsum(brk)
+        s = pd.DataFrame({"sid": sid, "ts": ts})
+        g = s.groupby("sid", sort=False)["ts"].agg(["min", "max"])
+        d_ts = np.concatenate([g["min"].to_numpy(), g["max"].to_numpy()])
+        d = np.concatenate([np.ones(len(g), np.int64),
+                            -np.ones(len(g), np.int64)])
+        return pd.DataFrame({"ts": d_ts, "delta": d,
+                             "bucket": d_ts // 3_600_000_000})
+
+    def bucket_scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "delta"], ascending=[True, False],
+                            kind="mergesort")
+        run = df["delta"].to_numpy().cumsum()
+        plus = df["delta"].to_numpy() == 1
+        if plus.any():
+            peak = int(run[plus].max())
+            tss = df["ts"].to_numpy()
+            peak_ts = int(tss[plus & (run == peak)].min())
+        else:
+            peak, peak_ts = np.iinfo(np.int64).min, -1
+        return pd.DataFrame({"bucket": [int(df["bucket"].iloc[0])],
+                             "total": [int(run[-1])],
+                             "peak": [peak], "peak_ts": [peak_ts]})
+
+    parts = (ds.map_batches(with_key, batch_format="pyarrow")
+               .groupby("gkey").map_groups(sessions_to_deltas,
+                                           batch_format="pandas")
+               .groupby("bucket").map_groups(bucket_scan,
+                                             batch_format="pandas")
+               .to_pandas()
+               .sort_values("bucket").reset_index(drop=True))
+    offsets = np.concatenate([[0], parts["total"].to_numpy().cumsum()[:-1]])
+    cand = offsets + parts["peak"].to_numpy()
+    gmax = int(cand.max())
+    first_b = int(np.flatnonzero(cand == gmax)[0])
+    peak_ts = int(parts["peak_ts"].iloc[first_b])
+    return pd.DataFrame({
+        "max_concurrent": pd.Series([gmax], dtype=np.int64),
+        "first_peak_ts": [pd.to_datetime(peak_ts, unit="us")],
+    })
+
+
+SQL_MAX_CONCURRENT = """
+WITH m AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  -- (ts, event_id) in the cumsum too: a tied-ts row must not be split
+  -- across the session boundary by unspecified within-tie order
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+),
+sess AS (SELECT user_id, sid, min(ts) AS st, max(ts) AS en
+         FROM s GROUP BY 1, 2),
+d AS (
+  SELECT st AS ts, 1 AS delta FROM sess
+  UNION ALL
+  SELECT en, -1 FROM sess
+),
+r AS (
+  SELECT ts, delta,
+         sum(delta) OVER (ORDER BY ts, delta DESC
+                          ROWS UNBOUNDED PRECEDING) AS run
+  FROM d
+),
+p AS (SELECT ts, run FROM r WHERE delta = 1)
+SELECT (SELECT max(run) FROM p)::BIGINT AS max_concurrent,
+       (SELECT min(ts) FROM p
+        WHERE run = (SELECT max(run) FROM p)) AS first_peak_ts
+"""
+
+
 QUERIES9: dict[str, tuple] = {
     "ewma_user_value": (q_ewma_user_value, SQL_EWMA),
     "chisq_event_mix": (q_chisq_event_mix, SQL_CHISQ),
     "gini_order_value": (q_gini_order_value, SQL_GINI),
+    "max_concurrent_sessions": (q_max_concurrent_sessions, SQL_MAX_CONCURRENT),
 }

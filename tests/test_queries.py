@@ -84,6 +84,7 @@ SUBSET = [
     "ewma_user_value",
     "chisq_event_mix",
     "gini_order_value",
+    "max_concurrent_sessions",
 ]
 
 
