@@ -40,6 +40,9 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--sitemap-seeds", default=None, metavar="PATH",
                    help="seed from a sitemap.xml / index / directory instead "
                         "of the corpus seeds.parquet ([S:SitemapSpider])")
+    c.add_argument("--fields", default=None, metavar="COLS",
+                   help="comma-separated export column selection/order "
+                        "(FEED_EXPORT_FIELDS)")
     c.add_argument("--handle-httpstatus", default=None, metavar="CODES",
                    help="comma-separated non-2xx statuses the parser should "
                         "handle as OK (handle_httpstatus_list)")
@@ -138,7 +141,9 @@ def main(argv: list[str] | None = None) -> int:
                 from scrapy_ray.sources.sitemap import read_robots_sitemap_seeds
                 seeds = read_robots_sitemap_seeds(args.corpus)
             res = run_crawl(args.corpus, cfg, seeds=seeds, resume=args.resume)
-            export_items(res.items, args.out, fmt=args.format)
+            export_items(res.items, args.out, fmt=args.format,
+                         fields=(tuple(args.fields.split(","))
+                                 if args.fields else None))
             print(json.dumps(res.metrics))
     finally:
         ray.shutdown()

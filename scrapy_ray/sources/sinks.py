@@ -56,7 +56,24 @@ def _write_seq(items, out_dir: str, fname: str, dump) -> None:
 
 
 def export_items(items: "pa.Table | ray.data.Dataset", out_dir: str,
-                 fmt: str = "parquet") -> None:
+                 fmt: str = "parquet",
+                 fields: "tuple[str, ...] | None" = None) -> None:
+    """``fields``: FEED_EXPORT_FIELDS parity ([S:scrapy/exporters.py
+    BaseItemExporter fields_to_export]) — select AND order the exported
+    columns; unknown names raise (the reference exports empty columns for
+    unknown fields, but a typo silently producing blank data is the
+    failure mode worth rejecting)."""
+    if fields:
+        t = items if isinstance(items, pa.Table) else None
+        names = (t.column_names if t is not None
+                 else _to_ds(items).schema().names)
+        unknown = [f for f in fields if f not in names]
+        if unknown:
+            raise ValueError(f"unknown export fields: {unknown}")
+        if t is not None:
+            items = t.select(list(fields))
+        else:
+            items = _to_ds(items).select_columns(list(fields))
     ds = _to_ds(items)
     if fmt == "parquet":
         ds.write_parquet(out_dir)

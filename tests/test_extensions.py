@@ -223,3 +223,33 @@ def test_library_api_crawl(ray_session, e2e_corpus):
                                                  batch_format="pyarrow")))
     assert got.sort_by("url").equals(res.items.sort_by("url"))
     assert api.parse_one(b"<html><body></body></html>", "parse_listing") is not None
+
+
+def test_export_fields_selection(ray_session, e2e_corpus, tmp_path):
+    """FEED_EXPORT_FIELDS parity: exported columns are exactly the
+    requested names IN ORDER, across formats; unknown names raise."""
+    import pyarrow.parquet as pq
+
+    import pytest
+
+    from scrapy_ray.sources.sinks import export_items
+
+    cfg = CrawlConfig(n_filter_shards=2, n_frontier_shards=2, max_waves=3)
+    res = run_crawl(e2e_corpus, cfg)
+
+    out = str(tmp_path / "sel")
+    export_items(res.items, out, fmt="parquet",
+                 fields=("rating", "url", "name"))
+    t = pq.read_table([os.path.join(out, f) for f in sorted(os.listdir(out))
+                       if f.endswith(".parquet")])
+    assert t.column_names == ["rating", "url", "name"]
+    assert len(t) == len(res.items)
+
+    out_csv = str(tmp_path / "sel_csv")
+    export_items(res.items, out_csv, fmt="csv", fields=("url", "name"))
+    f = [x for x in os.listdir(out_csv) if x.endswith(".csv")][0]
+    with open(os.path.join(out_csv, f)) as fh:
+        assert fh.readline().strip().replace('"', "") == "url,name"
+
+    with pytest.raises(ValueError, match="unknown export fields"):
+        export_items(res.items, str(tmp_path / "bad"), fields=("nope",))
