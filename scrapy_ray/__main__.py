@@ -40,6 +40,9 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--sitemap-seeds", default=None, metavar="PATH",
                    help="seed from a sitemap.xml / index / directory instead "
                         "of the corpus seeds.parquet ([S:SitemapSpider])")
+    c.add_argument("--user-agent", default="*",
+                   help="USER_AGENT for robots.txt group selection "
+                        "(RFC 9309 longest-match; default '*')")
     c.add_argument("--fields", default=None, metavar="COLS",
                    help="comma-separated export column selection/order "
                         "(FEED_EXPORT_FIELDS)")
@@ -129,6 +132,7 @@ def main(argv: list[str] | None = None) -> int:
                 deltafetch_items=args.deltafetch,
                 download_maxsize=args.download_maxsize,
                 download_warnsize=args.download_warnsize,
+                user_agent=args.user_agent,
                 handle_httpstatus_list=(
                     tuple(int(x) for x in args.handle_httpstatus.split(","))
                     if args.handle_httpstatus else ()),

@@ -30,6 +30,9 @@ class CrawlConfig:
     download_delay: float = 0.0      # DOWNLOAD_DELAY (seconds, virtual)
     wave_period: float = 1.0         # seconds of virtual time one wave represents
     obey_robots: bool = True         # ROBOTSTXT_OBEY (Disallow gating)
+    user_agent: str = "*"            # USER_AGENT: selects the robots.txt
+                                     # group per RFC 9309 (longest matching
+                                     # agent token; '*' group fallback)
     respect_crawl_delay: bool = True  # robots Crawl-delay pacing; bench turns
                                       # this off to measure engine throughput,
                                       # not the virtual politeness clock

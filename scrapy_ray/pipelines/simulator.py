@@ -63,7 +63,8 @@ def simulate_crawl(corpus_root: str, cfg: CrawlConfig | None = None,
     robots = {}
     if cfg.obey_robots:
         rt = pq.read_table(paths["robots"])
-        robots = {h: parse_robots(b) for h, b in zip(rt["host"].to_pylist(), rt["body"].to_pylist())}
+        robots = {h: parse_robots(b, cfg.user_agent)
+                  for h, b in zip(rt["host"].to_pylist(), rt["body"].to_pylist())}
     if seeds is None:
         seeds = pq.read_table(paths["seeds"]).to_pylist()
 

@@ -69,7 +69,8 @@ class FrontierShard:
         self.at_delay: dict[str, float] = {}   # F4 adaptive per-host delay
         self.robots: dict[str, RobotsRules] = {}
         if robots_bodies:
-            self.robots = {h: parse_robots(b) for h, b in robots_bodies.items()}
+            self.robots = {h: parse_robots(b, cfg.user_agent)
+                           for h, b in robots_bodies.items()}
         # hosts that can actually DENY a push (only Disallow rules matter
         # here; crawl-delay affects pacing, not admission)
         self._deny_hosts = {h for h, r in self.robots.items() if r.disallow}

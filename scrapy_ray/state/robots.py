@@ -59,12 +59,36 @@ class RobotsRules:
 ALLOW_ALL = RobotsRules()
 
 
-def parse_robots(body: str) -> RobotsRules:
-    """Parse the ``User-agent: *`` group (the reference crawler sets no custom
-    USER_AGENT matching a specific group)."""
-    rules = RobotsRules()
-    in_star = False
-    seen_any_group = False
+def parse_robots(body: str, user_agent: str = "*") -> RobotsRules:
+    """Parse robots.txt and return the rule group that governs
+    ``user_agent``, per RFC 9309 / Protego group selection: the group
+    whose agent token is a case-insensitive substring of the UA string
+    wins, LONGEST token first; the ``*`` group is the fallback; no group
+    at all = allow everything. Consecutive ``User-agent`` lines share one
+    group (agent accumulation closes at the first rule line); rules
+    before any UA line belong to the fallback group. ``Sitemap:``
+    directives are group-independent and always collected. The default
+    ``user_agent="*"`` reproduces the star-group-only behavior the
+    reference crawler relies on (it sets no custom USER_AGENT)."""
+    # groups: list of (agent_tokens_lowercased, RobotsRules)
+    groups: list[tuple[list[str], RobotsRules]] = []
+    sitemaps: list[str] = []
+    pending_agents: list[str] | None = None
+    cur: RobotsRules | None = None
+    fallback_pre = RobotsRules()   # rules before any User-agent line
+    saw_group = False
+
+    def rule_line(rules: RobotsRules, key: str, val: str) -> None:
+        if key == "disallow" and val:
+            rules.disallow.append(val)
+        elif key == "allow" and val:
+            rules.allow.append(val)
+        elif key == "crawl-delay":
+            try:
+                rules.crawl_delay = float(val)
+            except ValueError:
+                pass
+
     for raw in body.splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -74,18 +98,28 @@ def parse_robots(body: str) -> RobotsRules:
         val = val.strip()
         if key == "sitemap":
             if val:
-                rules.sitemaps.append(val)
+                sitemaps.append(val)
         elif key == "user-agent":
-            in_star = val == "*"
-            seen_any_group = True
-        elif in_star or not seen_any_group:
-            if key == "disallow" and val:
-                rules.disallow.append(val)
-            elif key == "allow" and val:
-                rules.allow.append(val)
-            elif key == "crawl-delay":
-                try:
-                    rules.crawl_delay = float(val)
-                except ValueError:
-                    pass
+            saw_group = True
+            if pending_agents is None:          # new group starts
+                pending_agents = []
+                cur = RobotsRules()
+                groups.append((pending_agents, cur))
+            pending_agents.append(val.lower())
+        else:
+            pending_agents = None               # rule closes accumulation
+            rule_line(cur if cur is not None else fallback_pre, key, val)
+
+    ua = user_agent.lower()
+    best: RobotsRules | None = None
+    best_len = -1
+    star: RobotsRules | None = fallback_pre if not saw_group else None
+    for agents, rules in groups:
+        for a in agents:
+            if a == "*":
+                star = star or rules
+            elif a and a in ua and len(a) > best_len:
+                best, best_len = rules, len(a)
+    rules = best if best is not None else (star or RobotsRules())
+    rules.sitemaps = sitemaps
     return rules
