@@ -103,7 +103,9 @@ def test_all_middlewares_together(ray_session, redirect_corpus):
     still equal the simulator exactly (ordering, url-seen, items)."""
     cfg = CrawlConfig(n_filter_shards=2, n_frontier_shards=3,
                       download_delay=0.5, depth_limit=4, depth_priority=-1,
-                      retry_max=1, autothrottle=True, max_pages=300)
+                      retry_max=1, autothrottle=True, max_pages=300,
+                      handle_httpstatus_list=(404,),   # disjoint from retry
+                      user_agent="raybot/1.0")
     sim = simulate_crawl(redirect_corpus, cfg)
     eng = run_crawl(redirect_corpus, cfg)
     _assert_equal(sim, eng)
