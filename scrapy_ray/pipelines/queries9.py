@@ -303,7 +303,11 @@ def q_max_concurrent_sessions(sf_dir: str):
             tss = df["ts"].to_numpy()
             peak_ts = int(tss[plus & (run == peak)].min())
         else:
-            peak, peak_ts = np.iinfo(np.int64).min, -1
+            # ends-only bucket (sessions close, none open): no peak
+            # candidate here — peak_ts=-1 marks it; the driver must MASK
+            # these rows out, never add the sentinel to an offset (int64
+            # min + offset silently wraps in numpy)
+            peak, peak_ts = 0, -1
         return pd.DataFrame({"bucket": [int(df["bucket"].iloc[0])],
                              "total": [int(run[-1])],
                              "peak": [peak], "peak_ts": [peak_ts]})
@@ -316,9 +320,11 @@ def q_max_concurrent_sessions(sf_dir: str):
                .to_pandas()
                .sort_values("bucket").reset_index(drop=True))
     offsets = np.concatenate([[0], parts["total"].to_numpy().cumsum()[:-1]])
-    cand = offsets + parts["peak"].to_numpy()
+    valid = parts["peak_ts"].to_numpy() >= 0   # buckets that saw a +1
+    cand = offsets[valid] + parts["peak"].to_numpy()[valid]
     gmax = int(cand.max())
-    first_b = int(np.flatnonzero(cand == gmax)[0])
+    vidx = np.flatnonzero(valid)
+    first_b = int(vidx[np.flatnonzero(cand == gmax)[0]])
     peak_ts = int(parts["peak_ts"].iloc[first_b])
     return pd.DataFrame({
         "max_concurrent": pd.Series([gmax], dtype=np.int64),

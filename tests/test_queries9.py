@@ -1,0 +1,80 @@
+"""queries9 pins. The sweep-line query's ends-only-bucket path (an hour
+bucket where sessions only CLOSE, none open) is the regression target: the
+bucket emits no peak candidate (peak_ts=-1 sentinel) and the driver must
+mask those rows out of the offset+peak combine rather than add a sentinel
+to an int64 offset (which wraps silently in numpy). The synthetic corpus
+below forces such a bucket; DuckDB replays the identical window SQL."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_events(tmp: str, rows: list[tuple[int, str, int]]) -> str:
+    """rows = (user_id, ts iso string, event_id)."""
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_id"])
+    df["ts"] = pd.to_datetime(df["ts"])
+    df["event_type"] = "view"
+    df["value"] = 1.0
+    df["props"] = "{}"
+    t = pa.Table.from_pandas(
+        df[["event_id", "ts", "user_id", "event_type", "value", "props"]],
+        preserve_index=False)
+    t = t.set_column(1, "ts", t["ts"].cast(pa.timestamp("us")))
+    pq.write_table(t, os.path.join(tmp, "events.parquet"))
+    return tmp
+
+
+def test_max_concurrent_ends_only_bucket(ray_session, tmp_path):
+    """Hour bucket 1 contains ONLY session ends (two sessions straddle the
+    boundary, nothing starts in it); the global peak is in bucket 0. Before
+    the sentinel fix this wrapped int64 and could hijack gmax/peak_ts."""
+    from scrapy_ray.pipelines.queries9 import (SQL_MAX_CONCURRENT,
+                                               q_max_concurrent_sessions)
+    from scrapy_ray.pipelines.oracle import compare, duckdb_run
+
+    rows = [
+        # users 1 and 2: sessions 00:50 -> 01:10 (30-min-gap chain), so
+        # their -1 deltas land in hour bucket 1, which has no +1 at all.
+        (1, "2024-01-01 00:50:00", 1),
+        (1, "2024-01-01 01:10:00", 2),
+        (2, "2024-01-01 00:55:00", 3),
+        (2, "2024-01-01 01:05:00", 4),
+        # user 3: point session inside bucket 0 -> peak of 3 at 00:58.
+        (3, "2024-01-01 00:58:00", 5),
+        # user 4: lone later session so the table spans several buckets.
+        (4, "2024-01-01 05:00:00", 6),
+    ]
+    sf = _write_events(str(tmp_path), rows)
+    out = q_max_concurrent_sessions(sf)
+    assert int(out["max_concurrent"].iloc[0]) == 3
+    assert out["first_peak_ts"].iloc[0] == pd.Timestamp("2024-01-01 00:58:00")
+    ok, msg = compare(out, duckdb_run(sf, SQL_MAX_CONCURRENT))
+    assert ok, msg
+
+
+def test_max_concurrent_all_buckets_valid(ray_session, tmp_path):
+    """No ends-only bucket: the masked combine must reduce to the plain
+    offsets+peaks argmax (back-to-back sessions overlap at the boundary
+    instant by the starts-before-ends tie rule)."""
+    from scrapy_ray.pipelines.queries9 import (SQL_MAX_CONCURRENT,
+                                               q_max_concurrent_sessions)
+    from scrapy_ray.pipelines.oracle import compare, duckdb_run
+
+    rows = [
+        (1, "2024-01-01 00:10:00", 1),
+        # user 2 session ends exactly when user 5 session starts: tie
+        # instant counts both (starts sort before ends).
+        (2, "2024-01-01 00:20:00", 2),
+        (2, "2024-01-01 01:20:00", 3),
+        (5, "2024-01-01 01:20:00", 4),
+        (3, "2024-01-01 01:30:00", 5),
+    ]
+    sf = _write_events(str(tmp_path), rows)
+    out = q_max_concurrent_sessions(sf)
+    ok, msg = compare(out, duckdb_run(sf, SQL_MAX_CONCURRENT))
+    assert ok, msg
