@@ -234,6 +234,54 @@ def _kmeans_eint(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return ids, np.floor(E * _KM_Q).astype(np.int64)
 
 
+def _km_assign_stats(cent: np.ndarray):
+    """Per-block partial (count, sum-vector) rows for one Lloyd pass."""
+    def f(t: pa.Table) -> pa.Table:
+        _, Ei = _kmeans_eint(t)
+        d2 = ((Ei[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)  # first-min ties == ORDER BY dist, j
+        cnt = np.bincount(a, minlength=_KM_K).astype(np.int64)
+        sums = np.zeros((_KM_K, _KM_D), dtype=np.int64)
+        np.add.at(sums, a, Ei)
+        return pa.table({
+            "j": pa.array(np.arange(_KM_K, dtype=np.int64)),
+            "cnt": pa.array(cnt),
+            "s": pa.array(list(sums), type=pa.list_(pa.int64())),
+        })
+    return f
+
+
+def _kmeans_centroids(sf_dir: str, ds) -> np.ndarray:
+    """Train the fixed-point Lloyd centroids (seed = first K vectors, T-1
+    update passes). Shared by q_kmeans_embeddings and q_semdedup_embeddings
+    so both match the same chained-CTE oracle prefix."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq_
+
+    seed_t = pq_.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                            columns=["vec_id", "embedding"])
+    seed_t = seed_t.filter(pc.less(seed_t["vec_id"], _KM_K))
+    seed_t = seed_t.sort_by("vec_id")
+    _, cent = _kmeans_eint(seed_t)
+
+    for _ in range(_KM_T - 1):
+        part = ds.map_batches(_km_assign_stats(cent),
+                              batch_format="pyarrow").to_pandas()
+        cnt = np.zeros(_KM_K, dtype=np.int64)
+        sums = np.zeros((_KM_K, _KM_D), dtype=np.int64)
+        for j, c, s in zip(part["j"], part["cnt"], part["s"]):
+            cnt[j] += c
+            sums[j] += np.asarray(s, dtype=np.int64)
+        new = cent.copy()
+        nz = cnt > 0
+        new[nz] = np.floor(sums[nz].astype(np.float64)
+                           / cnt[nz, None].astype(np.float64)).astype(np.int64)
+        cent = new
+    return cent
+
+
 def q_kmeans_embeddings(sf_dir: str):
     """Lloyd's k-means in integer fixed-point — the broadcast-model +
     partial-sum-combiner iteration shape: each pass is ONE map_batches over
@@ -250,22 +298,6 @@ def q_kmeans_embeddings(sf_dir: str):
     """
     ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
 
-    def assign_stats(cent: np.ndarray):
-        def f(t: pa.Table) -> pa.Table:
-            _, Ei = _kmeans_eint(t)
-            # (B, K) integer squared L2 via expansion-free broadcast diff
-            d2 = ((Ei[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-            a = np.argmin(d2, axis=1)  # first-min ties == ORDER BY dist, j
-            cnt = np.bincount(a, minlength=_KM_K).astype(np.int64)
-            sums = np.zeros((_KM_K, _KM_D), dtype=np.int64)
-            np.add.at(sums, a, Ei)
-            return pa.table({
-                "j": pa.array(np.arange(_KM_K, dtype=np.int64)),
-                "cnt": pa.array(cnt),
-                "s": pa.array(list(sums), type=pa.list_(pa.int64())),
-            })
-        return f
-
     def final_assign(cent: np.ndarray):
         def f(t: pa.Table) -> pa.Table:
             ids, Ei = _kmeans_eint(t)
@@ -278,28 +310,7 @@ def q_kmeans_embeddings(sf_dir: str):
             })
         return f
 
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq_
-    import os
-    seed_t = pq_.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                            columns=["vec_id", "embedding"])
-    seed_t = seed_t.filter(pc.less(seed_t["vec_id"], _KM_K))
-    seed_t = seed_t.sort_by("vec_id")
-    _, cent = _kmeans_eint(seed_t)
-
-    for _ in range(_KM_T - 1):
-        part = ds.map_batches(assign_stats(cent),
-                              batch_format="pyarrow").to_pandas()
-        cnt = np.zeros(_KM_K, dtype=np.int64)
-        sums = np.zeros((_KM_K, _KM_D), dtype=np.int64)
-        for j, c, s in zip(part["j"], part["cnt"], part["s"]):
-            cnt[j] += c
-            sums[j] += np.asarray(s, dtype=np.int64)
-        new = cent.copy()
-        nz = cnt > 0
-        new[nz] = np.floor(sums[nz].astype(np.float64)
-                           / cnt[nz, None].astype(np.float64)).astype(np.int64)
-        cent = new
+    cent = _kmeans_centroids(sf_dir, ds)
 
     out = ds.map_batches(final_assign(cent), batch_format="pyarrow").to_pandas()
     for c in out.columns:
@@ -307,7 +318,10 @@ def q_kmeans_embeddings(sf_dir: str):
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
-def _kmeans_sql() -> str:
+def _kmeans_sql_prefix() -> str:
+    """CTE chain through `af` (the final (vec_id, j, dist, rn) assignment
+    ranking). Reused verbatim by SQL_KMEANS and the SemDeDup oracle so both
+    replay the identical fixed-point Lloyd iterations."""
     k, d, q = _KM_K, _KM_D, _KM_Q
     sql = f"""
 WITH e AS (
@@ -348,10 +362,14 @@ WITH e AS (
   SELECT vec_id, j, dist,
          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
   FROM df
-)
+)"""
+    return sql
+
+
+def _kmeans_sql() -> str:
+    return _kmeans_sql_prefix() + """
 SELECT vec_id, CAST(j AS BIGINT) AS cluster, CAST(dist AS BIGINT) AS dist
 FROM af WHERE rn = 1 ORDER BY vec_id"""
-    return sql
 
 
 SQL_KMEANS = _kmeans_sql()

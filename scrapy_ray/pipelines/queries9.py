@@ -10,7 +10,13 @@ testing —
 - chi-square divergence of the event-type mix between two user cohorts
   (A/B-shaped statistical test): exact integer contingency cells ride the
   shuffle, the statistic finalizes in float64 from identical integers via
-  the identical expression both sides.
+  the identical expression both sides;
+- SemDeDup (cluster-then-dedup semantic dedup, Abbas et al. 2023): the
+  suite's fixed-point k-means supplies clusters, near-dup removal happens
+  only within a cluster — integer-exact cosine test, keep-min-id rule;
+- greedy sequence packing (tokenize-and-pack): the pretraining write-side
+  operator — fixed token budget, first-fit scan per hash shard, RECURSIVE
+  CTE oracle replaying the identical prefix-scan-with-resets.
 """
 
 from __future__ import annotations
@@ -369,9 +375,210 @@ SELECT (SELECT max(run) FROM p)::BIGINT AS max_concurrent,
 """
 
 
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup = k-means clusters -> within-cluster cosine
+# near-dup -> keep lowest vec_id (Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+
+_SD_Q = 2000          # fixed-point scale for the cosine test (see below)
+_SD_NUM, _SD_DEN = 7, 20   # tau = 7/20 = 0.35, the suite's near-dup bar
+
+
+def q_semdedup_embeddings(sf_dir: str):
+    """SemDeDup: cluster the embedding table with the suite's fixed-point
+    k-means (broadcast centroids, zero-shuffle passes), then within each
+    cluster drop every vector that has a SMALLER-vec_id near-duplicate
+    (cos >= 0.35) — pairwise comparison happens only inside a cluster, so
+    the all-pairs matmul the brute near-dup needs never forms; at 100 TB
+    the per-cluster Gram matrix is the bounded working set (clusters are
+    capped by k, and a skewed cluster salts into sub-blocks exactly like
+    the LSH buckets). ONE groupby(cluster) shuffle carries (vec_id, ei)
+    rows; driver work is O(1). The cosine test is exact integer
+    arithmetic — with ei = floor(e * 2000) (unit-norm input, so
+    |dot| <~ Q^2 = 4e6), `cos >= 7/20` becomes `dot > 0 AND
+    400*dot^2 >= 49*|a|^2*|b|^2`, all magnitudes < 2^63 — so the kept set
+    is bit-exact against the chained-CTE DuckDB oracle with no float
+    discipline at all."""
+    from scrapy_ray.pipelines.queries6 import _kmeans_centroids, _kmeans_eint
+
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent = _kmeans_centroids(sf_dir, ds)
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids, Ei = _kmeans_eint(t)          # Q=1e6 ints: assignment metric
+        d2 = ((Ei[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)
+        E = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+        V = np.floor(E * _SD_Q).astype(np.int64)   # Q=2e3 ints: cosine test
+        return pa.table({
+            "vec_id": pa.array(ids),
+            "cluster": pa.array(a.astype(np.int64)),
+            "ei": pa.array(list(V), type=pa.list_(pa.int64())),
+        })
+
+    def cluster_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["vec_id"].to_numpy().astype(np.int64)
+        o = np.argsort(ids, kind="mergesort")  # keep-min-id needs id order
+        ids = ids[o]
+        V = np.stack([np.asarray(v, dtype=np.int64)
+                      for v in df["ei"].to_numpy()[o]])
+        G = V @ V.T                      # |dot| <~ Q^2 = 4e6
+        n2 = np.diag(G).copy()
+        cond = (G > 0) & (_SD_DEN ** 2 * G * G
+                          >= _SD_NUM ** 2 * np.outer(n2, n2))
+        removed = np.tril(cond, k=-1).any(axis=1)  # a smaller-id near-dup
+        return pd.DataFrame({
+            "vec_id": ids,
+            "cluster": np.full(len(ids), int(df["cluster"].iloc[0]),
+                               dtype=np.int64),
+            "kept": (~removed).astype(np.int64),
+        })
+
+    out = (ds.map_batches(assign, batch_format="pyarrow")
+             .groupby("cluster").map_groups(cluster_dedup,
+                                            batch_format="pandas")
+             .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def _semdedup_sql() -> str:
+    from scrapy_ray.pipelines.queries6 import _kmeans_sql_prefix
+    return _kmeans_sql_prefix() + f""", asn AS (
+  SELECT vec_id, j FROM af WHERE rn = 1
+), e2 AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {_SD_Q}) AS BIGINT)) AS ei
+  FROM embeddings
+), ed2 AS (
+  SELECT vec_id, g.d, ei[g.d] AS v
+  FROM e2, LATERAL (SELECT unnest(generate_series(1, 64)) AS d) g
+), nrm AS (
+  SELECT vec_id, SUM(v * v)::BIGINT AS n2 FROM ed2 GROUP BY 1
+), pr AS (
+  SELECT a.vec_id AS i, b.vec_id AS jv, SUM(da.v * db.v)::BIGINT AS dot
+  FROM asn a JOIN asn b ON a.j = b.j AND b.vec_id < a.vec_id
+  JOIN ed2 da ON da.vec_id = a.vec_id
+  JOIN ed2 db ON db.vec_id = b.vec_id AND db.d = da.d
+  GROUP BY a.vec_id, b.vec_id
+), dup AS (
+  SELECT DISTINCT p.i AS vec_id
+  FROM pr p JOIN nrm na ON na.vec_id = p.i
+            JOIN nrm nb ON nb.vec_id = p.jv
+  WHERE p.dot > 0
+    AND {_SD_DEN * _SD_DEN} * p.dot * p.dot >= {_SD_NUM * _SD_NUM} * na.n2 * nb.n2
+)
+SELECT a.vec_id, CAST(a.j AS BIGINT) AS cluster,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM asn a LEFT JOIN dup d USING (vec_id) ORDER BY a.vec_id"""
+
+
+# ---------------------------------------------------------------------------
+# greedy sequence packing (tokenize-and-pack, the pretraining write-side op)
+# ---------------------------------------------------------------------------
+
+_PACK_L = 256   # token budget per packed training sequence
+_PACK_S = 16    # hash shards; packing is sequential WITHIN a shard only
+
+
+def q_pack_sequences(sf_dir: str):
+    """Pack documents into fixed-budget training sequences (greedy
+    first-fit in deterministic order): docs hash into {_PACK_S} shards
+    (same Knuth multiplicative hash as train_shard_export), are ordered by
+    (h, doc_id) within the shard, and fill sequences of <= 256 whitespace
+    tokens — a doc that would overflow starts the next sequence (oversized
+    docs truncate to the budget so one always fits). The greedy fill is a
+    prefix scan with resets — inherently sequential, like the EWMA — so
+    the distributed contract is sequential-per-shard, embarrassingly
+    parallel across shards: ONE tokenize map + ONE groupby(shard) shuffle,
+    each partition scans only its own rows once. The oracle replays the
+    identical recurrence per shard with a RECURSIVE CTE."""
+    import pyarrow.compute as pc
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ((ids.astype(np.uint64) % np.uint64(2 ** 32))
+             * np.uint64(2654435761)) % np.uint64(2 ** 32)
+        ntok = pc.count_substring_regex(t["text"], r"\S+") \
+                 .to_numpy().astype(np.int64)
+        ntok = np.minimum(ntok, _PACK_L)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "h": pa.array(h.astype(np.int64)),
+            "shard": pa.array((h % np.uint64(_PACK_S)).astype(np.int64)),
+            "ntok": pa.array(ntok),
+        })
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["h", "doc_id"], kind="mergesort")
+        nt = df["ntok"].to_numpy()
+        seq = np.empty(len(nt), np.int64)
+        off = np.empty(len(nt), np.int64)
+        s, fill = 0, 0
+        for k in range(len(nt)):       # the scan IS the operator (see doc)
+            if fill + nt[k] > _PACK_L:
+                s += 1
+                fill = 0
+            seq[k] = s
+            off[k] = fill
+            fill += nt[k]
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy().astype(np.int64),
+            "shard": df["shard"].to_numpy().astype(np.int64),
+            "seq_id": seq, "seq_off": off,
+            "ntok": nt.astype(np.int64),
+        })
+
+    out = (ds.map_batches(tok, batch_format="pyarrow")
+             .groupby("shard").map_groups(pack, batch_format="pandas")
+             .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["shard", "seq_id", "seq_off", "doc_id"]) \
+              .reset_index(drop=True)
+
+
+SQL_PACK = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         CAST(((CAST(doc_id AS UBIGINT) % 4294967296) * 2654435761)
+              % 4294967296 AS BIGINT) AS h,
+         LEAST(array_length(regexp_extract_all(text, '\\S+')),
+               {_PACK_L})::BIGINT AS ntok
+  FROM documents
+),
+base AS (
+  SELECT doc_id, ntok, CAST(h % {_PACK_S} AS BIGINT) AS shard,
+         row_number() OVER (PARTITION BY h % {_PACK_S}
+                            ORDER BY h, doc_id) AS rk
+  FROM t
+),
+r AS (
+  SELECT shard, rk, doc_id, ntok,
+         0::BIGINT AS seq_id, 0::BIGINT AS seq_off
+  FROM base WHERE rk = 1
+  UNION ALL
+  SELECT b.shard, b.rk, b.doc_id, b.ntok,
+         CASE WHEN r.seq_off + r.ntok + b.ntok > {_PACK_L}
+              THEN r.seq_id + 1 ELSE r.seq_id END,
+         CASE WHEN r.seq_off + r.ntok + b.ntok > {_PACK_L}
+              THEN 0 ELSE r.seq_off + r.ntok END
+  FROM r JOIN base b ON b.shard = r.shard AND b.rk = r.rk + 1
+)
+SELECT doc_id, shard, seq_id, seq_off, ntok
+FROM r ORDER BY shard, seq_id, seq_off, doc_id
+"""
+
+
 QUERIES9: dict[str, tuple] = {
     "ewma_user_value": (q_ewma_user_value, SQL_EWMA),
     "chisq_event_mix": (q_chisq_event_mix, SQL_CHISQ),
     "gini_order_value": (q_gini_order_value, SQL_GINI),
     "max_concurrent_sessions": (q_max_concurrent_sessions, SQL_MAX_CONCURRENT),
+    "semdedup_embeddings": (q_semdedup_embeddings, _semdedup_sql()),
+    "pack_sequences": (q_pack_sequences, SQL_PACK),
 }

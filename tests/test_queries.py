@@ -85,6 +85,8 @@ SUBSET = [
     "chisq_event_mix",
     "gini_order_value",
     "max_concurrent_sessions",
+    "semdedup_embeddings",
+    "pack_sequences",
 ]
 
 

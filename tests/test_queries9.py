@@ -57,6 +57,70 @@ def test_max_concurrent_ends_only_bucket(ray_session, tmp_path):
     assert ok, msg
 
 
+def test_semdedup_drops_are_real_neardups(ray_session):
+    """Every vec SemDeDup drops must have a smaller-id near-dup in the SAME
+    cluster per the brute-force float pair list (the integer predicate is a
+    quantization of the same tau=0.35 bar, so integer-dups are a subset of
+    pairs at a slightly looser float bar), and something must actually be
+    dropped on the planted-near-dup corpus."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from scrapy_ray.pipelines.queries9 import q_semdedup_embeddings
+
+    sf = "/root/testdata/sf0.001"
+    out = q_semdedup_embeddings(sf)
+    dropped = set(out.loc[out["kept"] == 0, "vec_id"])
+    assert dropped, "planted near-dups should force drops"
+    cluster = dict(zip(out["vec_id"], out["cluster"]))
+
+    t = pq.read_table(f"{sf}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    E = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    S = En @ En.T
+    pos = {int(v): k for k, v in enumerate(ids)}
+    # quantization slack: floor(e*2000) moves the cosine by at most ~0.012
+    # (error <= (||a||_1 + ||b||_1)/Q on the dot, ~0.4% on the norms)
+    for v in dropped:
+        partners = [u for u in ids
+                    if u < v and cluster[int(u)] == cluster[v]
+                    and S[pos[v], pos[int(u)]] >= 0.35 - 0.02]
+        assert partners, f"dropped vec {v} has no same-cluster near-dup"
+
+    # kept vectors: no kept smaller-id integer-near-dup in the same cluster
+    # is implied by the oracle equality (test_queries.py); here assert the
+    # keep-min rule: the smallest vec_id of every cluster is always kept
+    mins = out.groupby("cluster")["vec_id"].min()
+    kept = set(out.loc[out["kept"] == 1, "vec_id"])
+    assert set(mins) <= kept
+    assert out["kept"].dtype == np.int64
+
+
+def test_pack_sequences_invariants(ray_session):
+    """Greedy-packing invariants on the real corpus: per-sequence token
+    sums never exceed the budget, offsets are the exclusive running sum in
+    emission order, and packing is GREEDY — the first doc of every
+    non-first sequence would have overflowed the previous sequence."""
+    from scrapy_ray.pipelines.queries9 import _PACK_L, q_pack_sequences
+
+    out = q_pack_sequences("/root/testdata/sf0.001")
+    assert (out["ntok"] <= _PACK_L).all()
+    for (_, _), g in out.groupby(["shard", "seq_id"]):
+        assert g["ntok"].sum() <= _PACK_L
+        off = 0
+        for _, row in g.iterrows():
+            assert row["seq_off"] == off
+            off += row["ntok"]
+    for _, g in out.groupby("shard"):
+        fills = g.groupby("seq_id")["ntok"].sum()
+        firsts = g.drop_duplicates("seq_id").set_index("seq_id")["ntok"]
+        for s in fills.index[1:]:
+            assert fills[s - 1] + firsts[s] > _PACK_L, \
+                f"seq {s} not greedy: {fills[s-1]} + {firsts[s]} fits"
+
+
 def test_max_concurrent_all_buckets_valid(ray_session, tmp_path):
     """No ends-only bucket: the masked combine must reduce to the plain
     offsets+peaks argmax (back-to-back sessions overlap at the boundary
