@@ -175,13 +175,15 @@ class CrawlEngine:
             self._bucket_cache = None
         robots = read_robots(corpus_root) if cfg.obey_robots else None
         # Snapshot the user-extension registry (custom @page_handler stages +
-        # URL routes) and put it in the object store ONCE — worker processes
-        # never see driver-side registrations, so the fused per-bucket parse
-        # tasks read this snapshot (registry.py, SURVEY §2.10).
-        from scrapy_ray.registry import PAGE_HANDLERS, URL_ROUTES
+        # URL routes + CrawlSpider rules) and put it in the object store
+        # ONCE — worker processes never see driver-side registrations, so
+        # the fused per-bucket parse tasks read this snapshot (registry.py,
+        # SURVEY §2.10).
+        from scrapy_ray.registry import CRAWL_RULES, PAGE_HANDLERS, URL_ROUTES
 
-        self._registry_ref = (ray.put((dict(PAGE_HANDLERS), list(URL_ROUTES)))
-                              if (PAGE_HANDLERS or URL_ROUTES) else None)
+        self._registry_ref = (
+            ray.put((dict(PAGE_HANDLERS), list(URL_ROUTES), list(CRAWL_RULES)))
+            if (PAGE_HANDLERS or URL_ROUTES or CRAWL_RULES) else None)
         self.urlseen = ShardedUrlSeen(cfg.n_filter_shards, cfg.bloom_capacity,
                                       cfg.bloom_bits_per_key, exact=cfg.exact_urlseen)
         self.frontier = ShardedFrontier(cfg, robots)

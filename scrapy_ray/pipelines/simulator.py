@@ -181,7 +181,7 @@ def simulate_crawl(corpus_root: str, cfg: CrawlConfig | None = None,
         # document order — matches engine's (parent_seq, link_idx) sort).
         # Custom @page_handler stages dispatch through the SAME registry the
         # engine ships to its workers (registry.py) — the mirror rule.
-        from scrapy_ray.registry import PAGE_HANDLERS
+        from scrapy_ray.registry import CRAWL_RULES, PAGE_HANDLERS, match_rule
         from scrapy_ray.stages.extract import classify_callback
         from scrapy_ray.stages.parse import _item_from_handler
 
@@ -247,7 +247,8 @@ def simulate_crawl(corpus_root: str, cfg: CrawlConfig | None = None,
                                            "priority": c["priority"],
                                            "redirects": c.get("redirects", 0) + 1})
                     continue
-            cb = classify_callback([c["url"]])[0] if PAGE_HANDLERS else None
+            cb = (classify_callback([c["url"]])[0]
+                  if (PAGE_HANDLERS or CRAWL_RULES) else None)
             handler = PAGE_HANDLERS.get(cb) if cb is not None else None
             if handler is not None:
                 res = handler(c["url"], html) or {}
@@ -278,8 +279,17 @@ def simulate_crawl(corpus_root: str, cfg: CrawlConfig | None = None,
                         items_cols["reviews"].append(d["reviews"])
                         items_cols["extracted_text"].append(visible_text(html))
                 raw_links = extract_links(html)
+            # CrawlSpider rules mirror (registry.CrawlRule): a page matching
+            # a follow=False rule emits nothing; a link must match some rule
+            # (checked on the CANONICAL url, same as the engine's parse).
+            if CRAWL_RULES and raw_links:
+                pr = match_rule(c["url"], CRAWL_RULES)
+                if pr is not None and not pr.follow:
+                    raw_links = []
             for u in urljoin_many(base_url(c["url"], html), raw_links):
                 cu = canonicalize_url(u)
+                if CRAWL_RULES and match_rule(cu, CRAWL_RULES) is None:
+                    continue
                 cands.append({"url": cu, "host": host_of(cu),
                               "depth": c["depth"] + 1, "priority": 0})
         if cfg.autothrottle:

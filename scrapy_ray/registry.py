@@ -6,6 +6,7 @@ re-expressed as composable Arrow batch-function chains:
 | Spider.parse_* callbacks                     | @parse_stage registry       |
 | Item pipelines (process_item/DropItem)       | item_pipelines chain        |
 | Spider middlewares (filter/augment output)   | link_middlewares chain      |
+| CrawlSpider Rule(LinkExtractor, cb, follow)  | crawl_rule registry         |
 
 A parse stage is ``fn(pa.Table) -> pa.Table`` over fetched-page batches,
 registered under the callback tag carried on frontier rows. Item pipelines
@@ -52,6 +53,56 @@ def url_route(pattern: str, tag: str) -> None:
     """Route URLs matching ``pattern`` to the parse stage ``tag`` (the
     reference's CrawlSpider Rule ≙ LinkExtractor+callback)."""
     URL_ROUTES.append((re.compile(pattern), tag))
+
+
+class CrawlRule:
+    """CrawlSpider ``Rule(LinkExtractor(allow, deny), callback, follow)``
+    parity [S:scrapy/spiders/crawl.py Rule, scrapy/linkextractors
+    LxmlLinkExtractor allow/deny]: declarative link routing. When any rule
+    is registered, every extracted link must match a rule (first match
+    wins, ``re.search`` semantics like LinkExtractor) or it is dropped at
+    extraction; a matched link's frontier row is tagged with the rule's
+    ``tag`` (None = the default URL-kind classifier); pages whose URL
+    matches a ``follow=False`` rule are parsed for items but emit NO links
+    (Scrapy: callback-only rules don't follow by default). Seeds and
+    redirect targets that match no rule keep default behavior — mirroring
+    RedirectMiddleware re-issuing requests outside rule filtering."""
+
+    __slots__ = ("allow", "deny", "tag", "follow")
+
+    def __init__(self, allow: str | None, deny: str | None,
+                 tag: str | None, follow: bool):
+        self.allow = re.compile(allow) if allow is not None else None
+        self.deny = re.compile(deny) if deny is not None else None
+        self.tag = tag
+        self.follow = follow
+
+    def matches(self, url: str) -> bool:
+        if self.allow is not None and self.allow.search(url) is None:
+            return False
+        return self.deny is None or self.deny.search(url) is None
+
+
+CRAWL_RULES: list[CrawlRule] = []
+
+
+def crawl_rule(allow: str | None = None, deny: str | None = None,
+               tag: str | None = None, follow: bool = True) -> CrawlRule:
+    """Register a CrawlSpider-style rule (see CrawlRule). Rules are checked
+    in registration order; the engine snapshots them at construction and
+    ships them to workers with the rest of the registry."""
+    r = CrawlRule(allow, deny, tag, follow)
+    CRAWL_RULES.append(r)
+    return r
+
+
+def match_rule(url: str, rules: list[CrawlRule]) -> CrawlRule | None:
+    """First matching rule, or None (Scrapy: first Rule whose LinkExtractor
+    yields the link wins; the per-page ``seen`` dedup makes it first-match)."""
+    for r in rules:
+        if r.matches(url):
+            return r
+    return None
 
 
 def page_handler(tag: str, url_pattern: str | None = None):

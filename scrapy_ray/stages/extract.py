@@ -23,24 +23,35 @@ from scrapy_ray.functions.textnorm import parse_price, parse_rating
 _KIND = re.compile(r"https?://[^/]+/(listing|hotel|restaurant)/")
 
 
-def classify_callback(urls: list[str], routes=None) -> list[str]:
+def classify_callback(urls: list[str], routes=None, rules=None) -> list[str]:
     """URL pattern -> parse-stage tag (the reference routes via Rule/callback;
     our frontier rows carry the tag as a dictionary-encodable string column).
 
-    Custom ``registry.url_route`` patterns are checked first (registration
-    order, first match wins); ``routes`` overrides the global registry —
-    Ray worker tasks receive the driver's snapshot this way (worker
-    processes never see driver-side registrations)."""
+    CrawlSpider rules (``registry.crawl_rule``) take precedence: a URL whose
+    first matching rule carries a tag gets that tag. Then custom
+    ``registry.url_route`` patterns (registration order, first match wins);
+    ``routes``/``rules`` override the global registry — Ray worker tasks
+    receive the driver's snapshot this way (worker processes never see
+    driver-side registrations)."""
     if routes is None:
         from scrapy_ray.registry import URL_ROUTES
         routes = URL_ROUTES
+    if rules is None:
+        from scrapy_ray.registry import CRAWL_RULES
+        rules = CRAWL_RULES
     out = []
     for u in urls:
         tag = None
-        for pat, t in routes:
-            if pat.match(u):
-                tag = t
-                break
+        if rules:
+            from scrapy_ray.registry import match_rule
+            r = match_rule(u, rules)
+            if r is not None and r.tag is not None:
+                tag = r.tag
+        if tag is None:
+            for pat, t in routes:
+                if pat.match(u):
+                    tag = t
+                    break
         if tag is None:
             m = _KIND.match(u)
             tag = "parse_listing" if (m and m.group(1) == "listing") else "parse_detail"

@@ -232,7 +232,8 @@ def _fetch_parse_bucket(path: str, sub: pa.Table, registry_ref=None,
     fused parse AND the items/links splits in-task. Returns (items_table,
     links_table, n_fetched) — neither html nor per-page list columns ever
     reach the driver. ``registry_ref``: ray.put snapshot of (PAGE_HANDLERS,
-    URL_ROUTES) — driver-side registrations are invisible to workers."""
+    URL_ROUTES, CRAWL_RULES) — driver-side registrations are invisible to
+    workers."""
     import pyarrow.parquet as pq
 
     from scrapy_ray import schemas
@@ -241,7 +242,8 @@ def _fetch_parse_bucket(path: str, sub: pa.Table, registry_ref=None,
     _cap_arrow_threads()
     # NB: Ray auto-dereferences ObjectRef args — the task receives the
     # snapshot tuple itself.
-    handlers, routes = registry_ref if registry_ref is not None else ({}, [])
+    handlers, routes, rules = (registry_ref if registry_ref is not None
+                                else ({}, [], []))
     # driver-side support check (fetch_parse_wave) guarantees the column
     # exists whenever redirect_cfg is set — no per-task footer sniffing
     cols = ["url", "html", "status"] + (["location"] if redirect_cfg else [])
@@ -264,8 +266,9 @@ def _fetch_parse_bucket(path: str, sub: pa.Table, registry_ref=None,
         if len(mr):
             redirects = pa.concat_tables([redirects, mr]) if len(redirects) else mr
     parsed = parse_page_batch(t, handlers=handlers, routes=routes,
-                              allowed_statuses=allowed_statuses)
-    return (split_items(parsed), split_links(parsed, routes=routes), len(parsed),
+                              allowed_statuses=allowed_statuses, rules=rules)
+    return (split_items(parsed), split_links(parsed, routes=routes, rules=rules),
+            len(parsed),
             stats, retries, redirects, (nd, nw))
 
 
@@ -293,7 +296,8 @@ def _fetch_parse_cached(bucket: pa.Table, sub: pa.Table, registry_ref=None,
     _cap_arrow_threads()
     # NB: Ray auto-dereferences ObjectRef args — the task receives the
     # snapshot tuple itself.
-    handlers, routes = registry_ref if registry_ref is not None else ({}, [])
+    handlers, routes, rules = (registry_ref if registry_ref is not None
+                                else ({}, [], []))
     sub_urls = sub["url"].combine_chunks() if isinstance(sub["url"], pa.ChunkedArray) \
         else sub["url"]
     t = bucket.filter(pc.is_in(bucket["url"], value_set=sub_urls))
@@ -315,8 +319,9 @@ def _fetch_parse_cached(bucket: pa.Table, sub: pa.Table, registry_ref=None,
         if len(mr):
             redirects = pa.concat_tables([redirects, mr]) if len(redirects) else mr
     parsed = parse_page_batch(t, handlers=handlers, routes=routes,
-                              allowed_statuses=allowed_statuses)
-    return (split_items(parsed), split_links(parsed, routes=routes), len(parsed),
+                              allowed_statuses=allowed_statuses, rules=rules)
+    return (split_items(parsed), split_links(parsed, routes=routes, rules=rules),
+            len(parsed),
             stats, retries, redirects, (nd, nw))
 
 

@@ -73,15 +73,23 @@ def _item_from_handler(item: dict | None, cb: str, html: bytes) -> tuple[bool, d
 
 def parse_page_batch(t: pa.Table, handlers: dict | None = None,
                      routes: list | None = None,
-                     allowed_statuses: tuple = ()) -> pa.Table:
-    """``handlers``/``routes``: the driver's registry snapshot (shipped into
-    worker tasks by the engine — see registry.py). None = use the process-
-    local registry (driver-side standalone pipelines, simulator parity)."""
+                     allowed_statuses: tuple = (),
+                     rules: list | None = None) -> pa.Table:
+    """``handlers``/``routes``/``rules``: the driver's registry snapshot
+    (shipped into worker tasks by the engine — see registry.py). None = use
+    the process-local registry (driver-side standalone pipelines, simulator
+    parity). ``rules`` = CrawlSpider Rule parity (registry.CrawlRule):
+    a page matching a follow=False rule emits no links; extracted links
+    must match some rule or they are dropped here, before hashing."""
     from scrapy_ray.functions.compress import decompress_batch
+    from scrapy_ray.registry import match_rule
 
     if handlers is None:
         from scrapy_ray.registry import PAGE_HANDLERS
         handlers = PAGE_HANDLERS
+    if rules is None:
+        from scrapy_ray.registry import CRAWL_RULES
+        rules = CRAWL_RULES
 
     n = len(t)
     urls = t["url"].to_pylist()
@@ -89,7 +97,8 @@ def parse_page_batch(t: pa.Table, handlers: dict | None = None,
     seqs = t["seq"].to_pylist()
     depths = t["depth"].to_pylist()
     status = t["status"].to_pylist() if "status" in t.column_names else [200] * n
-    cbs = classify_callback(urls, routes=routes) if handlers else [None] * n
+    cbs = (classify_callback(urls, routes=routes, rules=rules)
+           if (handlers or rules) else [None] * n)
     allowed = frozenset(allowed_statuses)
 
     cols: dict[str, list] = {k: [] for k in PARSED_SCHEMA.names}
@@ -129,6 +138,12 @@ def parse_page_batch(t: pa.Table, handlers: dict | None = None,
             cols["reviews"].append(d["reviews"] if item_ok else None)
             cols["extracted_text"].append(visible_text(html) if item_ok else None)
             links = canonicalize_urls(urljoin_many(base_url(url, html), extract_links(html))) if ok else []
+        if rules and links:
+            pr = match_rule(url, rules)
+            if pr is not None and not pr.follow:
+                links = []          # callback-only rule: parse, don't follow
+            else:
+                links = [u for u in links if match_rule(u, rules) is not None]
         cols["url"].append(url)
         cols["seq"].append(seq)
         cols["depth"].append(depth)
@@ -151,7 +166,8 @@ def split_items(parsed: pa.Table) -> pa.Table:
     )
 
 
-def split_links(parsed: pa.Table, routes: list | None = None) -> pa.Table:
+def split_links(parsed: pa.Table, routes: list | None = None,
+                rules: list | None = None) -> pa.Table:
     """Parsed page rows -> flattened LINKS table in canonical
     (parent_seq, link_idx) order (pages arrive in any order; caller sorts)."""
     lu = parsed["link_url"].combine_chunks()
@@ -179,7 +195,8 @@ def split_links(parsed: pa.Table, routes: list | None = None) -> pa.Table:
             "parent_url": parent_url,
             "parent_seq": pa.array(parent_seq),
             "link_idx": pa.array(link_idx),
-            "callback": pa.array(classify_callback(flat_url.to_pylist(), routes=routes),
+            "callback": pa.array(classify_callback(flat_url.to_pylist(),
+                                                   routes=routes, rules=rules),
                                  type=pa.string()),
         },
         schema=schemas.LINKS,

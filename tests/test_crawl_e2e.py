@@ -246,3 +246,45 @@ def test_concurrent_engines_match_sequential(ray_session, tmp_path):
     # the two corpora genuinely differ (the isolation claim is non-vacuous)
     assert set(inter[0].items["url"].to_pylist()) \
         != set(inter[1].items["url"].to_pylist())
+
+
+def test_crawlspider_rules_engine_matches_simulator(ray_session, e2e_corpus):
+    """CrawlSpider Rule parity ([S:scrapy/spiders/crawl.py Rule]):
+    allow-based link routing with first-match-wins and follow=False.
+    Rules: follow listing pages; parse hotel pages but do NOT follow their
+    related links; restaurants (and /moved/, /refresh/ interstitials) match
+    no rule, so links to them are dropped at extraction. The engine ships
+    the rule snapshot to workers; the simulator consults the same registry —
+    full ordering/url-seen/items equality must hold, and the rule semantics
+    must be visible in what got crawled."""
+    from scrapy_ray import registry
+
+    try:
+        registry.crawl_rule(allow=r"/listing/", follow=True)
+        registry.crawl_rule(allow=r"/hotel/", follow=False)
+        cfg = CrawlConfig(n_filter_shards=2, n_frontier_shards=3)
+        sim = simulate_crawl(e2e_corpus, cfg)
+        eng = run_crawl(e2e_corpus, cfg)
+        _assert_equal(sim, eng)
+
+        kinds = {u.split("/")[3] for u in eng.crawl_order["url"].to_pylist()}
+        assert "restaurant" not in kinds, "unmatched links must be dropped"
+        assert "moved" not in kinds and "refresh" not in kinds
+        assert {"listing", "hotel"} <= kinds
+        assert set(eng.items["item_type"].to_pylist()) == {"hotel"}
+
+        # follow=False is load-bearing: letting hotels follow their related
+        # links must schedule strictly more URLs under the same allow rules
+        # (listings already enumerate every real detail, so the new links
+        # are the hotels' dangling /hotel/9xxxx refs — fetch misses, which
+        # is why url_seen grows while pages_fetched may tie)
+        registry.CRAWL_RULES[:] = []
+        registry.crawl_rule(allow=r"/listing/", follow=True)
+        registry.crawl_rule(allow=r"/hotel/", follow=True)
+        sim2 = simulate_crawl(e2e_corpus, cfg)
+        eng2 = run_crawl(e2e_corpus, cfg)
+        _assert_equal(sim2, eng2)
+        assert len(eng2.url_seen) > len(eng.url_seen)
+        assert eng2.metrics["pages_fetched"] >= eng.metrics["pages_fetched"]
+    finally:
+        registry.CRAWL_RULES[:] = []
