@@ -46,6 +46,9 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--fields", default=None, metavar="COLS",
                    help="comma-separated export column selection/order "
                         "(FEED_EXPORT_FIELDS)")
+    c.add_argument("--batch-item-count", type=int, default=None, metavar="N",
+                   help="deliver the feed as numbered files of N items each "
+                        "(FEED_EXPORT_BATCH_ITEM_COUNT)")
     c.add_argument("--handle-httpstatus", default=None, metavar="CODES",
                    help="comma-separated non-2xx statuses the parser should "
                         "handle as OK (handle_httpstatus_list)")
@@ -147,7 +150,8 @@ def main(argv: list[str] | None = None) -> int:
             res = run_crawl(args.corpus, cfg, seeds=seeds, resume=args.resume)
             export_items(res.items, args.out, fmt=args.format,
                          fields=(tuple(args.fields.split(","))
-                                 if args.fields else None))
+                                 if args.fields else None),
+                         batch_item_count=args.batch_item_count)
             print(json.dumps(res.metrics))
     finally:
         ray.shutdown()

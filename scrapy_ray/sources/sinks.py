@@ -24,15 +24,14 @@ def _iter_row_dicts(items: "pa.Table | ray.data.Dataset"):
         yield from b.to_pylist()
 
 
-def _write_xml(items, out_dir: str) -> None:
+def _write_xml_rows(rows, path: str) -> None:
     """[S:scrapy/exporters.py XmlItemExporter]: <items><item><f>v</f>...
     </item></items>; list values nest as <value> elements."""
     from xml.sax.saxutils import escape
 
-    os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "items.xml"), "w", encoding="utf-8") as fh:
+    with open(path, "w", encoding="utf-8") as fh:
         fh.write('<?xml version="1.0" encoding="utf-8"?>\n<items>\n')
-        for row in _iter_row_dicts(items):
+        for row in rows:
             fh.write("<item>")
             for k, v in row.items():
                 if isinstance(v, list):
@@ -46,23 +45,107 @@ def _write_xml(items, out_dir: str) -> None:
         fh.write("</items>\n")
 
 
-def _write_seq(items, out_dir: str, fname: str, dump) -> None:
+def _write_xml(items, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    _write_xml_rows(_iter_row_dicts(items), os.path.join(out_dir, "items.xml"))
+
+
+def _write_seq_rows(rows, path: str, dump) -> None:
     """Record-sequence feeds ([S:scrapy/exporters.py Marshal/PickleItemExporter]:
     one dump per item, concatenated)."""
-    os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, fname), "wb") as fh:
-        for row in _iter_row_dicts(items):
+    with open(path, "wb") as fh:
+        for row in rows:
             dump(row, fh)
+
+
+def _write_seq(items, out_dir: str, fname: str, dump) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    _write_seq_rows(_iter_row_dicts(items), os.path.join(out_dir, fname), dump)
+
+
+def _batch_tables(items, n: int):
+    """Yield consecutive n-row pyarrow Tables (last one may be short) —
+    the FEED_EXPORT_BATCH_ITEM_COUNT slicer; streams, never materializes."""
+    buf: list[pa.Table] = []
+    have = 0
+    for b in _to_ds(items).iter_batches(batch_size=min(n, 4096),
+                                        batch_format="pyarrow"):
+        while len(b):
+            take = min(n - have, len(b))
+            buf.append(b.slice(0, take))
+            have += take
+            b = b.slice(take)
+            if have == n:
+                yield pa.concat_tables(buf)
+                buf, have = [], 0
+    if have:
+        yield pa.concat_tables(buf)
+
+
+def _flatten_reviews(rows: list[dict]) -> list[dict]:
+    return [dict(r, reviews=" | ".join(r["reviews"] or []))
+            if isinstance(r.get("reviews"), list) else r for r in rows]
+
+
+_BATCH_EXT = {"parquet": "parquet", "json": "jsonl", "jsonl": "jsonl",
+              "csv": "csv", "xml": "xml", "marshal": "marshal",
+              "pickle": "pickle"}
+
+
+def _write_feed_batch(t: pa.Table, path: str, fmt: str) -> None:
+    """One batch feed file (each format's serializer mirrors the
+    corresponding unbatched path)."""
+    if fmt == "parquet":
+        import pyarrow.parquet as pq
+
+        pq.write_table(t, path)
+        return
+    rows = t.to_pylist()
+    if fmt in ("json", "jsonl"):
+        import json
+
+        with open(path, "w", encoding="utf-8") as fh:
+            for r in rows:
+                fh.write(json.dumps(r, default=str) + "\n")
+    elif fmt == "csv":
+        import csv
+
+        rows = _flatten_reviews(rows)
+        with open(path, "w", encoding="utf-8", newline="") as fh:
+            w = csv.DictWriter(fh, fieldnames=t.column_names, restval="")
+            w.writeheader()        # header per batch file, like the reference
+            for r in rows:
+                w.writerow({k: ("" if v is None else v) for k, v in r.items()})
+    elif fmt == "xml":
+        _write_xml_rows(rows, path)
+    elif fmt == "marshal":
+        import marshal
+
+        _write_seq_rows(rows, path, marshal.dump)
+    elif fmt == "pickle":
+        import pickle
+
+        _write_seq_rows(rows, path, pickle.dump)
+    else:
+        raise ValueError(f"unknown export format: {fmt}")
 
 
 def export_items(items: "pa.Table | ray.data.Dataset", out_dir: str,
                  fmt: str = "parquet",
-                 fields: "tuple[str, ...] | None" = None) -> None:
+                 fields: "tuple[str, ...] | None" = None,
+                 batch_item_count: int | None = None) -> None:
     """``fields``: FEED_EXPORT_FIELDS parity ([S:scrapy/exporters.py
     BaseItemExporter fields_to_export]) — select AND order the exported
     columns; unknown names raise (the reference exports empty columns for
     unknown fields, but a typo silently producing blank data is the
-    failure mode worth rejecting)."""
+    failure mode worth rejecting).
+
+    ``batch_item_count``: FEED_EXPORT_BATCH_ITEM_COUNT parity
+    ([S:scrapy/extensions/feedexport.py _FeedSlot batch delivery]) — the
+    feed is delivered as numbered files ``items-%05d.<ext>`` of exactly N
+    items each (last file short), batch ids starting at 1 like the
+    reference's %(batch_id)d. Streams batch-by-batch; nothing
+    materializes."""
     if fields:
         t = items if isinstance(items, pa.Table) else None
         names = (t.column_names if t is not None
@@ -74,6 +157,17 @@ def export_items(items: "pa.Table | ray.data.Dataset", out_dir: str,
             items = t.select(list(fields))
         else:
             items = _to_ds(items).select_columns(list(fields))
+    if batch_item_count is not None:
+        if batch_item_count < 1:
+            raise ValueError("batch_item_count must be >= 1")
+        os.makedirs(out_dir, exist_ok=True)
+        ext = _BATCH_EXT.get(fmt)
+        if ext is None:
+            raise ValueError(f"unknown export format: {fmt}")
+        for i, t in enumerate(_batch_tables(items, batch_item_count), start=1):
+            _write_feed_batch(t, os.path.join(out_dir, f"items-{i:05d}.{ext}"),
+                              fmt)
+        return
     ds = _to_ds(items)
     if fmt == "parquet":
         ds.write_parquet(out_dir)

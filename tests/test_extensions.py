@@ -253,3 +253,59 @@ def test_export_fields_selection(ray_session, e2e_corpus, tmp_path):
 
     with pytest.raises(ValueError, match="unknown export fields"):
         export_items(res.items, str(tmp_path / "bad"), fields=("nope",))
+
+
+def test_export_batch_item_count(ray_session, e2e_corpus, tmp_path):
+    """FEED_EXPORT_BATCH_ITEM_COUNT parity ([S:feedexport.py batch
+    delivery]): every format delivers numbered items-%05d files of exactly
+    N rows (last short), ids from 1, and the concatenation round-trips to
+    the same rows as the unbatched feed."""
+    import pickle
+
+    import pyarrow.parquet as pq
+
+    from scrapy_ray.sources.sinks import export_items
+
+    cfg = CrawlConfig(n_filter_shards=2, n_frontier_shards=2, max_waves=3)
+    res = run_crawl(e2e_corpus, cfg)
+    n_items, n = len(res.items), 7
+    want_files = (n_items + n - 1) // n
+
+    for fmt, ext in (("parquet", "parquet"), ("json", "jsonl"),
+                     ("csv", "csv"), ("xml", "xml"), ("pickle", "pickle")):
+        out = tmp_path / f"b_{fmt}"
+        export_items(res.items, str(out), fmt=fmt, batch_item_count=n)
+        files = sorted(os.listdir(out))
+        assert len(files) == want_files, fmt
+        assert files[0] == f"items-00001.{ext}", files[0]
+
+    # parquet: exact N rows per file, concat equals the input byte-wise
+    parts = [pq.read_table(str(tmp_path / "b_parquet" / f))
+             for f in sorted(os.listdir(tmp_path / "b_parquet"))]
+    assert all(len(p) == n for p in parts[:-1])
+    assert 1 <= len(parts[-1]) <= n
+    assert pa.concat_tables(parts).equals(res.items)
+
+    # csv: header per batch file
+    for f in sorted(os.listdir(tmp_path / "b_csv")):
+        first = open(tmp_path / "b_csv" / f).readline()
+        assert first.startswith("url,")
+
+    # pickle: rows across files concatenate to the full item set
+    rows = []
+    for f in sorted(os.listdir(tmp_path / "b_pickle")):
+        with open(tmp_path / "b_pickle" / f, "rb") as fh:
+            while True:
+                try:
+                    rows.append(pickle.load(fh))
+                except EOFError:
+                    break
+    assert len(rows) == n_items
+    assert {r["url"] for r in rows} == set(res.items["url"].to_pylist())
+
+    # fields + batching compose
+    out = tmp_path / "b_fields"
+    export_items(res.items, str(out), fmt="csv", fields=("name", "url"),
+                 batch_item_count=n)
+    first = open(out / sorted(os.listdir(out))[0]).readline().strip()
+    assert first == "name,url"
