@@ -312,10 +312,92 @@ def q_video_frame_sample(sf_dir: str):
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
+def resize_nn(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize via integer index maps — vectorized, exact,
+    deterministic (idx = floor(i * in / out), the standard NN convention).
+    Identity when dims already match (same index map by construction)."""
+    h, w = img.shape[:2]
+    ri = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    ci = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return img[ri][:, ci]
+
+
+_THUMB = 32  # fixed thumbnail edge
+
+
+class ImageResizer:
+    """Actor-pool resize + feature-extract stage (the mandate's 'resize /
+    feature-extract' modality): magic-sniffed decode, nearest-neighbor
+    resize to a fixed 32x32 thumbnail, re-encode as BMP (the thumbnail is a
+    REAL image payload a downstream stage can decode), plus a compact
+    feature row — per-channel integer-exact means and a gray edge density
+    (fraction of horizontally adjacent thumbnail pixels differing by > 16).
+    Codec dispatch bound once per actor; all pixel math vectorized numpy;
+    the per-payload loop is inherent to byte decoding."""
+
+    def __init__(self, edge: int = _THUMB):
+        from scrapy_ray.functions.codecs import decode_image, encode_bmp
+
+        self._decode = decode_image
+        self._encode = encode_bmp
+        self.edge = edge
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        thumbs, ws, hs = [], [], []
+        means = {c: [] for c in "rgb"}
+        edges = []
+        e = self.edge
+        for payload in t["payload"].to_pylist():
+            img = self._decode(payload)
+            h, w, _ = img.shape
+            th = resize_nn(img, e, e)
+            thumbs.append(self._encode(th))
+            ws.append(w)
+            hs.append(h)
+            px = th.astype(np.int64)
+            for k, c in enumerate("rgb"):
+                means[c].append(round(float(px[:, :, k].sum()) / (e * e), 4))
+            gray = (299 * px[:, :, 0] + 587 * px[:, :, 1]
+                    + 114 * px[:, :, 2]) // 1000
+            d = np.abs(np.diff(gray, axis=1)) > 16
+            edges.append(round(float(d.sum()) / d.size, 4))
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "src_width": pa.array(ws, type=pa.int64()),
+            "src_height": pa.array(hs, type=pa.int64()),
+            "thumb": pa.array(thumbs, type=pa.binary()),
+            "mean_r": pa.array(means["r"], type=pa.float64()),
+            "mean_g": pa.array(means["g"], type=pa.float64()),
+            "mean_b": pa.array(means["b"], type=pa.float64()),
+            "edge_density": pa.array(edges, type=pa.float64()),
+        })
+
+
+def q_image_resize_features(sf_dir: str):
+    """Image resize + feature extraction end-to-end: deterministic mixed
+    BMP/PPM source images, actor-pool nearest-neighbor 32x32 thumbnails
+    (re-encoded BMP riding the output as a binary column) + per-channel
+    means and edge density. Small batch_size — rows carry image payloads
+    both directions. Rows-only (pixel math is not SQL); resize exactness
+    (index-map equality, identity at matching dims) and feature values vs
+    a numpy reference are pytest-pinned."""
+    from scrapy_ray.functions.codecs import encode_bmp, encode_ppm
+
+    def encode_mixed(img: np.ndarray) -> bytes:
+        return encode_bmp(img) if int(img[0, 0, 0]) % 2 == 0 else encode_ppm(img)
+
+    ds = _payload_ds(sf_dir, lambda i: synth_image(i * 17 + 3), encode_mixed)
+    out = ds.map_batches(ImageResizer, batch_format="pyarrow",
+                         batch_size=128, concurrency=2)
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.sort_by("doc_id")
+
+
 MULTIMODAL_QUERIES = {
     "multimodal_decode_meta": (q_multimodal_decode_meta, SQL_MULTIMODAL),
     "image_decode_stats": (q_image_decode_stats, None),
     "audio_decode_stats": (q_audio_decode_stats, None),
     "media_checksum_dedup": (q_media_checksum_dedup, None),
     "video_frame_sample": (q_video_frame_sample, None),
+    "image_resize_features": (q_image_resize_features, None),
 }

@@ -163,3 +163,47 @@ def test_video_frame_sample_matches_reference(ray_session):
         ref = (len(frames), len(picks), fps, w0, h0,
                round(lsum / (1000 * npx), 4))
         assert by_id[doc_id] == ref, doc_id
+
+
+def test_resize_nn_exact_and_identity():
+    """Nearest-neighbor resize: identity at matching dims; the standard
+    floor(i*in/out) index map, checked against an explicit per-pixel loop;
+    up- and down-scaling both covered."""
+    from scrapy_ray.pipelines.multimodal import resize_nn
+
+    img = synth_image(42)
+    assert np.array_equal(resize_nn(img, img.shape[0], img.shape[1]), img)
+    for oh, ow in ((32, 32), (7, 13), (100, 3)):
+        got = resize_nn(img, oh, ow)
+        assert got.shape == (oh, ow, 3)
+        h, w = img.shape[:2]
+        for i in (0, oh // 2, oh - 1):
+            for j in (0, ow // 2, ow - 1):
+                assert np.array_equal(got[i, j], img[(i * h) // oh, (j * w) // ow])
+
+
+def test_image_resize_features_match_reference(ray_session):
+    """Actor-pool resize stage vs a from-scratch numpy reference: the
+    emitted 32x32 BMP thumbnail decodes byte-exact to the reference resize,
+    and means/edge density match to the rounding."""
+    from scrapy_ray.pipelines.multimodal import (q_image_resize_features,
+                                                 resize_nn, synth_image)
+
+    out = q_image_resize_features(SF).to_pandas().set_index("doc_id")
+    assert len(out) == 500
+    checked = 0
+    for doc_id in (0, 7, 123, 499):
+        img = synth_image(doc_id * 17 + 3)
+        th = resize_nn(img, 32, 32)
+        row = out.loc[doc_id]
+        assert (row["src_height"], row["src_width"]) == img.shape[:2]
+        assert np.array_equal(decode_bmp(row["thumb"]), th)
+        px = th.astype(np.int64)
+        for k, c in enumerate("rgb"):
+            assert abs(row[f"mean_{c}"]
+                       - round(float(px[:, :, k].sum()) / 1024, 4)) < 1e-9
+        gray = (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]) // 1000
+        d = np.abs(np.diff(gray, axis=1)) > 16
+        assert abs(row["edge_density"] - round(float(d.sum()) / d.size, 4)) < 1e-9
+        checked += 1
+    assert checked == 4
