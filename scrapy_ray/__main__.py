@@ -32,6 +32,9 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--max-pages", type=int, default=0)
     c.add_argument("--max-waves", type=int, default=0)
     c.add_argument("--delay", type=float, default=0.0)
+    c.add_argument("--randomize-delay", action="store_true",
+                   help="RANDOMIZE_DOWNLOAD_DELAY: deterministic hash-jitter "
+                        "in [0.5d, 1.5d) per host emission")
     c.add_argument("--per-domain-cap", type=int, default=8)
     c.add_argument("--depth-limit", type=int, default=0)
     c.add_argument("--no-robots", action="store_true")
@@ -124,6 +127,7 @@ def main(argv: list[str] | None = None) -> int:
 
             cfg = CrawlConfig(
                 per_domain_cap=args.per_domain_cap, download_delay=args.delay,
+                randomize_download_delay=args.randomize_delay,
                 obey_robots=not args.no_robots, depth_limit=args.depth_limit,
                 max_pages=args.max_pages, max_waves=args.max_waves,
                 n_filter_shards=args.filter_shards,

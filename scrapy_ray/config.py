@@ -28,6 +28,9 @@ class CrawlConfig:
     # politeness ([S:scrapy/settings/default_settings.py])
     per_domain_cap: int = 8          # CONCURRENT_REQUESTS_PER_DOMAIN
     download_delay: float = 0.0      # DOWNLOAD_DELAY (seconds, virtual)
+    randomize_download_delay: bool = False  # RANDOMIZE_DOWNLOAD_DELAY:
+                                     # deterministic hash-jitter in
+                                     # [0.5d, 1.5d) per emission (delay_jitter)
     wave_period: float = 1.0         # seconds of virtual time one wave represents
     obey_robots: bool = True         # ROBOTSTXT_OBEY (Disallow gating)
     user_agent: str = "*"            # USER_AGENT: selects the robots.txt
@@ -138,9 +141,23 @@ class CrawlConfig:
                                      # on one node enable only if the corpus
                                      # fits (plasma spills otherwise).
 
-    def waves_per_emit(self, crawl_delay: float) -> int:
+    def delay_jitter(self, host: str, last_wave: int) -> float:
+        """RANDOMIZE_DOWNLOAD_DELAY parity ([S:scrapy/core/downloader
+        Slot.download_delay = random.uniform(0.5*d, 1.5*d)]) — but
+        DETERMINISTIC: a hash-derived uniform in [0.5, 1.5) keyed on
+        (host, wave of the host's previous emission), so every emission
+        draws fresh jitter and the engine and simulator draw identically."""
+        if not self.randomize_download_delay:
+            return 1.0
+        import hashlib
+
+        h = hashlib.blake2b(f"{host}|{last_wave}".encode(),
+                            digest_size=8).digest()
+        return 0.5 + (int.from_bytes(h, "big") % 1_000_000) / 1_000_000
+
+    def waves_per_emit(self, crawl_delay: float, jitter: float = 1.0) -> int:
         """Host with effective delay d emits at most once per this many waves."""
-        d = max(self.download_delay, crawl_delay)
+        d = max(self.download_delay, crawl_delay) * jitter
         if d <= 0:
             return 1
         return max(1, math.ceil(d / self.wave_period))

@@ -156,7 +156,8 @@ def simulate_crawl(corpus_root: str, cfg: CrawlConfig | None = None,
                 del queues[host]
                 continue
             d = delay(host)
-            ready = last_emit.get(host, _NEVER) + cfg.waves_per_emit(d)
+            last = last_emit.get(host, _NEVER)
+            ready = last + cfg.waves_per_emit(d, cfg.delay_jitter(host, last))
             if wave_idx < ready:
                 continue
             cap = 1 if d > 0 else cfg.per_domain_cap
@@ -166,8 +167,11 @@ def simulate_crawl(corpus_root: str, cfg: CrawlConfig | None = None,
             if not q:
                 del queues[host]
         if not emitted:
-            ready_waves = [last_emit.get(h, _NEVER) + cfg.waves_per_emit(delay(h))
-                           for h, q in queues.items() if q]
+            ready_waves = [
+                last_emit.get(h, _NEVER)
+                + cfg.waves_per_emit(delay(h), cfg.delay_jitter(
+                    h, last_emit.get(h, _NEVER)))
+                for h, q in queues.items() if q]
             if not ready_waves:
                 break
             wave_idx = max(wave_idx + 1, min(ready_waves))

@@ -205,7 +205,9 @@ class FrontierShard:
                 del self.queues[host]
                 continue
             delay = self._delay(host)
-            ready = self.last_emit_wave.get(host, _NEVER) + cfg.waves_per_emit(delay)
+            last = self.last_emit_wave.get(host, _NEVER)
+            ready = last + cfg.waves_per_emit(delay,
+                                              cfg.delay_jitter(host, last))
             if wave_idx < ready:
                 continue
             cap = 1 if delay > 0 else cfg.per_domain_cap
@@ -287,7 +289,9 @@ class FrontierShard:
         for host, q in self.queues.items():
             if not q:
                 continue
-            ready = self.last_emit_wave.get(host, _NEVER) + self.cfg.waves_per_emit(self._delay(host))
+            last = self.last_emit_wave.get(host, _NEVER)
+            ready = last + self.cfg.waves_per_emit(
+                self._delay(host), self.cfg.delay_jitter(host, last))
             best = ready if best is None else min(best, ready)
         return best
 

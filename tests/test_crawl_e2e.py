@@ -288,3 +288,25 @@ def test_crawlspider_rules_engine_matches_simulator(ray_session, e2e_corpus):
         assert eng2.metrics["pages_fetched"] >= eng.metrics["pages_fetched"]
     finally:
         registry.CRAWL_RULES[:] = []
+
+
+def test_randomized_delay_engine_matches_simulator(ray_session, e2e_corpus):
+    """RANDOMIZE_DOWNLOAD_DELAY ([S:Slot.download_delay random.uniform
+    (0.5d, 1.5d)]), deterministic variant: per-emission hash jitter keyed
+    on (host, last emission wave). Engine == simulator under jitter, the
+    jitter actually changes the schedule vs the fixed delay, and two
+    jittered runs are identical (determinism contract intact)."""
+    cfg = CrawlConfig(n_filter_shards=2, n_frontier_shards=3,
+                      download_delay=2.0, randomize_download_delay=True,
+                      max_pages=150)
+    sim = simulate_crawl(e2e_corpus, cfg)
+    eng = run_crawl(e2e_corpus, cfg)
+    _assert_equal(sim, eng)
+    eng2 = run_crawl(e2e_corpus, cfg)
+    _assert_equal(eng, eng2)
+
+    fixed = simulate_crawl(
+        e2e_corpus, CrawlConfig(n_filter_shards=2, n_frontier_shards=3,
+                                download_delay=2.0, max_pages=150))
+    assert fixed.crawl_order.to_pydict() != sim.crawl_order.to_pydict(), \
+        "jitter must be load-bearing on the schedule"
