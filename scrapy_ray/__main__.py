@@ -92,6 +92,14 @@ def main(argv: list[str] | None = None) -> int:
     k.add_argument("--target-mb", type=int, default=128)
     k.add_argument("--num-cpus", type=int, default=None)
 
+    ck = sub.add_parser("check", help="run registered spider contracts "
+                                      "against a corpus (scrapy check)")
+    ck.add_argument("--corpus", required=True)
+    ck.add_argument("--module", default=None,
+                    help="importable module that registers contracts "
+                         "(scrapy_ray.contracts.contract calls at import)")
+    ck.add_argument("--num-cpus", type=int, default=None)
+
     args = p.parse_args(argv)
 
     import ray
@@ -112,6 +120,17 @@ def main(argv: list[str] | None = None) -> int:
                               n_buckets=args.buckets)
             generate_corpus(args.out, spec)
             print(json.dumps({"corpus": args.out, "spec": spec.__dict__}))
+        elif args.cmd == "check":
+            if args.module:
+                import importlib
+
+                importlib.import_module(args.module)
+            from scrapy_ray.contracts import check_contracts
+
+            results = check_contracts(args.corpus)
+            for r in results:
+                print(json.dumps(r))
+            return 0 if results and all(r["ok"] for r in results) else 1
         elif args.cmd == "compact":
             from scrapy_ray.sources.compact import (compact_parquet_dir,
                                                     verify_compaction)

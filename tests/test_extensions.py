@@ -309,3 +309,45 @@ def test_export_batch_item_count(ray_session, e2e_corpus, tmp_path):
                  batch_item_count=n)
     first = open(out / sorted(os.listdir(out))[0]).readline().strip()
     assert first == "name,url"
+
+
+def test_spider_contracts_check(ray_session, e2e_corpus):
+    """`scrapy check` analogue ([S:scrapy/contracts @url/@returns/@scrapes]):
+    contracts verify item/link counts and non-empty scraped fields through
+    the REAL fused parse over bucket-pruned corpus lookups."""
+    from scrapy_ray.contracts import Contract, check_contracts
+
+    good = [
+        Contract("https://h000.example.com/hotel/00000",
+                 items=(1, 1), scrapes=("name", "address", "rating")),
+        Contract("https://h000.example.com/listing/00000",
+                 items=(0, 0), links=(1, None)),
+    ]
+    res = check_contracts(e2e_corpus, good)
+    assert all(r["ok"] for r in res), res
+    assert res[0]["n_items"] == 1 and res[1]["n_links"] >= 1
+
+    bad = [
+        Contract("https://h000.example.com/listing/00000",
+                 items=(1, None)),                      # listings yield 0
+        Contract("https://h000.example.com/hotel/00000",
+                 scrapes=("name", "nonexistent_field")),
+        Contract("https://nosuch.example.com/hotel/00000"),
+    ]
+    res = check_contracts(e2e_corpus, bad)
+    assert [r["ok"] for r in res] == [False, False, False]
+    assert res[1]["missing_fields"] == ["nonexistent_field"]
+    assert res[2]["error"] == "page not in corpus"
+
+
+def test_spider_contracts_cli(e2e_corpus):
+    """CLI surface: `scrapy_ray check --corpus ... --module ...` exits 0 on
+    green contracts (subprocess owns its Ray session)."""
+    r = subprocess.run(
+        [sys.executable, "-m", "scrapy_ray", "check", "--corpus", e2e_corpus,
+         "--module", "tests.contract_fixtures", "--num-cpus", "2"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stdout + r.stderr[-2000:]
+    lines = [json.loads(x) for x in r.stdout.strip().splitlines()
+             if x.startswith("{")]
+    assert len(lines) == 2 and all(x["ok"] for x in lines)
