@@ -30,6 +30,8 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--checkpoint", default=None)
     c.add_argument("--resume", action="store_true")
     c.add_argument("--max-pages", type=int, default=0)
+    c.add_argument("--max-errors", type=int, default=0,
+                   help="CLOSESPIDER_ERRORCOUNT: stop after N error responses")
     c.add_argument("--max-waves", type=int, default=0)
     c.add_argument("--delay", type=float, default=0.0)
     c.add_argument("--randomize-delay", action="store_true",
@@ -149,6 +151,7 @@ def main(argv: list[str] | None = None) -> int:
                 randomize_download_delay=args.randomize_delay,
                 obey_robots=not args.no_robots, depth_limit=args.depth_limit,
                 max_pages=args.max_pages, max_waves=args.max_waves,
+                max_errors=args.max_errors,
                 n_filter_shards=args.filter_shards,
                 n_frontier_shards=args.frontier_shards,
                 checkpoint_dir=args.checkpoint,

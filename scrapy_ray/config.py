@@ -118,6 +118,11 @@ class CrawlConfig:
     # close-spider limits ([S:scrapy/extensions/closespider.py])
     max_pages: int = 0               # CLOSESPIDER_PAGECOUNT, 0 = unlimited
     max_items: int = 0               # CLOSESPIDER_ITEMCOUNT
+    max_errors: int = 0              # CLOSESPIDER_ERRORCOUNT (adapted for
+                                     # corpus replay: counts ERROR RESPONSES
+                                     # that fall through every middleware —
+                                     # non-2xx, not redirected, not retried,
+                                     # not in handle_httpstatus_list)
     max_waves: int = 0               # engine-only safety valve
 
     # engine layout

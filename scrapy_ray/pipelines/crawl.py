@@ -193,6 +193,7 @@ class CrawlEngine:
         self.pages_fetched = 0
         self.maxsize_dropped = 0
         self.maxsize_warned = 0
+        self.error_count = 0
         self.items_count = 0
         self.lineage: list[dict] = []
         self._mem_items: list[pa.Table] = []
@@ -237,6 +238,7 @@ class CrawlEngine:
                        "pages_fetched": self.pages_fetched, "items_count": self.items_count,
                        "maxsize_dropped": self.maxsize_dropped,
                        "maxsize_warned": self.maxsize_warned,
+                       "error_count": self.error_count,
                        "lineage": self.lineage}, fh)
         os.replace(stmp, os.path.join(vdir, "state.json"))
         # commit point: pointer swap is the single atomic operation
@@ -272,6 +274,7 @@ class CrawlEngine:
         # .get(): pre-maxsize checkpoints lack the keys (forward-compat read)
         self.maxsize_dropped = m.get("maxsize_dropped", 0)
         self.maxsize_warned = m.get("maxsize_warned", 0)
+        self.error_count = m.get("error_count", 0)
         self.lineage = m["lineage"]
         # drop sink partitions from any wave newer than the checkpoint (a
         # crash between sink write and commit): lineage lists completed waves.
@@ -315,6 +318,7 @@ class CrawlEngine:
                 self.pages_fetched = 0
                 self.maxsize_dropped = 0
                 self.maxsize_warned = 0
+                self.error_count = 0
                 self.items_count = 0
                 self.lineage = []
                 self.seed(self._seeds)
@@ -377,6 +381,7 @@ class CrawlEngine:
         cfg = self.cfg
         if (cfg.max_pages and self.pages_fetched >= cfg.max_pages) or \
            (cfg.max_items and self.items_count >= cfg.max_items) or \
+           (cfg.max_errors and self.error_count >= cfg.max_errors) or \
            (cfg.max_waves and self.wave_idx >= cfg.max_waves):
             return False
         _t0 = _time.perf_counter()
@@ -399,7 +404,7 @@ class CrawlEngine:
         # reach the driver (stages/fetch.py fetch_parse_wave, stages/parse.py).
         _t0 = _time.perf_counter()
         (items, links, n_fetched, hstats, retry_rows, redirect_rows,
-         (n_maxsize_drop, n_maxsize_warn)) = fetch_parse_wave(
+         (n_maxsize_drop, n_maxsize_warn, n_err)) = fetch_parse_wave(
             self.root, wave, self.n_buckets, cache=self._bucket_cache,
             registry_ref=self._registry_ref, want_stats=cfg.autothrottle,
             retry_cfg=((cfg.retry_codes, cfg.retry_max) if cfg.retry_max else None),
@@ -414,6 +419,7 @@ class CrawlEngine:
             allowed_statuses=cfg.handle_httpstatus_list)
         self.maxsize_dropped += n_maxsize_drop
         self.maxsize_warned += n_maxsize_warn
+        self.error_count += n_err
         self.phase_times["fetch_parse"] += _time.perf_counter() - _t0
 
         if cfg.autothrottle and len(hstats):
@@ -522,6 +528,7 @@ class CrawlEngine:
             "robots_denied": sum(s["robots_denied"] for s in fstats),
             "maxsize_dropped": self.maxsize_dropped,
             "maxsize_warned": self.maxsize_warned,
+            "error_responses": self.error_count,
             "frontier_remaining": sum(s["queued"] for s in fstats),
             "phase_times": {k: round(v, 3) for k, v in self.phase_times.items()},
         }

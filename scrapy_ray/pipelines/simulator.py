@@ -140,12 +140,14 @@ def simulate_crawl(corpus_root: str, cfg: CrawlConfig | None = None,
     pages_fetched = 0
     maxsize_dropped = 0
     maxsize_warned = 0
+    error_count = 0
     items_count = 0
     wave_idx = 0
 
     while True:
         if (cfg.max_pages and pages_fetched >= cfg.max_pages) or \
            (cfg.max_items and items_count >= cfg.max_items) or \
+           (cfg.max_errors and error_count >= cfg.max_errors) or \
            (cfg.max_waves and wave_idx >= cfg.max_waves):
             break
         # emit wave
@@ -229,6 +231,9 @@ def simulate_crawl(corpus_root: str, cfg: CrawlConfig | None = None,
                     retry_cands.append(c)
                     continue
                 elif statuses[i] not in cfg.handle_httpstatus_list:
+                    # error response: fell through every middleware
+                    # (CLOSESPIDER_ERRORCOUNT mirror)
+                    error_count += 1
                     continue
                 # else: HttpError pass-through ([S:httperror.py
                 # handle_httpstatus_list]) — parse like a 2xx
@@ -338,5 +343,6 @@ def simulate_crawl(corpus_root: str, cfg: CrawlConfig | None = None,
                  "scheduled": len(order_rows), "url_seen": len(seen),
                  "robots_denied": n_robots_denied, "waves": wave_idx,
                  "maxsize_dropped": maxsize_dropped,
-                 "maxsize_warned": maxsize_warned},
+                 "maxsize_warned": maxsize_warned,
+                 "error_responses": error_count},
     )

@@ -254,22 +254,27 @@ def _fetch_parse_bucket(path: str, sub: pa.Table, registry_ref=None,
     if len(t) == 0:
         return (schemas.ITEMS.empty_table(), schemas.LINKS.empty_table(), 0,
                 HOST_STATS_SCHEMA.empty_table(), schemas.RETRY_ROWS.empty_table(),
-                schemas.REDIRECT_ROWS.empty_table(), (nd, nw))
+                schemas.REDIRECT_ROWS.empty_table(), (nd, nw, 0))
     stats = _host_stats(t) if want_stats else HOST_STATS_SCHEMA.empty_table()
     t = t.join(sub, keys="url", join_type="inner")
     retries = (_retry_rows(t, *retry_cfg) if retry_cfg is not None
                else schemas.RETRY_ROWS.empty_table())
     redirects = (_redirect_rows(t, *redirect_cfg) if redirect_cfg is not None
                  else schemas.REDIRECT_ROWS.empty_table())
+    n_diverted = len(retries) + len(redirects)
     if metarefresh_cfg is not None:
         mr, t = _meta_refresh_split(t, *metarefresh_cfg)
         if len(mr):
             redirects = pa.concat_tables([redirects, mr]) if len(redirects) else mr
     parsed = parse_page_batch(t, handlers=handlers, routes=routes,
                               allowed_statuses=allowed_statuses, rules=rules)
+    # error responses = fetched, non-2xx, fell through every middleware
+    # (CLOSESPIDER_ERRORCOUNT input; diverted redirect/retry rows excluded)
+    n_err = len(parsed) - int(pc.sum(parsed["status_ok"]).as_py() or 0) \
+        - n_diverted
     return (split_items(parsed), split_links(parsed, routes=routes, rules=rules),
             len(parsed),
-            stats, retries, redirects, (nd, nw))
+            stats, retries, redirects, (nd, nw, n_err))
 
 
 @ray.remote
@@ -307,22 +312,27 @@ def _fetch_parse_cached(bucket: pa.Table, sub: pa.Table, registry_ref=None,
     if len(t) == 0:
         return (schemas.ITEMS.empty_table(), schemas.LINKS.empty_table(), 0,
                 HOST_STATS_SCHEMA.empty_table(), schemas.RETRY_ROWS.empty_table(),
-                schemas.REDIRECT_ROWS.empty_table(), (nd, nw))
+                schemas.REDIRECT_ROWS.empty_table(), (nd, nw, 0))
     stats = _host_stats(t) if want_stats else HOST_STATS_SCHEMA.empty_table()
     t = t.join(sub, keys="url", join_type="inner")
     retries = (_retry_rows(t, *retry_cfg) if retry_cfg is not None
                else schemas.RETRY_ROWS.empty_table())
     redirects = (_redirect_rows(t, *redirect_cfg) if redirect_cfg is not None
                  else schemas.REDIRECT_ROWS.empty_table())
+    n_diverted = len(retries) + len(redirects)
     if metarefresh_cfg is not None:
         mr, t = _meta_refresh_split(t, *metarefresh_cfg)
         if len(mr):
             redirects = pa.concat_tables([redirects, mr]) if len(redirects) else mr
     parsed = parse_page_batch(t, handlers=handlers, routes=routes,
                               allowed_statuses=allowed_statuses, rules=rules)
+    # error responses = fetched, non-2xx, fell through every middleware
+    # (CLOSESPIDER_ERRORCOUNT input; diverted redirect/retry rows excluded)
+    n_err = len(parsed) - int(pc.sum(parsed["status_ok"]).as_py() or 0) \
+        - n_diverted
     return (split_items(parsed), split_links(parsed, routes=routes, rules=rules),
             len(parsed),
-            stats, retries, redirects, (nd, nw))
+            stats, retries, redirects, (nd, nw, n_err))
 
 
 class BucketCache:
@@ -477,16 +487,17 @@ def fetch_parse_wave(corpus_root: str, wave: pa.Table, n_buckets: int,
                                                        maxsize_cfg,
                                                        allowed_statuses))
     items_p, links_p, stats_p, retry_p, redir_p, n = [], [], [], [], [], 0
-    nd_sum = nw_sum = 0
+    nd_sum = nw_sum = ne_sum = 0
     # consume incrementally: driver-side deserialization + concat overlap
     # with still-running tasks instead of waiting for the full barrier
     pending = futs
     while pending:
         done, pending = ray.wait(pending, num_returns=min(16, len(pending)))
-        for it, lk, nf, st, rr, rd, (nd, nw) in ray.get(done):
+        for it, lk, nf, st, rr, rd, (nd, nw, ne) in ray.get(done):
             n += nf
             nd_sum += nd
             nw_sum += nw
+            ne_sum += ne
             if len(it):
                 items_p.append(it)
             if len(lk):
@@ -505,7 +516,7 @@ def fetch_parse_wave(corpus_root: str, wave: pa.Table, n_buckets: int,
                else schemas.RETRY_ROWS.empty_table())
     redirects = (pa.concat_tables(redir_p) if redir_p
                  else schemas.REDIRECT_ROWS.empty_table())
-    return items, links, n, stats, retries, redirects, (nd_sum, nw_sum)
+    return items, links, n, stats, retries, redirects, (nd_sum, nw_sum, ne_sum)
 
 
 def fetch_wave(corpus_root: str, wave: pa.Table, n_buckets: int) -> ray.data.Dataset:

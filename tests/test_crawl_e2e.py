@@ -310,3 +310,33 @@ def test_randomized_delay_engine_matches_simulator(ray_session, e2e_corpus):
                                 download_delay=2.0, max_pages=150))
     assert fixed.crawl_order.to_pydict() != sim.crawl_order.to_pydict(), \
         "jitter must be load-bearing on the schedule"
+
+
+def test_closespider_errorcount(ray_session, e2e_corpus):
+    """CLOSESPIDER_ERRORCOUNT ([S:scrapy/extensions/closespider.py],
+    adapted for corpus replay: counts error RESPONSES that fall through
+    every middleware). Engine == simulator under the limit, both report the
+    same error_responses metric, the limited run stops early, and retried
+    attempts with budget left never count."""
+    unlimited = run_crawl(e2e_corpus, CrawlConfig(n_filter_shards=2,
+                                                  n_frontier_shards=2))
+    sim_u = simulate_crawl(e2e_corpus, CrawlConfig(n_filter_shards=2,
+                                                   n_frontier_shards=2))
+    assert unlimited.metrics["error_responses"] \
+        == sim_u.metrics["error_responses"] > 3, \
+        "corpus must exercise the 404/500 path"
+
+    cfg = CrawlConfig(n_filter_shards=2, n_frontier_shards=2, max_errors=3)
+    sim = simulate_crawl(e2e_corpus, cfg)
+    eng = run_crawl(e2e_corpus, cfg)
+    _assert_equal(sim, eng)
+    assert eng.metrics["error_responses"] == sim.metrics["error_responses"] >= 3
+    assert eng.metrics["pages_fetched"] < unlimited.metrics["pages_fetched"]
+
+    # a retryable error with budget left is diverted, not counted: with
+    # retries enabled the error count can only go down or stay equal
+    cfg_r = CrawlConfig(n_filter_shards=2, n_frontier_shards=2, retry_max=2)
+    eng_r = run_crawl(e2e_corpus, cfg_r)
+    sim_r = simulate_crawl(e2e_corpus, cfg_r)
+    assert eng_r.metrics["error_responses"] == sim_r.metrics["error_responses"]
+    assert eng_r.metrics["error_responses"] <= unlimited.metrics["error_responses"]
