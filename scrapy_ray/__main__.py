@@ -94,6 +94,13 @@ def main(argv: list[str] | None = None) -> int:
     k.add_argument("--target-mb", type=int, default=128)
     k.add_argument("--num-cpus", type=int, default=None)
 
+    pr = sub.add_parser("parse", help="fetch ONE url from the corpus and "
+                                      "print its parsed item + links "
+                                      "(scrapy parse)")
+    pr.add_argument("--corpus", required=True)
+    pr.add_argument("--url", required=True)
+    pr.add_argument("--num-cpus", type=int, default=None)
+
     ck = sub.add_parser("check", help="run registered spider contracts "
                                       "against a corpus (scrapy check)")
     ck.add_argument("--corpus", required=True)
@@ -122,6 +129,26 @@ def main(argv: list[str] | None = None) -> int:
                               n_buckets=args.buckets)
             generate_corpus(args.out, spec)
             print(json.dumps({"corpus": args.out, "spec": spec.__dict__}))
+        elif args.cmd == "parse":
+            from scrapy_ray.contracts import _page_row
+            from scrapy_ray.stages.parse import (parse_page_batch,
+                                                 split_items, split_links)
+            import pyarrow as pa
+
+            row = _page_row(args.corpus, args.url)
+            if row is None:
+                print(json.dumps({"url": args.url,
+                                  "error": "page not in corpus"}))
+                return 1
+            t = row.append_column("seq", pa.array([0], pa.int64()))
+            t = t.append_column("depth", pa.array([0], pa.int32()))
+            parsed = parse_page_batch(t)
+            items = split_items(parsed).to_pylist()
+            links = split_links(parsed)["url"].to_pylist()
+            print(json.dumps({"url": args.url, "status_ok":
+                              bool(parsed["status_ok"][0].as_py()),
+                              "item": items[0] if items else None,
+                              "links": links}))
         elif args.cmd == "check":
             if args.module:
                 import importlib

@@ -195,6 +195,7 @@ class CrawlEngine:
         self.maxsize_warned = 0
         self.error_count = 0
         self.items_count = 0
+        self.depth_stats: dict[int, int] = {}   # DEPTH_STATS ([S:depth.py])
         self.lineage: list[dict] = []
         self._mem_items: list[pa.Table] = []
         self._mem_order: list[pa.Table] = []
@@ -239,6 +240,7 @@ class CrawlEngine:
                        "maxsize_dropped": self.maxsize_dropped,
                        "maxsize_warned": self.maxsize_warned,
                        "error_count": self.error_count,
+                       "depth_stats": self.depth_stats,
                        "lineage": self.lineage}, fh)
         os.replace(stmp, os.path.join(vdir, "state.json"))
         # commit point: pointer swap is the single atomic operation
@@ -275,6 +277,8 @@ class CrawlEngine:
         self.maxsize_dropped = m.get("maxsize_dropped", 0)
         self.maxsize_warned = m.get("maxsize_warned", 0)
         self.error_count = m.get("error_count", 0)
+        self.depth_stats = {int(k): int(v)
+                            for k, v in m.get("depth_stats", {}).items()}
         self.lineage = m["lineage"]
         # drop sink partitions from any wave newer than the checkpoint (a
         # crash between sink write and commit): lineage lists completed waves.
@@ -320,6 +324,7 @@ class CrawlEngine:
                 self.maxsize_warned = 0
                 self.error_count = 0
                 self.items_count = 0
+                self.depth_stats = {}
                 self.lineage = []
                 self.seed(self._seeds)
                 return
@@ -398,6 +403,10 @@ class CrawlEngine:
             "wave": pa.array(np.full(len(wave), self.wave_idx, dtype=np.int32)),
             "url": wave["url"],
         }, schema=schemas.CRAWL_ORDER)
+        dvals, dcnts = np.unique(wave["depth"].to_numpy(zero_copy_only=False),
+                                 return_counts=True)
+        for dv, dc in zip(dvals, dcnts):
+            self.depth_stats[int(dv)] = self.depth_stats.get(int(dv), 0) + int(dc)
 
         # ONE distributed pass per wave: partition-pruned fetch-join + fused
         # parse + in-task items/links splits — neither html nor list columns
@@ -529,6 +538,8 @@ class CrawlEngine:
             "maxsize_dropped": self.maxsize_dropped,
             "maxsize_warned": self.maxsize_warned,
             "error_responses": self.error_count,
+            "depth_stats": {str(k): v for k, v
+                            in sorted(self.depth_stats.items())},
             "frontier_remaining": sum(s["queued"] for s in fstats),
             "phase_times": {k: round(v, 3) for k, v in self.phase_times.items()},
         }

@@ -142,6 +142,7 @@ def simulate_crawl(corpus_root: str, cfg: CrawlConfig | None = None,
     maxsize_warned = 0
     error_count = 0
     items_count = 0
+    depth_stats: dict[int, int] = {}
     wave_idx = 0
 
     while True:
@@ -182,6 +183,7 @@ def simulate_crawl(corpus_root: str, cfg: CrawlConfig | None = None,
         emitted.sort(key=lambda c: (-c["priority"], c["seq"]))
         for c in emitted:
             order_rows.append((c["seq"], wave_idx, c["url"]))
+            depth_stats[c["depth"]] = depth_stats.get(c["depth"], 0) + 1
 
         # fetch + parse in seq order (canonical link order = parent seq asc,
         # document order — matches engine's (parent_seq, link_idx) sort).
@@ -344,5 +346,7 @@ def simulate_crawl(corpus_root: str, cfg: CrawlConfig | None = None,
                  "robots_denied": n_robots_denied, "waves": wave_idx,
                  "maxsize_dropped": maxsize_dropped,
                  "maxsize_warned": maxsize_warned,
-                 "error_responses": error_count},
+                 "error_responses": error_count,
+                 "depth_stats": {str(k): v for k, v
+                                 in sorted(depth_stats.items())}},
     )

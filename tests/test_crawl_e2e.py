@@ -340,3 +340,31 @@ def test_closespider_errorcount(ray_session, e2e_corpus):
     sim_r = simulate_crawl(e2e_corpus, cfg_r)
     assert eng_r.metrics["error_responses"] == sim_r.metrics["error_responses"]
     assert eng_r.metrics["error_responses"] <= unlimited.metrics["error_responses"]
+
+
+def test_depth_stats_and_parse_cli(ray_session, e2e_corpus):
+    """DEPTH_STATS ([S:scrapy/spidermiddlewares/depth.py request_depth_count]):
+    scheduled-request counts per depth, engine == simulator, total equals
+    the crawl-order length, seeds at depth 0. Plus the `parse` CLI
+    (scrapy parse analogue) smoke in a subprocess."""
+    import json
+    import subprocess
+    import sys
+
+    cfg = CrawlConfig(n_filter_shards=2, n_frontier_shards=3, max_pages=200)
+    sim = simulate_crawl(e2e_corpus, cfg)
+    eng = run_crawl(e2e_corpus, cfg)
+    _assert_equal(sim, eng)
+    assert eng.metrics["depth_stats"] == sim.metrics["depth_stats"]
+    assert sum(eng.metrics["depth_stats"].values()) == len(eng.crawl_order)
+    assert eng.metrics["depth_stats"]["0"] >= 1
+    assert len(eng.metrics["depth_stats"]) > 1, "multi-depth crawl expected"
+
+    url = next(u for u in eng.crawl_order["url"].to_pylist() if "/hotel/" in u)
+    r = subprocess.run(
+        [sys.executable, "-m", "scrapy_ray", "parse", "--corpus", e2e_corpus,
+         "--url", url, "--num-cpus", "2"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["url"] == url and out["item"]["name"]
