@@ -44,6 +44,7 @@ def _registry() -> dict[str, tuple]:
     from scrapy_ray.pipelines.queries7 import QUERIES7
     from scrapy_ray.pipelines.queries8 import QUERIES8
     from scrapy_ray.pipelines.queries9 import QUERIES9
+    from scrapy_ray.pipelines.queries10 import QUERIES10
     from scrapy_ray.pipelines.skew import SKEW_QUERIES
     from scrapy_ray.pipelines.textqual import TEXTQUAL_QUERIES
     from scrapy_ray.pipelines.training import TRAINING_QUERIES
@@ -58,6 +59,7 @@ def _registry() -> dict[str, tuple]:
     reg.update(QUERIES7)
     reg.update(QUERIES8)
     reg.update(QUERIES9)
+    reg.update(QUERIES10)
     reg.update(TRAINING_QUERIES)
     reg.update(TEXTQUAL_QUERIES)
     reg.update(MULTIMODAL_QUERIES)

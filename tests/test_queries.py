@@ -87,6 +87,9 @@ SUBSET = [
     "max_concurrent_sessions",
     "semdedup_embeddings",
     "pack_sequences",
+    "revenue_cube",
+    "mad_order_value",
+    "latest_events_per_user",
 ]
 
 
