@@ -206,8 +206,108 @@ ORDER BY user_id, rn
 """
 
 
+# ---------------------------------------------------------------------------
+# BM25 query scoring (retrieval ranking over the corpus)
+# ---------------------------------------------------------------------------
+
+_BM25_QUERY = ("window", "merge", "stream")
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_TOPK = 20
+
+
+def q_bm25_topk(sf_dir: str):
+    """BM25 top-k for a fixed term query — the retrieval-scoring primitive
+    (tfidf_top_terms is per-doc keywords; this ranks docs against a query).
+    Two scans, NO shuffle: pass 1 is a per-batch partial aggregate of
+    (N, total tokens, df per query term) reduced driver-side to a handful
+    of integers; pass 2 broadcasts those constants in the closure, scores
+    every doc vectorized (exact int tf/dl into ONE float64 expression
+    mirrored verbatim in SQL) and keeps a per-batch partial top-k, so the
+    driver sees O(k x blocks) rows. Scores micro-quantized to round6 so
+    ranking compares identical integers on both sides; ties break doc_id."""
+    import pyarrow.compute as pc
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    terms = _BM25_QUERY
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        toks = [x.split() for x in t["text"].to_pylist()]
+        row = {"n": [len(toks)],
+               "sl": [int(sum(len(ws) for ws in toks))]}
+        for i, q in enumerate(terms):
+            row[f"df{i}"] = [int(sum(1 for ws in toks if q in ws))]
+        return pa.table(row)
+
+    st = ds.map_batches(stats_partial, batch_format="pyarrow").to_pandas().sum()
+    n_docs, sum_len = int(st["n"]), int(st["sl"])
+    dfs = [int(st[f"df{i}"]) for i in range(len(terms))]
+    avg_dl = sum_len / n_docs                      # float64 of exact ints
+    idfs = [np.log((n_docs - d + 0.5) / (d + 0.5) + 1.0) for d in dfs]
+
+    def score(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = [x.split() for x in t["text"].to_pylist()]
+        dl = np.array([len(ws) for ws in toks], dtype=np.int64)
+        s = np.zeros(len(ids), dtype=np.float64)
+        denom_norm = _BM25_K1 * (1.0 - _BM25_B + _BM25_B * dl / avg_dl)
+        for q, idf in zip(terms, idfs):
+            tf = np.array([ws.count(q) for ws in toks], dtype=np.int64)
+            s += idf * (tf * (_BM25_K1 + 1.0)) / (tf + denom_norm)
+        s6 = np.sign(s) * np.floor(np.abs(s) * 1e6 + 0.5) / 1e6
+        df = pd.DataFrame({"doc_id": ids, "score6": s6})
+        df = df.sort_values(["score6", "doc_id"],
+                            ascending=[False, True]).head(_BM25_TOPK)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    part = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    out = (part.sort_values(["score6", "doc_id"], ascending=[False, True])
+               .head(_BM25_TOPK).reset_index(drop=True))
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[["rank", "doc_id", "score6"]]
+
+
+def _bm25_sql() -> str:
+    k1, b, k = _BM25_K1, _BM25_B, _BM25_TOPK
+    tf_cols = ",\n         ".join(
+        f"array_length(list_filter(toks, x -> x = '{q}'))::BIGINT AS tf{i}"
+        for i, q in enumerate(_BM25_QUERY))
+    df_cols = ", ".join(
+        f"(SELECT COUNT(*) FILTER (WHERE tf{i} > 0) FROM tf)::BIGINT AS df{i}"
+        for i in range(len(_BM25_QUERY)))
+    score_terms = " + ".join(
+        f"ln((s.n - s.df{i} + 0.5) / (s.df{i} + 0.5) + 1.0)"
+        f" * (tf.tf{i} * ({k1} + 1.0))"
+        f" / (tf.tf{i} + {k1} * (1.0 - {b} + {b} * tf.dl / (s.sl::DOUBLE / s.n)))"
+        for i in range(len(_BM25_QUERY)))
+    return f"""
+WITH p AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents
+),
+tf AS (
+  SELECT doc_id, array_length(toks)::BIGINT AS dl,
+         {tf_cols}
+  FROM p
+),
+s AS (
+  SELECT (SELECT COUNT(*) FROM p)::BIGINT AS n,
+         (SELECT SUM(array_length(toks)) FROM p)::BIGINT AS sl,
+         {df_cols}
+),
+sc AS (
+  SELECT tf.doc_id,
+         round({score_terms}, 6) AS score6
+  FROM tf, s
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY score6 DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, score6
+FROM sc ORDER BY score6 DESC, doc_id LIMIT {k}
+"""
+
+
 QUERIES10: dict[str, tuple] = {
     "revenue_cube": (q_revenue_cube, SQL_REVENUE_CUBE),
     "mad_order_value": (q_mad_order_value, SQL_MAD),
     "latest_events_per_user": (q_latest_events_per_user, SQL_LATEST_EVENTS),
+    "bm25_topk": (q_bm25_topk, _bm25_sql()),
 }

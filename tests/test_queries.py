@@ -90,6 +90,7 @@ SUBSET = [
     "revenue_cube",
     "mad_order_value",
     "latest_events_per_user",
+    "bm25_topk",
 ]
 
 
