@@ -54,6 +54,9 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--batch-item-count", type=int, default=None, metavar="N",
                    help="deliver the feed as numbered files of N items each "
                         "(FEED_EXPORT_BATCH_ITEM_COUNT)")
+    c.add_argument("--compress", default=None,
+                   choices=["gzip", "bz2", "lzma"],
+                   help="feed post-processing: compress delivered feed files")
     c.add_argument("--handle-httpstatus", default=None, metavar="CODES",
                    help="comma-separated non-2xx statuses the parser should "
                         "handle as OK (handle_httpstatus_list)")
@@ -204,7 +207,8 @@ def main(argv: list[str] | None = None) -> int:
             export_items(res.items, args.out, fmt=args.format,
                          fields=(tuple(args.fields.split(","))
                                  if args.fields else None),
-                         batch_item_count=args.batch_item_count)
+                         batch_item_count=args.batch_item_count,
+                         compress=args.compress)
             print(json.dumps(res.metrics))
     finally:
         ray.shutdown()

@@ -130,10 +130,46 @@ def _write_feed_batch(t: pa.Table, path: str, fmt: str) -> None:
         raise ValueError(f"unknown export format: {fmt}")
 
 
+_COMPRESSORS = {"gzip": ".gz", "bz2": ".bz2", "lzma": ".xz"}
+
+
+def _postprocess_dir(out_dir: str, compress: str) -> None:
+    """Feed post-processing ([S:scrapy/extensions/postprocessing.py
+    GzipPlugin/Bz2Plugin/LZMAPlugin]): compress every delivered feed file
+    in place, appending the codec extension. gzip writes mtime=0 so the
+    output is byte-deterministic (the determinism contract applies to
+    feeds too)."""
+    ext = _COMPRESSORS[compress]
+    for name in sorted(os.listdir(out_dir)):
+        path = os.path.join(out_dir, name)
+        if not os.path.isfile(path) or name.endswith(ext):
+            continue
+        with open(path, "rb") as fh:
+            raw = fh.read()
+        if compress == "gzip":
+            import gzip
+
+            with open(path + ext, "wb") as out:
+                with gzip.GzipFile(fileobj=out, mode="wb", mtime=0) as gz:
+                    gz.write(raw)
+        elif compress == "bz2":
+            import bz2
+
+            with open(path + ext, "wb") as out:
+                out.write(bz2.compress(raw))
+        else:
+            import lzma
+
+            with open(path + ext, "wb") as out:
+                out.write(lzma.compress(raw))
+        os.remove(path)
+
+
 def export_items(items: "pa.Table | ray.data.Dataset", out_dir: str,
                  fmt: str = "parquet",
                  fields: "tuple[str, ...] | None" = None,
-                 batch_item_count: int | None = None) -> None:
+                 batch_item_count: int | None = None,
+                 compress: str | None = None) -> None:
     """``fields``: FEED_EXPORT_FIELDS parity ([S:scrapy/exporters.py
     BaseItemExporter fields_to_export]) — select AND order the exported
     columns; unknown names raise (the reference exports empty columns for
@@ -145,7 +181,14 @@ def export_items(items: "pa.Table | ray.data.Dataset", out_dir: str,
     feed is delivered as numbered files ``items-%05d.<ext>`` of exactly N
     items each (last file short), batch ids starting at 1 like the
     reference's %(batch_id)d. Streams batch-by-batch; nothing
-    materializes."""
+    materializes.
+
+    ``compress``: feed post-processing parity — gzip / bz2 / lzma each
+    delivered feed file (see _postprocess_dir). Parquet's native codec
+    remains the scale path; compressing it anyway mirrors the reference,
+    which gzips whatever the exporter wrote."""
+    if compress is not None and compress not in _COMPRESSORS:
+        raise ValueError(f"unknown compress codec: {compress}")
     if fields:
         t = items if isinstance(items, pa.Table) else None
         names = (t.column_names if t is not None
@@ -167,6 +210,8 @@ def export_items(items: "pa.Table | ray.data.Dataset", out_dir: str,
         for i, t in enumerate(_batch_tables(items, batch_item_count), start=1):
             _write_feed_batch(t, os.path.join(out_dir, f"items-{i:05d}.{ext}"),
                               fmt)
+        if compress:
+            _postprocess_dir(out_dir, compress)
         return
     ds = _to_ds(items)
     if fmt == "parquet":
@@ -199,3 +244,5 @@ def export_items(items: "pa.Table | ray.data.Dataset", out_dir: str,
         _write_seq(items, out_dir, "items.pickle", pickle.dump)
     else:
         raise ValueError(f"unknown export format: {fmt}")
+    if compress:
+        _postprocess_dir(out_dir, compress)

@@ -351,3 +351,61 @@ def test_spider_contracts_cli(e2e_corpus):
     lines = [json.loads(x) for x in r.stdout.strip().splitlines()
              if x.startswith("{")]
     assert len(lines) == 2 and all(x["ok"] for x in lines)
+
+
+def test_export_compress_postprocessing(ray_session, e2e_corpus, tmp_path):
+    """Feed post-processing ([S:scrapy/extensions/postprocessing.py]):
+    gzip/bz2/lzma each delivered feed file; gzip is byte-deterministic
+    (mtime=0); round-trips to the uncompressed content; composes with
+    batch delivery."""
+    import bz2
+    import gzip
+    import lzma
+
+    from scrapy_ray.sources.sinks import export_items
+
+    cfg = CrawlConfig(n_filter_shards=2, n_frontier_shards=2, max_waves=3)
+    res = run_crawl(e2e_corpus, cfg)
+
+    out = tmp_path / "gz"
+    export_items(res.items, str(out), fmt="json", compress="gzip")
+    files = sorted(os.listdir(out))
+    assert files and all(f.endswith(".gz") for f in files)
+    rows = []
+    for f in files:
+        with gzip.open(out / f, "rt", encoding="utf-8") as fh:
+            rows += [json.loads(x) for x in fh if x.strip()]
+    assert len(rows) == len(res.items)
+
+    # byte-determinism (mtime=0): two batched exports — deterministic file
+    # names, unlike Ray's UUID-named distributed writes — are identical
+    out2a, out2b = tmp_path / "gz2a", tmp_path / "gz2b"
+    for d in (out2a, out2b):
+        export_items(res.items, str(d), fmt="json", batch_item_count=9,
+                     compress="gzip")
+    for f in sorted(os.listdir(out2a)):
+        assert (out2a / f).read_bytes() == (out2b / f).read_bytes(), \
+            "gzip feed must be byte-deterministic"
+
+    outb = tmp_path / "batched"
+    export_items(res.items, str(outb), fmt="csv", batch_item_count=7,
+                 compress="bz2")
+    bfiles = sorted(os.listdir(outb))
+    assert bfiles[0] == "items-00001.csv.bz2"
+    first = bz2.decompress((outb / bfiles[0]).read_bytes()).decode()
+    assert first.startswith("url,") and first.count("\n") == 8  # header + 7
+
+    outx = tmp_path / "xz"
+    export_items(res.items, str(outx), fmt="pickle", compress="lzma")
+    import pickle
+    import io
+    raw = lzma.decompress((outx / "items.pickle.xz").read_bytes())
+    n = 0
+    buf = io.BytesIO(raw)
+    while True:
+        try:
+            pickle.load(buf)
+            n += 1
+        except EOFError:
+            break
+    assert n == len(res.items)
