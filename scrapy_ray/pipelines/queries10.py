@@ -305,9 +305,80 @@ FROM sc ORDER BY score6 DESC, doc_id LIMIT {k}
 """
 
 
+# ---------------------------------------------------------------------------
+# K-hop BFS distances (frontier expansion as a query — the crawl shape)
+# ---------------------------------------------------------------------------
+
+_BFS_K = 3
+_BFS_SEEDS = 4      # seed set = doc_id < 4
+
+
+def q_khop_bfs_distance(sf_dir: str):
+    """BFS distances from a seed set over the suite's deterministic doc
+    graph (doc -> (doc*31+c) mod N, c=1..3; same derivation as pagerank/cc)
+    up to 3 hops — frontier expansion as a QUERY, i.e. the crawl engine's
+    wave shape expressed in pure Dataset ops: one hash shuffle per hop.
+    State rides the stream pagerank-style — every reached row re-emits
+    itself and only exact-frontier rows (dist == hop-1) emit neighbors, so
+    there is NO Dataset.union (the measured 6-10 s fusion breaker); the
+    per-hop groupby(node).min keeps BFS layering exact. All integers; the
+    oracle is a UNION-deduped recursive CTE taking MIN(dist)."""
+    from ray.data.aggregate import Min
+
+    from scrapy_ray.pipelines.queries import _nrows
+
+    n = _nrows(sf_dir, "documents")
+
+    def init(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = ids[ids < _BFS_SEEDS]
+        return pa.table({"node": pa.array(ids),
+                         "dist": pa.array(np.zeros(len(ids), np.int64))})
+
+    dist = _pq(sf_dir, "documents", ["doc_id"]).map_batches(
+        init, batch_format="pyarrow")
+
+    def expand(hop: int):
+        def f(t: pa.Table) -> pa.Table:
+            node = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+            d = t["dist"].to_numpy(zero_copy_only=False).astype(np.int64)
+            fr = node[d == hop - 1]
+            nbrs = [(fr * 31 + c) % n for c in range(1, 4)]
+            return pa.table({
+                "node": pa.array(np.concatenate([node] + nbrs)),
+                "dist": pa.array(np.concatenate(
+                    [d] + [np.full(len(fr), hop, np.int64)] * 3)),
+            })
+        return f
+
+    for hop in range(1, _BFS_K + 1):
+        dist = (dist.map_batches(expand(hop), batch_format="pyarrow")
+                    .groupby("node").aggregate(Min("dist", alias_name="dist")))
+
+    df = dist.to_pandas().rename(columns={"node": "doc_id"})
+    for c in ("doc_id", "dist"):
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_KHOP_BFS = f"""
+WITH RECURSIVE walk AS (
+  SELECT doc_id AS node, 0 AS dist FROM documents WHERE doc_id < {_BFS_SEEDS}
+  UNION
+  SELECT (w.node * 31 + c.c) % (SELECT COUNT(*) FROM documents),
+         w.dist + 1
+  FROM walk w, (SELECT unnest([1, 2, 3]) AS c) c
+  WHERE w.dist < {_BFS_K}
+)
+SELECT node AS doc_id, MIN(dist)::BIGINT AS dist
+FROM walk GROUP BY node ORDER BY node
+"""
+
+
 QUERIES10: dict[str, tuple] = {
     "revenue_cube": (q_revenue_cube, SQL_REVENUE_CUBE),
     "mad_order_value": (q_mad_order_value, SQL_MAD),
     "latest_events_per_user": (q_latest_events_per_user, SQL_LATEST_EVENTS),
     "bm25_topk": (q_bm25_topk, _bm25_sql()),
+    "khop_bfs_distance": (q_khop_bfs_distance, SQL_KHOP_BFS),
 }

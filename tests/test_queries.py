@@ -91,6 +91,7 @@ SUBSET = [
     "mad_order_value",
     "latest_events_per_user",
     "bm25_topk",
+    "khop_bfs_distance",
 ]
 
 
