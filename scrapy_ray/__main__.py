@@ -112,6 +112,11 @@ def main(argv: list[str] | None = None) -> int:
                          "(scrapy_ray.contracts.contract calls at import)")
     ck.add_argument("--num-cpus", type=int, default=None)
 
+    v = sub.add_parser("validate", help="check a bucketed corpus's "
+                                        "integrity invariants")
+    v.add_argument("--corpus", required=True)
+    v.add_argument("--num-cpus", type=int, default=None)
+
     args = p.parse_args(argv)
 
     import ray
@@ -132,6 +137,12 @@ def main(argv: list[str] | None = None) -> int:
                               n_buckets=args.buckets)
             generate_corpus(args.out, spec)
             print(json.dumps({"corpus": args.out, "spec": spec.__dict__}))
+        elif args.cmd == "validate":
+            from scrapy_ray.sources.validate import validate_corpus
+
+            res = validate_corpus(args.corpus)
+            print(json.dumps(res))
+            return 0 if res["ok"] else 1
         elif args.cmd == "parse":
             from scrapy_ray.contracts import _page_row
             from scrapy_ray.stages.parse import (parse_page_batch,

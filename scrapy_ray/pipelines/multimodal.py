@@ -393,6 +393,57 @@ def q_image_resize_features(sf_dir: str):
     return t.sort_by("doc_id")
 
 
+class AudioFeatureExtractor:
+    """Actor-pool DSP feature stage (the audio counterpart of
+    ImageResizer's feature row): real PCM16 WAV decode, then numpy-rfft
+    spectral features — centroid, bandwidth, 85% rolloff (all in Hz) and
+    zero-crossing rate. Pure float64 numpy on exact integer samples,
+    deterministic; per-payload loop inherent to byte decoding."""
+
+    def __init__(self):
+        from scrapy_ray.functions.codecs import decode_wav
+
+        self._decode = decode_wav
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        cent, bw, roll, zcr = [], [], [], []
+        for payload in t["payload"].to_pylist():
+            rate, samples = self._decode(payload)
+            x = samples.astype(np.float64)
+            mag = np.abs(np.fft.rfft(x))
+            freqs = np.fft.rfftfreq(len(x), d=1.0 / rate)
+            tot = mag.sum()
+            c = float((freqs * mag).sum() / tot) if tot > 0 else 0.0
+            v = float((((freqs - c) ** 2) * mag).sum() / tot) if tot > 0 else 0.0
+            e = np.cumsum(mag ** 2)
+            r = float(freqs[np.searchsorted(e, 0.85 * e[-1])]) if tot > 0 else 0.0
+            z = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+            cent.append(round(c, 4))
+            bw.append(round(v ** 0.5, 4))
+            roll.append(round(r, 4))
+            zcr.append(round(z, 6))
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "centroid_hz": pa.array(cent, type=pa.float64()),
+            "bandwidth_hz": pa.array(bw, type=pa.float64()),
+            "rolloff_hz": pa.array(roll, type=pa.float64()),
+            "zcr": pa.array(zcr, type=pa.float64()),
+        })
+
+
+def q_audio_spectral_features(sf_dir: str):
+    """Audio feature-extraction end-to-end: deterministic PCM16 WAV per
+    document, actor-pool rfft spectral features. Rows-only (FFT is not
+    SQL); values pinned vs an independent numpy reference in pytest."""
+    from scrapy_ray.functions.codecs import encode_wav
+
+    ds = _payload_ds(sf_dir, synth_audio, encode_wav)
+    out = ds.map_batches(AudioFeatureExtractor, batch_format="pyarrow",
+                         batch_size=256, concurrency=2)
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return t.sort_by("doc_id")
+
+
 MULTIMODAL_QUERIES = {
     "multimodal_decode_meta": (q_multimodal_decode_meta, SQL_MULTIMODAL),
     "image_decode_stats": (q_image_decode_stats, None),
@@ -400,4 +451,5 @@ MULTIMODAL_QUERIES = {
     "media_checksum_dedup": (q_media_checksum_dedup, None),
     "video_frame_sample": (q_video_frame_sample, None),
     "image_resize_features": (q_image_resize_features, None),
+    "audio_spectral_features": (q_audio_spectral_features, None),
 }

@@ -89,3 +89,48 @@ def test_crawl_perturbed_corpus_extracts_items(ray_session, tmp_path):
     assert sorted(b.items["name"].to_pylist()) == sorted(a.items["name"].to_pylist())
     assert sorted(b.items["rating"].to_pylist()) == sorted(a.items["rating"].to_pylist())
     assert set(b.url_seen["url"].to_pylist()) == set(a.url_seen["url"].to_pylist())
+
+
+def test_validate_corpus(ray_session, e2e_corpus, tmp_path):
+    """Corpus validator: the generated corpus is clean; a corpus with a
+    row moved to the wrong bucket, a stale url_hash, or an unsorted file
+    is flagged with a precise error."""
+    import json
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scrapy_ray.sources.validate import validate_corpus
+
+    res = validate_corpus(e2e_corpus)
+    assert res["ok"], res["errors"][:3]
+    assert res["n_rows"] > 0 and res["buckets"] > 0
+
+    # corrupt a copy: flip one url_hash in bucket 0 (stale hash AND
+    # wrong-bucket with probability (n-1)/n; always stale)
+    bad = str(tmp_path / "bad")
+    shutil.copytree(e2e_corpus, bad)
+    bdir = os.path.join(bad, "pages", "bucket=0")
+    f = os.path.join(bdir, sorted(os.listdir(bdir))[0])
+    t = pq.read_table(f)
+    h = t["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64).copy()
+    h[0] ^= np.uint64(0xDEADBEEF)
+    t = t.set_column(t.schema.get_field_index("url_hash"), "url_hash",
+                     pa.array(h, type=pa.uint64()))
+    pq.write_table(t, f)
+    res_bad = validate_corpus(bad)
+    assert not res_bad["ok"]
+    assert any("stale url_hash" in e for e in res_bad["errors"])
+
+    # unsorted file detection
+    bad2 = str(tmp_path / "bad2")
+    shutil.copytree(e2e_corpus, bad2)
+    bdir2 = os.path.join(bad2, "pages", "bucket=1")
+    f2 = os.path.join(bdir2, sorted(os.listdir(bdir2))[0])
+    t2 = pq.read_table(f2)
+    pq.write_table(t2.take(pa.array(list(range(len(t2) - 1, -1, -1)))), f2)
+    res_bad2 = validate_corpus(bad2)
+    assert not res_bad2["ok"]
+    assert any("not url-sorted" in e for e in res_bad2["errors"])

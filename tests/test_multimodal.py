@@ -207,3 +207,31 @@ def test_image_resize_features_match_reference(ray_session):
         assert abs(row["edge_density"] - round(float(d.sum()) / d.size, 4)) < 1e-9
         checked += 1
     assert checked == 4
+
+
+def test_audio_spectral_features_match_reference(ray_session):
+    """Actor-pool spectral stage vs an independent numpy recomputation:
+    centroid/bandwidth/rolloff/zcr match to the rounding; sine-like
+    synthetic tones give a finite positive centroid below Nyquist."""
+    from scrapy_ray.pipelines.multimodal import q_audio_spectral_features
+
+    out = q_audio_spectral_features(SF).to_pandas().set_index("doc_id")
+    assert len(out) == 500
+    assert (out["centroid_hz"] > 0).all()
+    assert (out["centroid_hz"] <= 4000).all()      # <= Nyquist at 8 kHz
+
+    for doc_id in (0, 7, 123, 499):
+        x = synth_audio(doc_id).astype(np.float64)
+        mag = np.abs(np.fft.rfft(x))
+        freqs = np.fft.rfftfreq(len(x), d=1.0 / 8000)
+        tot = mag.sum()
+        c = (freqs * mag).sum() / tot
+        v = (((freqs - c) ** 2) * mag).sum() / tot
+        e = np.cumsum(mag ** 2)
+        r = freqs[np.searchsorted(e, 0.85 * e[-1])]
+        z = np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8))))
+        row = out.loc[doc_id]
+        assert abs(row["centroid_hz"] - round(float(c), 4)) < 1e-9
+        assert abs(row["bandwidth_hz"] - round(float(v) ** 0.5, 4)) < 1e-9
+        assert abs(row["rolloff_hz"] - round(float(r), 4)) < 1e-9
+        assert abs(row["zcr"] - round(float(z), 6)) < 1e-9
