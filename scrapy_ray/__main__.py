@@ -112,6 +112,14 @@ def main(argv: list[str] | None = None) -> int:
                          "(scrapy_ray.contracts.contract calls at import)")
     ck.add_argument("--num-cpus", type=int, default=None)
 
+    tp = sub.add_parser("pipeline", help="crawl -> quality gate -> exact "
+                                         "dedup -> training shards, one run")
+    tp.add_argument("--corpus", required=True)
+    tp.add_argument("--out", required=True, help="training-shard output dir")
+    tp.add_argument("--shards", type=int, default=8)
+    tp.add_argument("--min-tokens", type=int, default=3)
+    tp.add_argument("--num-cpus", type=int, default=None)
+
     v = sub.add_parser("validate", help="check a bucketed corpus's "
                                         "integrity invariants")
     v.add_argument("--corpus", required=True)
@@ -137,6 +145,17 @@ def main(argv: list[str] | None = None) -> int:
                               n_buckets=args.buckets)
             generate_corpus(args.out, spec)
             print(json.dumps({"corpus": args.out, "spec": spec.__dict__}))
+        elif args.cmd == "pipeline":
+            from scrapy_ray.config import CrawlConfig
+            from scrapy_ray.pipelines.corpusbuild import build_training_corpus
+            from scrapy_ray.pipelines.crawl import run_crawl
+
+            res = run_crawl(args.corpus, CrawlConfig())
+            manifest = build_training_corpus(res.items, args.out,
+                                             n_shards=args.shards,
+                                             min_tokens=args.min_tokens)
+            manifest["pages_fetched"] = res.metrics["pages_fetched"]
+            print(json.dumps(manifest))
         elif args.cmd == "validate":
             from scrapy_ray.sources.validate import validate_corpus
 

@@ -409,3 +409,52 @@ def test_export_compress_postprocessing(ray_session, e2e_corpus, tmp_path):
         except EOFError:
             break
     assert n == len(res.items)
+
+
+def test_build_training_corpus(ray_session, tmp_path):
+    """Crawl-to-corpus composition: the gate drops short/null texts, exact
+    dedup keeps the smallest url per digest, shards are hive-partitioned
+    and read back complete, and the manifest counts match."""
+    import pyarrow.parquet as pq
+
+    from scrapy_ray.pipelines.corpusbuild import build_training_corpus
+
+    rows = []
+    for i in range(40):
+        rows.append({"url": f"https://a.example.com/p/{i:03d}",
+                     "extracted_text": f"alpha beta gamma delta {i % 10}"})
+    rows.append({"url": "https://a.example.com/short",
+                 "extracted_text": "too short"})          # < 3 tokens? no: 2
+    rows.append({"url": "https://a.example.com/null",
+                 "extracted_text": None})
+    items = pa.table({
+        "url": [r["url"] for r in rows],
+        "extracted_text": [r["extracted_text"] for r in rows],
+    })
+    out = str(tmp_path / "shards")
+    m = build_training_corpus(items, out, n_shards=4, min_tokens=3)
+    # 40 gated rows collapse to 10 distinct texts (i % 10), min-url kept
+    assert m["rows_in"] == 42 and m["rows_kept"] == 10
+    assert m["rows_dropped"] == 32
+    assert m["tokens"] == 10 * 5
+    back = pq.read_table(out).to_pandas()
+    assert len(back) == 10
+    assert set(back.columns) >= {"url", "text", "n_tokens"}
+    # keep-min-url rule: every kept url is the i<10 instance of its text
+    assert sorted(back["url"]) == [f"https://a.example.com/p/{i:03d}"
+                                   for i in range(10)]
+    assert sum(m["shards"].values()) == 10
+
+
+def test_pipeline_cli(e2e_corpus, tmp_path):
+    """One-command crawl -> training shards (subprocess owns its session)."""
+    out = str(tmp_path / "train")
+    r = subprocess.run(
+        [sys.executable, "-m", "scrapy_ray", "pipeline", "--corpus",
+         e2e_corpus, "--out", out, "--shards", "4", "--num-cpus", "2"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    m = json.loads(r.stdout.strip().splitlines()[-1])
+    assert m["rows_kept"] > 0 and m["tokens"] > 0
+    assert sorted(os.listdir(out)) == [f"shard={i}" for i in
+                                       sorted(int(k) for k in m["shards"])]
