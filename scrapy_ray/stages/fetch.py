@@ -257,6 +257,9 @@ def _fetch_parse_bucket(path: str, sub: pa.Table, registry_ref=None,
                 schemas.REDIRECT_ROWS.empty_table(), (nd, nw, 0))
     stats = _host_stats(t) if want_stats else HOST_STATS_SCHEMA.empty_table()
     t = t.join(sub, keys="url", join_type="inner")
+    n_fetched = len(t)    # BEFORE the meta-refresh split removes rows — a
+                          # diverted interstitial is still a fetched page
+                          # (simulator counts at the same point)
     retries = (_retry_rows(t, *retry_cfg) if retry_cfg is not None
                else schemas.RETRY_ROWS.empty_table())
     redirects = (_redirect_rows(t, *redirect_cfg) if redirect_cfg is not None
@@ -273,7 +276,7 @@ def _fetch_parse_bucket(path: str, sub: pa.Table, registry_ref=None,
     n_err = len(parsed) - int(pc.sum(parsed["status_ok"]).as_py() or 0) \
         - n_diverted
     return (split_items(parsed), split_links(parsed, routes=routes, rules=rules),
-            len(parsed),
+            n_fetched,
             stats, retries, redirects, (nd, nw, n_err))
 
 
@@ -315,6 +318,9 @@ def _fetch_parse_cached(bucket: pa.Table, sub: pa.Table, registry_ref=None,
                 schemas.REDIRECT_ROWS.empty_table(), (nd, nw, 0))
     stats = _host_stats(t) if want_stats else HOST_STATS_SCHEMA.empty_table()
     t = t.join(sub, keys="url", join_type="inner")
+    n_fetched = len(t)    # BEFORE the meta-refresh split removes rows — a
+                          # diverted interstitial is still a fetched page
+                          # (simulator counts at the same point)
     retries = (_retry_rows(t, *retry_cfg) if retry_cfg is not None
                else schemas.RETRY_ROWS.empty_table())
     redirects = (_redirect_rows(t, *redirect_cfg) if redirect_cfg is not None
@@ -331,7 +337,7 @@ def _fetch_parse_cached(bucket: pa.Table, sub: pa.Table, registry_ref=None,
     n_err = len(parsed) - int(pc.sum(parsed["status_ok"]).as_py() or 0) \
         - n_diverted
     return (split_items(parsed), split_links(parsed, routes=routes, rules=rules),
-            len(parsed),
+            n_fetched,
             stats, retries, redirects, (nd, nw, n_err))
 
 

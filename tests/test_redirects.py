@@ -210,3 +210,45 @@ def test_metarefresh_disabled_means_dead_ends(ray_session, metarefresh_corpus):
     off = run_crawl(metarefresh_corpus, off_cfg)
     assert len(off.items) < len(on.items)
     _assert_equal(simulate_crawl(metarefresh_corpus, off_cfg), off)
+
+
+def test_randomized_config_sweep(ray_session, tmp_path):
+    """Catch-all interaction fuzz: SIX seeded random CrawlConfig
+    combinations over a corpus with redirects + meta-refresh interstitials —
+    the engine must equal the simulator exactly under EVERY combination of
+    middleware knobs (politeness, jitter, depth, retries, autothrottle,
+    maxsize, pass-through statuses, error/page limits, shard counts).
+    Individual middleware tests pin each knob; this sweeps the cross
+    products no hand-written test enumerates."""
+    import random
+
+    corpus = str(tmp_path / "sweep_corpus")
+    generate_corpus(corpus, CorpusSpec(n_hosts=6, total_pages=250, seed=99,
+                                       redirect_frac=0.2,
+                                       metarefresh_frac=0.15))
+    rng = random.Random(20240817)
+    for trial in range(6):
+        cfg = CrawlConfig(
+            n_filter_shards=rng.choice([1, 2, 3]),
+            n_frontier_shards=rng.choice([1, 2, 4]),
+            per_domain_cap=rng.choice([2, 8, 64]),
+            download_delay=rng.choice([0.0, 0.5, 2.0]),
+            randomize_download_delay=rng.random() < 0.5,
+            depth_limit=rng.choice([0, 3, 5]),
+            depth_priority=rng.choice([0, -1, 1]),
+            retry_max=rng.choice([0, 1, 2]),
+            autothrottle=rng.random() < 0.4,
+            download_maxsize=rng.choice([0, 0, 2000]),
+            handle_httpstatus_list=rng.choice([(), (404,)]),
+            max_pages=rng.choice([0, 120]),
+            max_errors=rng.choice([0, 0, 5]),
+        )
+        sim = simulate_crawl(corpus, cfg)
+        eng = run_crawl(corpus, cfg)
+        try:
+            _assert_equal(sim, eng)
+            assert eng.metrics["pages_fetched"] == sim.metrics["pages_fetched"]
+            assert eng.metrics["error_responses"] == sim.metrics["error_responses"]
+            assert eng.metrics["depth_stats"] == sim.metrics["depth_stats"]
+        except AssertionError as e:
+            raise AssertionError(f"trial {trial} cfg={cfg}") from e
