@@ -142,3 +142,36 @@ def test_max_concurrent_all_buckets_valid(ray_session, tmp_path):
     out = q_max_concurrent_sessions(sf)
     ok, msg = compare(out, duckdb_run(sf, SQL_MAX_CONCURRENT))
     assert ok, msg
+
+
+def test_window_distinct_users_exact_vs_duckdb(ray_session):
+    """The sliding-window distinct query's EXACT column must equal a
+    DuckDB recomputation of the same 6h/1h window definition, and every
+    row's in-query HLL bound held (the query itself asserts <6%)."""
+    import duckdb
+
+    from scrapy_ray.pipelines.skew import q_window_distinct_users
+
+    sf = "/root/testdata/sf0.001"
+    out = q_window_distinct_users(sf)
+    import numpy as np
+    bound = np.maximum(0.06, 1.5 / np.sqrt(np.maximum(
+        out["exact_distinct"].to_numpy(), 1)))
+    assert (out["rel_err"].to_numpy() < bound).all()
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * "
+                f"FROM read_parquet('{sf}/events.parquet')")
+    want = con.execute("""
+        SELECT to_timestamp((epoch_us(ts) // 3600000000 - k.k) * 3600)
+                   ::TIMESTAMP AS window_start,
+               count(DISTINCT user_id)::BIGINT AS exact_distinct
+        FROM events, (SELECT unnest(generate_series(0, 5)) AS k) k
+        GROUP BY 1 ORDER BY 1
+    """).fetchdf()
+    got = out[["window_start", "exact_distinct"]].reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["window_start"].to_numpy()
+            == want["window_start"].to_numpy()).all()
+    assert (got["exact_distinct"].to_numpy()
+            == want["exact_distinct"].to_numpy()).all()
