@@ -375,10 +375,97 @@ FROM walk GROUP BY node ORDER BY node
 """
 
 
+# ---------------------------------------------------------------------------
+# within-doc consecutive-repetition collapse (C4/Dolma de-repetition rewrite)
+# ---------------------------------------------------------------------------
+
+_RC_CHUNK = 8    # tokens per chunk (paragraph stand-in, as paragraph_dedup)
+
+
+def q_collapse_repeated_chunks(sf_dir: str):
+    """De-repetition REWRITE (the C4 rule paragraph_dedup does not cover:
+    that pass dedups across the corpus; this one collapses consecutive
+    repeats WITHIN a document and rewrites the text). Documents split into
+    disjoint 8-token chunks; a chunk equal to its immediate predecessor is
+    dropped; the doc reassembles from survivors. Pure per-doc map — NO
+    shuffle at all, the cheapest possible distributed shape. The synthetic
+    corpus has no natural repeats, so a deterministic doc_id-derived run of
+    (doc_id % 3 + 1) identical 8-token chunks is prepended and the oracle
+    replays the identical injection + LAG-collapse + string_agg in SQL
+    (the pii_redact pattern). Output carries md5 of the rewritten text so
+    the hash compare pins the full rewrite without shipping long strings."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def collapse(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t["text"].to_pylist()
+        n_chunks, n_dropped, digests = [], [], []
+        for i, s in enumerate(texts):
+            rep_tok = f"rep{int(ids[i]) % 7}"
+            rep_chunk = " ".join([rep_tok] * _RC_CHUNK)
+            toks = ([rep_tok] * (_RC_CHUNK * (int(ids[i]) % 3 + 1))
+                    + s.split(" "))
+            chunks = [" ".join(toks[g:g + _RC_CHUNK])
+                      for g in range(0, len(toks), _RC_CHUNK)]
+            kept = [c for g, c in enumerate(chunks)
+                    if g == 0 or c != chunks[g - 1]]
+            n_chunks.append(len(chunks))
+            n_dropped.append(len(chunks) - len(kept))
+            digests.append(hashlib.md5(" ".join(kept).encode()).hexdigest())
+            assert rep_chunk in chunks[0]  # injection sanity
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n_chunks": pa.array(n_chunks, type=pa.int64()),
+            "n_dropped": pa.array(n_dropped, type=pa.int64()),
+            "text_md5": pa.array(digests, type=pa.string()),
+        })
+
+    out = ds.map_batches(collapse, batch_format="pyarrow").to_pandas()
+    for c in ("doc_id", "n_chunks", "n_dropped"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_COLLAPSE_REPEATS = f"""
+WITH inj AS (
+  SELECT doc_id,
+         list_concat(
+           list_transform(generate_series(1, {_RC_CHUNK} * (doc_id % 3 + 1)),
+                          x -> 'rep' || (doc_id % 7)::VARCHAR),
+           regexp_extract_all(text, '\\S+')) AS toks
+  FROM documents
+),
+ch AS (
+  SELECT doc_id, g.g AS g,
+         array_to_string(toks[g.g * {_RC_CHUNK} + 1 :
+                              g.g * {_RC_CHUNK} + {_RC_CHUNK}], ' ') AS chunk
+  FROM inj, LATERAL (
+    SELECT unnest(generate_series(
+        0, CAST(ceil(array_length(toks) / {_RC_CHUNK}.0) AS BIGINT) - 1)) AS g
+  ) g
+),
+k AS (
+  SELECT doc_id, g, chunk,
+         lag(chunk) OVER (PARTITION BY doc_id ORDER BY g) AS prev
+  FROM ch
+)
+SELECT doc_id,
+       COUNT(*)::BIGINT AS n_chunks,
+       COUNT(*) FILTER (WHERE prev = chunk)::BIGINT AS n_dropped,
+       md5(string_agg(chunk, ' ' ORDER BY g)
+           FILTER (WHERE prev IS NULL OR prev <> chunk)) AS text_md5
+FROM k GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES10: dict[str, tuple] = {
     "revenue_cube": (q_revenue_cube, SQL_REVENUE_CUBE),
     "mad_order_value": (q_mad_order_value, SQL_MAD),
     "latest_events_per_user": (q_latest_events_per_user, SQL_LATEST_EVENTS),
     "bm25_topk": (q_bm25_topk, _bm25_sql()),
     "khop_bfs_distance": (q_khop_bfs_distance, SQL_KHOP_BFS),
+    "collapse_repeated_chunks": (q_collapse_repeated_chunks,
+                                 SQL_COLLAPSE_REPEATS),
 }

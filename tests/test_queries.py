@@ -92,6 +92,7 @@ SUBSET = [
     "latest_events_per_user",
     "bm25_topk",
     "khop_bfs_distance",
+    "collapse_repeated_chunks",
 ]
 
 
