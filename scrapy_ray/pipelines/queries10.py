@@ -469,3 +469,94 @@ QUERIES10: dict[str, tuple] = {
     "collapse_repeated_chunks": (q_collapse_repeated_chunks,
                                  SQL_COLLAPSE_REPEATS),
 }
+
+
+# ---------------------------------------------------------------------------
+# bounded window frames: ROWS (moving average) + RANGE (time window)
+# ---------------------------------------------------------------------------
+
+
+def q_window_frames_user_value(sf_dir: str):
+    """The two bounded window-frame types the suite's running-sum/ntile
+    family doesn't cover, in one user-co-partitioned pass:
+
+    - ROWS frame: 4-event moving average of value cents per user
+      (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) — windowed cumsum diffs,
+      fully vectorized; float finalization is the explicit
+      round(sum/cnt, 6) expression on BOTH sides (never SQL avg(), whose
+      internal summation need not match);
+    - RANGE frame: exact integer sum of the user's value cents in the
+      trailing ONE HOUR including ties (RANGE BETWEEN INTERVAL 1 HOUR
+      PRECEDING AND CURRENT ROW) — per-user searchsorted over the sorted
+      ts array + cumsum diffs; tied timestamps all join the frame exactly
+      as SQL RANGE semantics require.
+
+    One hash shuffle total; each partition scans its users' rows once."""
+    ds = _pq(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def with_key(t: pa.Table) -> pa.Table:
+        g = (t["user_id"].to_numpy(zero_copy_only=False) % _P).astype(np.int32)
+        return t.append_column("gkey", pa.array(g))
+
+    hour_us = 3_600 * 1_000_000
+
+    def frames(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = df["user_id"].to_numpy()
+        ts = df["ts"].astype("int64").to_numpy()
+        c = (np.sign(df["value"].to_numpy() * 100.0)
+             * np.floor(np.abs(df["value"].to_numpy() * 100.0) + 0.5)) \
+            .astype(np.int64)
+        starts = np.r_[0, np.flatnonzero(u[1:] != u[:-1]) + 1]
+        bounds = np.r_[starts, len(u)]
+        ma6 = np.empty(len(u), np.float64)
+        s1h = np.empty(len(u), np.int64)
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            cc = c[a:b]
+            cum = np.concatenate([[0], np.cumsum(cc)])
+            idx = np.arange(b - a)
+            lo = np.maximum(0, idx - 3)
+            w = cum[idx + 1] - cum[lo]
+            cnt = idx + 1 - lo
+            ma6[a:b] = np.round(w.astype(np.float64) / cnt, 6)
+            tlo = np.searchsorted(ts[a:b], ts[a:b] - hour_us, side="left")
+            # RANGE frame end: include ALL rows tied with the current ts
+            thi = np.searchsorted(ts[a:b], ts[a:b], side="right")
+            s1h[a:b] = cum[thi] - cum[tlo]
+        return pd.DataFrame({"event_id": df["event_id"].to_numpy(),
+                             "user_id": u, "ma4_cents6": ma6,
+                             "sum_1h_cents": s1h})
+
+    out = (ds.map_batches(with_key, batch_format="pyarrow")
+             .groupby("gkey").map_groups(frames, batch_format="pandas")
+             .to_pandas())
+    for c in ("event_id", "user_id", "sum_1h_cents"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_WINDOW_FRAMES = """
+WITH x AS (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+w AS (
+  SELECT event_id, user_id,
+         sum(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s4,
+         count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS n4,
+         sum(c) OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                            AND CURRENT ROW) AS s1h
+  FROM x
+)
+SELECT event_id, user_id,
+       round(s4::DOUBLE / n4, 6) AS ma4_cents6,
+       s1h::BIGINT AS sum_1h_cents
+FROM w ORDER BY event_id
+"""
+
+QUERIES10["window_frames_user_value"] = (q_window_frames_user_value,
+                                         SQL_WINDOW_FRAMES)

@@ -93,6 +93,7 @@ SUBSET = [
     "bm25_topk",
     "khop_bfs_distance",
     "collapse_repeated_chunks",
+    "window_frames_user_value",
 ]
 
 
