@@ -54,6 +54,10 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--batch-item-count", type=int, default=None, metavar="N",
                    help="deliver the feed as numbered files of N items each "
                         "(FEED_EXPORT_BATCH_ITEM_COUNT)")
+    c.add_argument("--frontier-max-rows", type=int, default=0,
+                   help="spill cold hosts to disk past this many in-memory "
+                        "frontier rows per shard (0 = unbounded)")
+    c.add_argument("--frontier-spill-dir", default=None)
     c.add_argument("--compress", default=None,
                    choices=["gzip", "bz2", "lzma"],
                    help="feed post-processing: compress delivered feed files")
@@ -209,6 +213,8 @@ def main(argv: list[str] | None = None) -> int:
             cfg = CrawlConfig(
                 per_domain_cap=args.per_domain_cap, download_delay=args.delay,
                 randomize_download_delay=args.randomize_delay,
+                frontier_max_rows=args.frontier_max_rows,
+                frontier_spill_dir=args.frontier_spill_dir,
                 obey_robots=not args.no_robots, depth_limit=args.depth_limit,
                 max_pages=args.max_pages, max_waves=args.max_waves,
                 max_errors=args.max_errors,

@@ -124,6 +124,12 @@ class CrawlConfig:
                                      # non-2xx, not redirected, not retried,
                                      # not in handle_httpstatus_list)
     max_waves: int = 0               # engine-only safety valve
+    # disk-backed frontier ([S:queuelib disk queues / JOBDIR]): when a
+    # shard holds more than this many IN-MEMORY rows, whole cold hosts
+    # spill to parquet and reload when their politeness clock readies them.
+    # 0 = fully in-memory. Spilling is semantically invisible (e2e-pinned).
+    frontier_max_rows: int = 0
+    frontier_spill_dir: str | None = None   # default: a per-shard tempdir
 
     # engine layout
     n_filter_shards: int = 4         # URL-seen shards, key = url_hash % n

@@ -76,6 +76,11 @@ class FrontierShard:
         self._deny_hosts = {h for h, r in self.robots.items() if r.disallow}
         self.n_robots_denied = 0
         self.n_pushed = 0
+        # disk-backed frontier ([S:queuelib]/JOBDIR parity): host -> spilled
+        # row count; rows live in parquet under _spill_dir until the host's
+        # politeness clock readies it again (see _maybe_spill/_unspill_ready)
+        self.spilled: dict[str, int] = {}
+        self._spill_dir: str | None = None
         self.epoch = -1  # stamped by the driver; -1 = fresh/restarted actor
 
     def set_epoch(self, epoch: int) -> None:
@@ -95,6 +100,89 @@ class FrontierShard:
         at_d = (self.at_delay.get(host, self.cfg.at_start_delay)
                 if self.cfg.autothrottle else 0.0)
         return max(self.cfg.download_delay, robots_d, at_d)
+
+    def _ready_at(self, host: str) -> int:
+        last = self.last_emit_wave.get(host, _NEVER)
+        return last + self.cfg.waves_per_emit(
+            self._delay(host), self.cfg.delay_jitter(host, last))
+
+    # --- disk spill ([S:queuelib disk queues / JOBDIR]) ---
+
+    def _spill_path(self, host: str) -> str:
+        import hashlib
+        if self._spill_dir is None:
+            import tempfile
+            base = self.cfg.frontier_spill_dir
+            if base is not None:
+                os.makedirs(base, exist_ok=True)
+            # one directory per shard INCARNATION (mkdtemp): a restored or
+            # restarted actor must never merge into a previous incarnation's
+            # leftover spill files — checkpointed state is the only carrier
+            # of rows across incarnations
+            self._spill_dir = tempfile.mkdtemp(
+                prefix=f"shard_{self.shard_id}_",
+                dir=base) if base is not None else tempfile.mkdtemp(
+                prefix=f"scrapy_ray_spill_{self.shard_id}_")
+        h = hashlib.md5(host.encode()).hexdigest()[:16]
+        return os.path.join(self._spill_dir, f"{h}.parquet")
+
+    def _maybe_spill(self) -> None:
+        """Whole cold hosts spill to parquet until in-memory rows fall to
+        half the cap (hysteresis bounds thrash); largest queue first, host
+        name as the deterministic tie-break. Spilling never changes what a
+        wave emits — rows round-trip through parquet and re-enter as one
+        sorted run when the host readies (e2e equality pins this)."""
+        cap = self.cfg.frontier_max_rows
+        if not cap or self._queued <= cap:
+            return
+        target = cap // 2
+        sizes = sorted(((sum(len(r[1]) - r[4] for r in runs), host)
+                        for host, runs in self.queues.items()), reverse=True)
+        for n_live, host in sizes:
+            if self._queued <= target or n_live == 0:
+                break
+            self._spill_host(host, n_live)
+        self._maybe_compact()
+
+    def _spill_host(self, host: str, n_live: int) -> None:
+        pairs = np.concatenate([self._run_pairs(r)
+                                for r in self.queues[host]], axis=1)
+        t = self._take_pairs(pairs)
+        path = self._spill_path(host)
+        if os.path.exists(path):   # host re-spilled after new pushes arrived
+            t = pa.concat_tables([pq.read_table(path), t])
+        pq.write_table(t, path)
+        del self.queues[host]
+        self._queued -= n_live
+        self.spilled[host] = self.spilled.get(host, 0) + n_live
+
+    def _unspill_host(self, host: str) -> None:
+        path = self._spill_path(host)
+        t = pq.read_table(path)
+        os.remove(path)
+        n = self.spilled.pop(host)
+        assert n == len(t)
+        bid = len(self.blocks)
+        self.blocks.append(t)
+        pris = t["priority"].to_numpy(zero_copy_only=False).astype(np.int64)
+        seqs = t["seq"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((seqs, -pris))
+        self.queues[host].append([-pris[order], seqs[order], bid,
+                                  order.astype(np.int64), 0])
+        self._queued += len(t)
+
+    def _drop_spill_files(self) -> None:
+        for host in list(self.spilled):
+            try:
+                os.remove(self._spill_path(host))
+            except FileNotFoundError:
+                pass
+        self.spilled = {}
+
+    def _unspill_ready(self, wave_idx: int) -> None:
+        for host in sorted(self.spilled):
+            if wave_idx >= self._ready_at(host):
+                self._unspill_host(host)
 
     def update_throttle(self, hosts: list[str], latencies: np.ndarray,
                         epoch: int | None = None) -> None:
@@ -154,6 +242,7 @@ class FrontierShard:
                 self._merge_runs(host)
         self._queued += len(rows)
         self.n_pushed += len(rows)
+        self._maybe_spill()
         return len(rows)
 
     def _merge_runs(self, host: str) -> None:
@@ -196,6 +285,8 @@ class FrontierShard:
         merged wave by (priority desc, seq). Capped drain pops the exact
         (-priority, seq) top-k via a heap over run heads."""
         self._guard(epoch)
+        if self.spilled:
+            self._unspill_ready(wave_idx)
         picks: list[np.ndarray] = []
         cfg = self.cfg
         for host in list(self.queues):
@@ -280,6 +371,10 @@ class FrontierShard:
                                       idx_s[lo:hi], 0])
 
     def size(self) -> int:
+        return self._queued + sum(self.spilled.values())
+
+    def mem_rows(self) -> int:
+        """In-memory live rows only (the frontier_max_rows cap target)."""
         return self._queued
 
     def earliest_ready_wave(self, epoch: int | None = None) -> int | None:
@@ -289,15 +384,19 @@ class FrontierShard:
         for host, q in self.queues.items():
             if not q:
                 continue
-            last = self.last_emit_wave.get(host, _NEVER)
-            ready = last + self.cfg.waves_per_emit(
-                self._delay(host), self.cfg.delay_jitter(host, last))
+            ready = self._ready_at(host)
+            best = ready if best is None else min(best, ready)
+        for host in self.spilled:
+            ready = self._ready_at(host)
             best = ready if best is None else min(best, ready)
         return best
 
     def stats(self, epoch: int | None = None) -> dict:
         self._guard(epoch)
         return {"shard": self.shard_id, "queued": self.size(),
+                "mem_rows": self._queued,
+                "spilled_rows": sum(self.spilled.values()),
+                "spilled_hosts": len(self.spilled),
                 "hosts": len(self.queues), "robots_denied": self.n_robots_denied,
                 "pushed": self.n_pushed}
 
@@ -305,6 +404,7 @@ class FrontierShard:
         """Back to construction state (driver-coordinated recovery when no
         committed checkpoint exists); robots rules are construction args and
         survive actor restart, so they stay."""
+        self._drop_spill_files()
         self.blocks = []
         self.queues = defaultdict(list)
         self._queued = 0
@@ -318,6 +418,10 @@ class FrontierShard:
         self._guard(epoch)  # a stale shard must never write a checkpoint
         os.makedirs(dirpath, exist_ok=True)
         t = self._take_pairs(self._all_pairs())
+        if self.spilled:   # disk-resident rows are frontier state too
+            t = pa.concat_tables(
+                [t] + [pq.read_table(self._spill_path(h))
+                       for h in sorted(self.spilled)])
         tmp = os.path.join(dirpath, f"frontier_{self.shard_id}.tmp")
         pq.write_table(t, tmp)
         os.replace(tmp, os.path.join(dirpath, f"frontier_{self.shard_id}.parquet"))
@@ -331,6 +435,7 @@ class FrontierShard:
 
     def restore(self, dirpath: str) -> None:
         t = pq.read_table(os.path.join(dirpath, f"frontier_{self.shard_id}.parquet"))
+        self._drop_spill_files()
         self.queues = defaultdict(list)
         self.blocks = [t] if len(t) else []
         self._queued = len(t)
@@ -342,6 +447,7 @@ class FrontierShard:
         self.at_delay = {k: float(v) for k, v in d.get("at_delay", {}).items()}
         self.n_robots_denied = d["n_robots_denied"]
         self.n_pushed = d["n_pushed"]
+        self._maybe_spill()   # re-bound memory immediately after restore
 
 
 class ShardedFrontier:

@@ -368,3 +368,28 @@ def test_depth_stats_and_parse_cli(ray_session, e2e_corpus):
     assert r.returncode == 0, r.stderr[-2000:]
     out = json.loads(r.stdout.strip().splitlines()[-1])
     assert out["url"] == url and out["item"]["name"]
+
+
+def test_frontier_spill_crawl_equality(ray_session, e2e_corpus, tmp_path):
+    """Disk-backed frontier end-to-end: a crawl whose shards may hold only
+    120 in-memory rows (cold hosts spill to parquet and reload on their
+    politeness clock) is byte-identical to the unbounded in-memory crawl —
+    ordering, URL-seen set, items. The per-host politeness delay keeps
+    hosts queued across waves so spilled hosts genuinely wait on disk."""
+    base = CrawlConfig(n_filter_shards=2, n_frontier_shards=2,
+                       download_delay=1.0)
+    want = run_crawl(e2e_corpus, base)
+    spill = CrawlConfig(n_filter_shards=2, n_frontier_shards=2,
+                        download_delay=1.0, frontier_max_rows=60,
+                        frontier_spill_dir=str(tmp_path / "spill"))
+    eng = CrawlEngine(e2e_corpus, spill)
+    eng.seed()
+    spilled_seen = 0
+    while eng.run_wave():
+        spilled_seen = max(spilled_seen,
+                           sum(s["spilled_rows"] for s in eng.frontier.stats()))
+    got = eng.result()
+    assert spilled_seen > 0, "cap 60 must force real spilling mid-crawl"
+    _assert_equal(want, got)
+    sim = simulate_crawl(e2e_corpus, base)
+    _assert_equal(sim, got)

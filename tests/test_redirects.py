@@ -242,6 +242,7 @@ def test_randomized_config_sweep(ray_session, tmp_path):
             handle_httpstatus_list=rng.choice([(), (404,)]),
             max_pages=rng.choice([0, 120]),
             max_errors=rng.choice([0, 0, 5]),
+            frontier_max_rows=rng.choice([0, 0, 50]),
         )
         sim = simulate_crawl(corpus, cfg)
         eng = run_crawl(corpus, cfg)

@@ -238,3 +238,80 @@ def test_robots_wildcards_and_anchors():
     r3 = parse_robots("User-agent: *\nDisallow: /hotel/\n")
     assert not r3.is_allowed("/hotel/1")
     assert r3.is_allowed("/restaurant/1")
+
+
+def test_frontier_spill_is_invisible(tmp_path):
+    """Disk-backed frontier ([S:queuelib]/JOBDIR parity): with a tiny
+    in-memory cap the shard spills whole hosts to parquet and reloads them
+    when ready — the emitted wave sequence must be IDENTICAL to an
+    unbounded in-memory shard's, spilling must actually happen, and the
+    in-memory row count must respect the cap after every push."""
+    rows = _rows([(f"https://h{h}/{i}", f"h{h}", (i * 7) % 5, h * 100 + i)
+                  for h in range(6) for i in range(40)])
+
+    def drain(f):
+        waves = []
+        w = 0
+        while True:
+            t = f.next_wave(w)
+            if len(t) == 0:
+                if f.size() == 0:
+                    break
+                w += 1
+                continue
+            waves.append(sorted(zip(t["priority"].to_pylist(),
+                                    t["seq"].to_pylist())))
+            w += 1
+        return waves
+
+    base = FrontierShard(0, CrawlConfig(per_domain_cap=4))
+    base.push(rows)
+    want = drain(base)
+
+    cfg = CrawlConfig(per_domain_cap=4, frontier_max_rows=60,
+                      frontier_spill_dir=str(tmp_path))
+    f = FrontierShard(0, cfg)
+    f.push(rows)
+    st = f.stats()
+    assert st["spilled_rows"] > 0, "cap 60 over 240 rows must spill"
+    assert st["mem_rows"] <= 60
+    assert st["queued"] == 240
+    assert drain(f) == want
+    assert f.size() == 0 and not f.spilled
+
+
+def test_frontier_spill_respill_and_checkpoint(tmp_path):
+    """A spilled host that receives NEW pushes and spills again must merge
+    with its existing spill file (no row loss); checkpoints must include
+    disk-resident rows, and a restored shard drains identically."""
+    cfg = CrawlConfig(per_domain_cap=100, frontier_max_rows=30,
+                      frontier_spill_dir=str(tmp_path / "spill"))
+    f = FrontierShard(0, cfg)
+    f.push(_rows([(f"https://big/{i}", "big", 0, i) for i in range(50)]))
+    assert f.stats()["spilled_rows"] == 50          # whole host spilled
+    f.push(_rows([(f"https://big/x{i}", "big", 9, 100 + i) for i in range(40)]))
+    st = f.stats()
+    assert st["queued"] == 90
+    assert st["mem_rows"] <= 30
+
+    ck = str(tmp_path / "ck")
+    f.checkpoint(ck)
+    g = FrontierShard(0, cfg)
+    g.restore(ck)
+    assert g.size() == 90
+
+    def pop_all(sh):
+        out = []
+        w = 0
+        while sh.size():
+            t = sh.next_wave(w)
+            out += sorted(zip(t["priority"].to_pylist(),
+                              t["seq"].to_pylist()))
+            w += 1
+        return out
+
+    a, b = pop_all(f), pop_all(g)
+    assert a == b
+    # every row survives the spill/merge/checkpoint round-trips exactly once
+    assert sorted(s for _, s in a) == list(range(50)) + list(range(100, 140))
+    assert sorted(p for p, _ in a) == [0] * 50 + [9] * 40
