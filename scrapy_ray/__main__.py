@@ -38,6 +38,8 @@ def main(argv: list[str] | None = None) -> int:
                    help="RANDOMIZE_DOWNLOAD_DELAY: deterministic hash-jitter "
                         "in [0.5d, 1.5d) per host emission")
     c.add_argument("--per-domain-cap", type=int, default=8)
+    c.add_argument("--max-wave-urls", type=int, default=0,
+                   help="global per-wave URL cap (CONCURRENT_REQUESTS)")
     c.add_argument("--depth-limit", type=int, default=0)
     c.add_argument("--no-robots", action="store_true")
     c.add_argument("--autothrottle", action="store_true",
@@ -212,6 +214,7 @@ def main(argv: list[str] | None = None) -> int:
 
             cfg = CrawlConfig(
                 per_domain_cap=args.per_domain_cap, download_delay=args.delay,
+                max_wave_urls=args.max_wave_urls,
                 randomize_download_delay=args.randomize_delay,
                 frontier_max_rows=args.frontier_max_rows,
                 frontier_spill_dir=args.frontier_spill_dir,

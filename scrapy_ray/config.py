@@ -27,6 +27,12 @@ from dataclasses import dataclass, field
 class CrawlConfig:
     # politeness ([S:scrapy/settings/default_settings.py])
     per_domain_cap: int = 8          # CONCURRENT_REQUESTS_PER_DOMAIN
+    max_wave_urls: int = 0           # CONCURRENT_REQUESTS analogue: global
+                                     # cap on URLs per wave — the merged
+                                     # wave truncates at the (priority desc,
+                                     # seq) order and the tail requeues with
+                                     # original seqs (host clocks stand;
+                                     # SURVEY §4.2 backpressure knob). 0=off
     download_delay: float = 0.0      # DOWNLOAD_DELAY (seconds, virtual)
     randomize_download_delay: bool = False  # RANDOMIZE_DOWNLOAD_DELAY:
                                      # deterministic hash-jitter in

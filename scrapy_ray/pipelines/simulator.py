@@ -181,6 +181,13 @@ def simulate_crawl(corpus_root: str, cfg: CrawlConfig | None = None,
             continue
 
         emitted.sort(key=lambda c: (-c["priority"], c["seq"]))
+        if cfg.max_wave_urls and len(emitted) > cfg.max_wave_urls:
+            # CONCURRENT_REQUESTS mirror: tail re-enters with original seq;
+            # last_emit stands (the host got its slot this wave)
+            for c in emitted[cfg.max_wave_urls:]:
+                heapq.heappush(queues[c["host"]],
+                               (-c["priority"], c["seq"], c))
+            emitted = emitted[:cfg.max_wave_urls]
         for c in emitted:
             order_rows.append((c["seq"], wave_idx, c["url"]))
             depth_stats[c["depth"]] = depth_stats.get(c["depth"], 0) + 1

@@ -513,7 +513,16 @@ class ShardedFrontier:
         t = pa.concat_tables(parts)
         if len(t) == 0:
             return t
-        return t.sort_by([("priority", "descending"), ("seq", "ascending")])
+        t = t.sort_by([("priority", "descending"), ("seq", "ascending")])
+        cap = self.cfg.max_wave_urls
+        if cap and len(t) > cap:
+            # CONCURRENT_REQUESTS analogue: global top-cap by the wave
+            # order; the tail re-enters its shards with ORIGINAL seqs (it
+            # sorts first next time), host politeness clocks stand — the
+            # hosts did get a slot this wave (simulator mirrors exactly)
+            self.push(t.slice(cap))
+            t = t.slice(0, cap)
+        return t
 
     def total_size(self) -> int:
         return sum(ray.get([s.size.remote() for s in self.shards]))

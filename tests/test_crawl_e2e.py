@@ -393,3 +393,28 @@ def test_frontier_spill_crawl_equality(ray_session, e2e_corpus, tmp_path):
     _assert_equal(want, got)
     sim = simulate_crawl(e2e_corpus, base)
     _assert_equal(sim, got)
+
+
+def test_max_wave_urls_cap(ray_session, e2e_corpus):
+    """CONCURRENT_REQUESTS analogue: a global per-wave URL cap truncates
+    the merged wave at the (priority desc, seq) order; the tail requeues
+    with original seqs. Engine == simulator under the cap, no wave exceeds
+    it, more waves are needed, and the crawl still completes — final
+    URL-seen set and item set equal the uncapped run's."""
+    from collections import Counter
+
+    base = CrawlConfig(n_filter_shards=2, n_frontier_shards=3)
+    full = run_crawl(e2e_corpus, base)
+
+    cfg = CrawlConfig(n_filter_shards=2, n_frontier_shards=3,
+                      max_wave_urls=24)
+    sim = simulate_crawl(e2e_corpus, cfg)
+    eng = run_crawl(e2e_corpus, cfg)
+    _assert_equal(sim, eng)
+
+    per_wave = Counter(eng.crawl_order["wave"].to_pylist())
+    assert max(per_wave.values()) <= 24
+    assert eng.metrics["waves"] > full.metrics["waves"]
+    assert set(eng.url_seen["url"].to_pylist()) \
+        == set(full.url_seen["url"].to_pylist())
+    assert eng.items.sort_by("url").equals(full.items.sort_by("url"))

@@ -243,6 +243,7 @@ def test_randomized_config_sweep(ray_session, tmp_path):
             max_pages=rng.choice([0, 120]),
             max_errors=rng.choice([0, 0, 5]),
             frontier_max_rows=rng.choice([0, 0, 50]),
+            max_wave_urls=rng.choice([0, 0, 30]),
         )
         sim = simulate_crawl(corpus, cfg)
         eng = run_crawl(corpus, cfg)
