@@ -560,3 +560,131 @@ FROM w ORDER BY event_id
 
 QUERIES10["window_frames_user_value"] = (q_window_frames_user_value,
                                          SQL_WINDOW_FRAMES)
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (iterative, integer-exact)
+# ---------------------------------------------------------------------------
+
+_HITS_ITERS = 2
+
+
+def q_hits_docs(sf_dir: str):
+    """Kleinberg's HITS over the suite's deterministic doc graph — the
+    second iterative BSP algorithm beside PageRank, adding the half-step
+    PageRank doesn't have: the hub update is a GATHER
+    (h(u) = sum of a over u's successors), expressed as a co-partitioned
+    pair join — a-values and edge stubs ride ONE keyed stream (no
+    Dataset.union), the per-key pass hands each stub its a-value, a second
+    groupby sums per source. The authority update stays scatter-shaped
+    with zero self-contributions keeping in-linkless nodes alive. Two
+    unnormalized iterations in exact int64 (out-degree 3 keeps magnitudes
+    tiny), bit-equal to the chained-CTE DuckDB oracle; h and a meet only
+    in the O(N) output merge."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from scrapy_ray.pipelines.queries import _nrows
+
+    n = _nrows(sf_dir, "documents")
+
+    def init(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"node": pa.array(ids),
+                         "h": pa.array(np.ones(len(ids), np.int64))})
+
+    h_ds = _pq(sf_dir, "documents", ["doc_id"]).map_batches(
+        init, batch_format="pyarrow")
+
+    def scatter_a(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = t["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dsts = [(node * 31 + c) % n for c in range(1, 4)]
+        return pa.table({
+            "node": pa.array(np.concatenate(dsts + [node])),
+            "v": pa.array(np.concatenate(
+                [h] * 3 + [np.zeros(len(node), np.int64)])),
+        })
+
+    def pair_stream(t: pa.Table) -> pa.Table:
+        """(node, a) -> ONE stream keyed by edge target: a type-0 value row
+        per node plus a type-1 stub per in-edge (src carried)."""
+        node = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dsts = [(node * 31 + c) % n for c in range(1, 4)]
+        return pa.table({
+            "key": pa.array(np.concatenate([node] + dsts)),
+            "src": pa.array(np.concatenate(
+                [np.full(len(node), -1, np.int64)] + [node] * 3)),
+            "val": pa.array(np.concatenate(
+                [a] + [np.zeros(len(node), np.int64)] * 3)),
+        })
+
+    def gather_h(df: pd.DataFrame) -> pd.DataFrame:
+        # exactly one type-0 row per key holds a(key); every stub gets it.
+        # Vectorized: sort by (key, src) puts the type-0 row (src=-1) first
+        # in each key run, then forward-fill its value over the run.
+        df = df.sort_values(["key", "src"], kind="mergesort")
+        k = df["key"].to_numpy()
+        src = df["src"].to_numpy()
+        val = df["val"].to_numpy()
+        run_start = np.r_[True, k[1:] != k[:-1]]
+        aval = val[np.maximum.accumulate(
+            np.where(run_start, np.arange(len(k)), 0))]
+        stubs = src >= 0
+        return pd.DataFrame({"node": src[stubs].astype(np.int64),
+                             "v": aval[stubs].astype(np.int64)})
+
+    a_ds = None
+    for _ in range(_HITS_ITERS):
+        a_ds = (h_ds.map_batches(scatter_a, batch_format="pyarrow")
+                    .groupby("node").aggregate(Sum("v", alias_name="a")))
+        a_ds = a_ds.map_batches(
+            lambda t: pa.table({"node": t["node"],
+                                "a": pc.cast(t["a"], pa.int64())}),
+            batch_format="pyarrow")
+        h_ds = (a_ds.map_batches(pair_stream, batch_format="pyarrow")
+                    .groupby("key").map_groups(gather_h,
+                                               batch_format="pandas")
+                    .groupby("node").aggregate(Sum("v", alias_name="h")))
+        h_ds = h_ds.map_batches(
+            lambda t: pa.table({"node": t["node"],
+                                "h": pc.cast(t["h"], pa.int64())}),
+            batch_format="pyarrow")
+
+    hd = h_ds.to_pandas().set_index("node")["h"]
+    ad = a_ds.to_pandas().set_index("node")["a"]
+    out = pd.DataFrame({"doc_id": sorted(ad.index),
+                        "hub": [int(hd[i]) for i in sorted(ad.index)],
+                        "authority": [int(ad[i]) for i in sorted(ad.index)]})
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+def _hits_sql() -> str:
+    head = """
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id*31 + c.c) % (SELECT n FROM nn) AS dst
+  FROM documents, (SELECT unnest([1, 2, 3]) AS c) c
+),
+h0 AS (SELECT doc_id AS node, 1::BIGINT AS h FROM documents)"""
+    steps = []
+    for i in range(1, _HITS_ITERS + 1):
+        steps.append(f""", a{i} AS (
+  SELECT node, SUM(v)::BIGINT AS a FROM (
+    SELECT e.dst AS node, h{i-1}.h AS v FROM e JOIN h{i-1} ON e.src = h{i-1}.node
+    UNION ALL SELECT node, 0 FROM h{i-1}
+  ) GROUP BY node
+), h{i} AS (
+  SELECT e.src AS node, SUM(a{i}.a)::BIGINT AS h
+  FROM e JOIN a{i} ON e.dst = a{i}.node GROUP BY e.src
+)""")
+    k = _HITS_ITERS
+    return (head + "".join(steps) + f"""
+SELECT h{k}.node AS doc_id, h{k}.h AS hub, a{k}.a AS authority
+FROM h{k} JOIN a{k} USING (node) ORDER BY doc_id""")
+
+
+QUERIES10["hits_docs"] = (q_hits_docs, _hits_sql())

@@ -94,6 +94,7 @@ SUBSET = [
     "khop_bfs_distance",
     "collapse_repeated_chunks",
     "window_frames_user_value",
+    "hits_docs",
 ]
 
 
