@@ -429,7 +429,8 @@ class CrawlEngine:
         self.maxsize_dropped += n_maxsize_drop
         self.maxsize_warned += n_maxsize_warn
         self.error_count += n_err
-        self.phase_times["fetch_parse"] += _time.perf_counter() - _t0
+        self._last_fetch_s = _time.perf_counter() - _t0
+        self.phase_times["fetch_parse"] += self._last_fetch_s
 
         if cfg.autothrottle and len(hstats):
             # F4: one deterministic latency sample per host per wave =
@@ -503,6 +504,9 @@ class CrawlEngine:
                                      "maxsize_dropped": n_maxsize_drop,
                                      "maxsize_warned": n_maxsize_warn})
             self.metrics.inc_hosts.remote(dict(Counter(wave["host"].to_pylist())))
+            self.metrics.observe.remote(
+                "wave_fetch_ms", [int(self._last_fetch_s * 1000)])
+            self.metrics.observe.remote("wave_pages", [n_fetched])
         self.wave_idx += 1
         if self.ckpt and (self.wave_idx % max(1, cfg.checkpoint_every) == 0):
             self.checkpoint()

@@ -17,6 +17,7 @@ class MetricsActor:
     def __init__(self):
         self.counters: Counter = Counter()
         self.host_pages: Counter = Counter()
+        self._kll: dict = {}     # metric -> KLL sketch (lazy)
 
     def inc(self, deltas: dict[str, int]) -> None:
         self.counters.update(deltas)
@@ -24,8 +25,25 @@ class MetricsActor:
     def inc_hosts(self, host_counts: dict[str, int]) -> None:
         self.host_pages.update(host_counts)
 
+    def observe(self, metric: str, values: list[int]) -> None:
+        """Distribution observations (per-wave latencies, wave sizes, ...)
+        into a mergeable KLL sketch per metric — LOGSTATS-and-beyond: the
+        reference reports rates; sketches give p50/p90/p99 with bounded
+        state at any stream length."""
+        from scrapy_ray.functions.sketch import KLL
+
+        if metric not in self._kll:
+            self._kll[metric] = KLL()
+        self._kll[metric].add_many([int(v) for v in values])
+
     def snapshot(self) -> dict:
-        return dict(self.counters)
+        out = dict(self.counters)
+        if self._kll:
+            out["quantiles"] = {
+                m: {"p50": k.quantile(0.5), "p90": k.quantile(0.9),
+                    "p99": k.quantile(0.99), "n": k.n}
+                for m, k in self._kll.items()}
+        return out
 
     def hot_hosts(self, top_k: int = 10) -> list[tuple[str, int]]:
         """A2 hot-domain detection: drives per-wave salting decisions."""

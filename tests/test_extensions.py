@@ -48,6 +48,13 @@ def test_metrics_actor(ray_session, e2e_corpus):
     assert snap["items"] == res.metrics["items"]
     hot = ray.get(m.hot_hosts.remote(3))
     assert len(hot) == 3 and hot[0][1] >= hot[-1][1]
+    # observability sketches: per-wave fetch-latency/size quantiles ride a
+    # KLL per metric; quantiles are real observed values with sane order
+    q = snap["quantiles"]
+    for metric in ("wave_fetch_ms", "wave_pages"):
+        d = q[metric]
+        assert d["n"] == res.metrics["waves"]
+        assert 0 <= d["p50"] <= d["p90"] <= d["p99"]
 
 
 def test_exports(ray_session, e2e_corpus, tmp_path):
