@@ -28,6 +28,10 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--out", required=True, help="items export directory")
     c.add_argument("--format", default="parquet", choices=["parquet", "json", "csv", "xml", "marshal", "pickle"])
     c.add_argument("--checkpoint", default=None)
+    c.add_argument("--jobdir", default=None, metavar="DIR",
+                   help="JOBDIR parity: checkpoint to DIR/checkpoint, spill "
+                        "the frontier to DIR/spill, and auto-resume when a "
+                        "committed manifest exists")
     c.add_argument("--resume", action="store_true")
     c.add_argument("--max-pages", type=int, default=0)
     c.add_argument("--max-errors", type=int, default=0,
@@ -212,18 +216,29 @@ def main(argv: list[str] | None = None) -> int:
             from scrapy_ray.pipelines.crawl import run_crawl
             from scrapy_ray.sources.sinks import export_items
 
+            checkpoint = args.checkpoint
+            spill_dir = args.frontier_spill_dir
+            resume = args.resume
+            if args.jobdir:
+                if args.checkpoint:
+                    raise SystemExit("--jobdir and --checkpoint are exclusive")
+                checkpoint = os.path.join(args.jobdir, "checkpoint")
+                spill_dir = spill_dir or os.path.join(args.jobdir, "spill")
+                # Scrapy resumes from JOBDIR automatically when state exists
+                resume = resume or os.path.exists(
+                    os.path.join(checkpoint, "manifest.json"))
             cfg = CrawlConfig(
                 per_domain_cap=args.per_domain_cap, download_delay=args.delay,
                 max_wave_urls=args.max_wave_urls,
                 randomize_download_delay=args.randomize_delay,
                 frontier_max_rows=args.frontier_max_rows,
-                frontier_spill_dir=args.frontier_spill_dir,
+                frontier_spill_dir=spill_dir,
                 obey_robots=not args.no_robots, depth_limit=args.depth_limit,
                 max_pages=args.max_pages, max_waves=args.max_waves,
                 max_errors=args.max_errors,
                 n_filter_shards=args.filter_shards,
                 n_frontier_shards=args.frontier_shards,
-                checkpoint_dir=args.checkpoint,
+                checkpoint_dir=checkpoint,
                 autothrottle=args.autothrottle,
                 retry_max=args.retry_max,
                 metarefresh=not args.no_metarefresh,
@@ -242,7 +257,7 @@ def main(argv: list[str] | None = None) -> int:
             elif args.sitemap_from_robots:
                 from scrapy_ray.sources.sitemap import read_robots_sitemap_seeds
                 seeds = read_robots_sitemap_seeds(args.corpus)
-            res = run_crawl(args.corpus, cfg, seeds=seeds, resume=args.resume)
+            res = run_crawl(args.corpus, cfg, seeds=seeds, resume=resume)
             export_items(res.items, args.out, fmt=args.format,
                          fields=(tuple(args.fields.split(","))
                                  if args.fields else None),

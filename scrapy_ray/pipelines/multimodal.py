@@ -335,21 +335,31 @@ class ImageResizer:
     Codec dispatch bound once per actor; all pixel math vectorized numpy;
     the per-payload loop is inherent to byte decoding."""
 
-    def __init__(self, edge: int = _THUMB):
+    def __init__(self, edge: int = _THUMB, min_width: int = 0,
+                 min_height: int = 0):
+        """``min_width``/``min_height``: IMAGES_MIN_WIDTH / IMAGES_MIN_HEIGHT
+        parity ([S:scrapy/pipelines/images.py ImagesPipeline]: undersized
+        images are dropped, not stored)."""
         from scrapy_ray.functions.codecs import decode_image, encode_bmp
 
         self._decode = decode_image
         self._encode = encode_bmp
         self.edge = edge
+        self.min_width = min_width
+        self.min_height = min_height
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        thumbs, ws, hs = [], [], []
+        thumbs, ws, hs, keep = [], [], [], []
         means = {c: [] for c in "rgb"}
         edges = []
         e = self.edge
         for payload in t["payload"].to_pylist():
             img = self._decode(payload)
             h, w, _ = img.shape
+            if w < self.min_width or h < self.min_height:
+                keep.append(False)
+                continue
+            keep.append(True)
             th = resize_nn(img, e, e)
             thumbs.append(self._encode(th))
             ws.append(w)
@@ -361,8 +371,10 @@ class ImageResizer:
                     + 114 * px[:, :, 2]) // 1000
             d = np.abs(np.diff(gray, axis=1)) > 16
             edges.append(round(float(d.sum()) / d.size, 4))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = ids[np.asarray(keep, dtype=bool)] if len(keep) else ids[:0]
         return pa.table({
-            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "doc_id": pa.array(ids, type=pa.int64()),
             "src_width": pa.array(ws, type=pa.int64()),
             "src_height": pa.array(hs, type=pa.int64()),
             "thumb": pa.array(thumbs, type=pa.binary()),

@@ -465,3 +465,34 @@ def test_pipeline_cli(e2e_corpus, tmp_path):
     assert m["rows_kept"] > 0 and m["tokens"] > 0
     assert sorted(os.listdir(out)) == [f"shard={i}" for i in
                                        sorted(int(k) for k in m["shards"])]
+
+
+def test_jobdir_cli_pause_resume(tmp_path):
+    """JOBDIR parity ([S:scrapy docs: pausing and resuming crawls]): the
+    same `crawl --jobdir` command runs once with a wave limit (pause) and
+    once without (auto-resume from the committed manifest); the combined
+    output equals a fresh uninterrupted run."""
+    corpus = str(tmp_path / "corpus")
+    r = subprocess.run([sys.executable, "-m", "scrapy_ray", "gen", "--out",
+                        corpus, "--hosts", "4", "--pages", "150",
+                        "--num-cpus", "2"],
+                       capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-1500:]
+
+    def crawl(out, extra):
+        rr = subprocess.run(
+            [sys.executable, "-m", "scrapy_ray", "crawl", "--corpus", corpus,
+             "--out", str(out), "--num-cpus", "2", "--frontier-shards", "2",
+             "--filter-shards", "2"] + extra,
+            capture_output=True, text=True, cwd="/root/repo")
+        assert rr.returncode == 0, rr.stderr[-1500:]
+        return json.loads(rr.stdout.strip().splitlines()[-1])
+
+    full = crawl(tmp_path / "full", [])
+    jd = str(tmp_path / "job")
+    part = crawl(tmp_path / "p1", ["--jobdir", jd, "--max-waves", "3"])
+    assert part["waves"] <= 3 < full["waves"]
+    done = crawl(tmp_path / "p2", ["--jobdir", jd])      # auto-resume
+    assert done["pages_fetched"] == full["pages_fetched"]
+    assert done["items"] == full["items"]
+    assert done["url_seen"] == full["url_seen"]

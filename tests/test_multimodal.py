@@ -235,3 +235,26 @@ def test_audio_spectral_features_match_reference(ray_session):
         assert abs(row["bandwidth_hz"] - round(float(v) ** 0.5, 4)) < 1e-9
         assert abs(row["rolloff_hz"] - round(float(r), 4)) < 1e-9
         assert abs(row["zcr"] - round(float(z), 6)) < 1e-9
+
+
+def test_image_min_size_filter(ray_session):
+    """IMAGES_MIN_WIDTH/HEIGHT parity: undersized images drop from the
+    resize stage's output; the survivors equal the unfiltered run's rows."""
+    import pyarrow as pa
+
+    from scrapy_ray.pipelines.multimodal import ImageResizer, synth_image
+    from scrapy_ray.functions.codecs import encode_bmp
+
+    # synth_image dims vary by doc_id: build payloads with known sizes
+    ids = list(range(24))
+    payloads = [encode_bmp(synth_image(i)) for i in ids]
+    t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                  "payload": pa.array(payloads, type=pa.binary())})
+    all_rows = ImageResizer()(t).to_pandas().set_index("doc_id")
+    cut_w = int(all_rows["src_width"].median())
+    filt = ImageResizer(min_width=cut_w)(t).to_pandas().set_index("doc_id")
+    want = all_rows[all_rows["src_width"] >= cut_w]
+    assert set(filt.index) == set(want.index)
+    assert 0 < len(filt) < len(all_rows)
+    for c in ("src_width", "src_height", "mean_r", "edge_density"):
+        assert (filt[c] == want[c]).all()
