@@ -688,3 +688,67 @@ FROM h{k} JOIN a{k} USING (node) ORDER BY doc_id""")
 
 
 QUERIES10["hits_docs"] = (q_hits_docs, _hits_sql())
+
+
+# ---------------------------------------------------------------------------
+# customer distribution (TPC-H Q13 shape: histogram of group sizes)
+# ---------------------------------------------------------------------------
+
+
+def q_custdist(sf_dir: str):
+    """How many customers placed exactly k orders, INCLUDING k=0 — the
+    TPC-H Q13 left-join-then-histogram shape, without the join: per-batch
+    partial order counts shrink the shuffle to O(custkeys), a second tiny
+    groupby histograms the counts, and the zero bucket is pure arithmetic
+    (total customers - customers with any order) — the LEFT JOIN's only
+    contribution collapses to one subtraction, so no customer row ever
+    shuffles."""
+    from ray.data.aggregate import Count, Sum
+
+    from scrapy_ray.pipelines.queries import _nrows
+
+    n_cust = _nrows(sf_dir, "customer")
+    ds = _pq(sf_dir, "orders", ["o_custkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pa.table({"c": t["o_custkey"]}).to_pandas()
+        g = df.groupby("c").size().rename("n").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_cust = (ds.map_batches(partial, batch_format="pyarrow")
+                  .groupby("c").aggregate(Sum("n", alias_name="n_orders")))
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        df = pa.table({"n_orders": t["n_orders"]}).to_pandas()
+        g = df.groupby("n_orders").size().rename("custdist").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (per_cust.map_batches(hist_partial, batch_format="pyarrow")
+                    .groupby("n_orders")
+                    .aggregate(Sum("custdist", alias_name="custdist"))
+                    .to_pandas())
+    n_with_orders = int(hist["custdist"].sum())
+    zero = n_cust - n_with_orders
+    if zero:
+        hist = pd.concat([hist, pd.DataFrame({"n_orders": [0],
+                                              "custdist": [zero]})],
+                         ignore_index=True)
+    for c in ("n_orders", "custdist"):
+        hist[c] = hist[c].astype(np.int64)
+    return (hist.sort_values(["custdist", "n_orders"],
+                             ascending=[False, False])
+            .reset_index(drop=True))
+
+
+SQL_CUSTDIST = """
+WITH co AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey)::BIGINT AS n_orders
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+)
+SELECT n_orders, COUNT(*)::BIGINT AS custdist
+FROM co GROUP BY n_orders
+ORDER BY custdist DESC, n_orders DESC
+"""
+
+QUERIES10["custdist"] = (q_custdist, SQL_CUSTDIST)

@@ -95,6 +95,7 @@ SUBSET = [
     "collapse_repeated_chunks",
     "window_frames_user_value",
     "hits_docs",
+    "custdist",
 ]
 
 
