@@ -579,6 +579,16 @@ def run_crawl(corpus_root: str, cfg: CrawlConfig | None = None,
                 f"handle_httpstatus_list overlaps active retry/redirect "
                 f"codes {sorted(clash)} — downloader middlewares act first "
                 f"([S:httperror.py]); disable them for these codes instead")
+    if cfg.retry_max and cfg.redirect_max:
+        rr_clash = set(cfg.retry_codes) & set(cfg.redirect_codes)
+        if rr_clash:
+            # a row matching both diversions would be double-subtracted from
+            # the per-task error count (stages/fetch.py n_err), corrupting
+            # CLOSESPIDER_ERRORCOUNT accounting — reject the config upfront
+            raise ValueError(
+                f"retry_codes and redirect_codes overlap on {sorted(rr_clash)}"
+                f" — a status can divert to only one middleware; make the "
+                f"code sets disjoint")
     eng = CrawlEngine(corpus_root, cfg, **engine_kwargs)
     if not (resume and eng.try_resume()):
         eng.seed(seeds)

@@ -22,6 +22,7 @@ import pyarrow as pa
 from ray.data.aggregate import Sum
 
 from scrapy_ray.pipelines.queries import _cents, _pq
+from scrapy_ray.pipelines.queries8 import _round6
 
 _P = 64
 
@@ -405,8 +406,10 @@ def q_collapse_repeated_chunks(sf_dir: str):
         for i, s in enumerate(texts):
             rep_tok = f"rep{int(ids[i]) % 7}"
             rep_chunk = " ".join([rep_tok] * _RC_CHUNK)
+            # .split() (any-whitespace) matches the oracle's \S+ tokenizer;
+            # .split(" ") would emit empty tokens on runs of spaces/tabs
             toks = ([rep_tok] * (_RC_CHUNK * (int(ids[i]) % 3 + 1))
-                    + s.split(" "))
+                    + s.split())
             chunks = [" ".join(toks[g:g + _RC_CHUNK])
                       for g in range(0, len(toks), _RC_CHUNK)]
             kept = [c for g, c in enumerate(chunks)
@@ -518,7 +521,9 @@ def q_window_frames_user_value(sf_dir: str):
             lo = np.maximum(0, idx - 3)
             w = cum[idx + 1] - cum[lo]
             cnt = idx + 1 - lo
-            ma6[a:b] = np.round(w.astype(np.float64) / cnt, 6)
+            # half-away-from-zero like the DuckDB round() oracle (repo rule);
+            # np.round is half-to-even and would diverge on an exact 6dp tie
+            ma6[a:b] = _round6(w.astype(np.float64) / cnt)
             tlo = np.searchsorted(ts[a:b], ts[a:b] - hour_us, side="left")
             # RANGE frame end: include ALL rows tied with the current ts
             thi = np.searchsorted(ts[a:b], ts[a:b], side="right")

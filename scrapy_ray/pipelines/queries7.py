@@ -16,10 +16,13 @@ All oracle-checked against DuckDB on the same parquet inputs.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 
 from scrapy_ray.functions.sketch import shingle_hash_set
 from scrapy_ray.pipelines.queries import _pq
@@ -36,7 +39,36 @@ _N_PARTS = 256
 _PPJ_NUM, _PPJ_DEN = 1, 2
 
 
-def q_ppjoin_neardup(sf_dir: str):
+@ray.remote
+def _verify_pairs_exact(a: np.ndarray, b: np.ndarray,
+                        sets: dict[int, np.ndarray]) -> "pa.Table":
+    """Exact integer-arithmetic Jaccard >= NUM/DEN test over one slice of
+    candidate pairs: keep iff (DEN+NUM)*|A∩B| >= NUM*(|A|+|B|) — no float
+    threshold edge on either side (the SQL oracle tests 3i >= na+nb)."""
+    keep_a, keep_b, keep_j = [], [], []
+    for x, y in zip(a, b):
+        A, B = sets[int(x)], sets[int(y)]
+        na, nb = A.size, B.size
+        lo, hi = (na, nb) if na <= nb else (nb, na)
+        if _PPJ_NUM * hi > _PPJ_DEN * lo:      # length filter: J < tau certain
+            continue
+        k = np.intersect1d(A, B, assume_unique=True).size
+        if (_PPJ_DEN + _PPJ_NUM) * k < _PPJ_NUM * (na + nb):
+            continue
+        keep_a.append(int(x))
+        keep_b.append(int(y))
+        keep_j.append(k / (na + nb - k))
+    return pa.table({
+        "doc_a": pa.array(keep_a, type=pa.int64()),
+        "doc_b": pa.array(keep_b, type=pa.int64()),
+        "jaccard": pa.array(_round4(np.asarray(keep_j, dtype=np.float64)),
+                            type=pa.float64()),
+    })
+
+
+def q_ppjoin_neardup(sf_dir: str, max_bucket: int = 4096,
+                     chunk_pairs: int = 65536, n_set_buckets: int = 16,
+                     verify_slice: int = 8192):
     """Exact Jaccard >= 0.5 similarity self-join over the FULL corpus without
     an all-pairs scan (the bounded-subset brute force is q_token_jaccard_pairs;
     the approximate scale path is q_minhash_lsh_neardup — this is the exact
@@ -46,27 +78,50 @@ def q_ppjoin_neardup(sf_dir: str):
     J(A,B) >= tau then A and B share a shingle among the first
     |x| - ceil(tau*|x|) + 1 shingles of EACH side's sorted set (else all
     common shingles sit in a suffix shorter than the ceil(tau*|x|) overlap
-    J >= tau forces). So emitting each doc keyed by its prefix shingles and
-    verifying pairs only inside per-shingle groups finds every qualifying
-    pair. Here the global order is the shingle hash itself — correctness
-    never depends on WHICH order, only candidate count does; the classic
-    ascending-df ordering is a candidate-count refinement that would ride
-    the postings shuffle (as q_tfidf_top_terms does for df) at scale.
+    J >= tau forces). Here the global order is the shingle hash itself —
+    correctness never depends on WHICH order, only candidate count does.
 
-    Shape: one map pass emits (prefix_shingle, doc_id, sorted hash set) —
-    replication factor = prefix length ~ n/2, exactly VernicaJoin's kernel —
-    then ONE salted groupby verifies pairs vectorized inside ~256 coarse
-    partitions (prefix-shingle groups are tiny because shingle df is low;
-    per-group dispatch would dominate, same measured lesson as the LSH
-    candidate stage). Each qualifying pair is emitted exactly once: only
-    from the group of the pair's SMALLEST common prefix shingle, so no
-    dedup shuffle is needed. Output is O(matches).
+    BOUNDED-PAYLOAD shape (round 4, VERDICT item 1 — the old version
+    replicated each doc's FULL shingle set once per prefix token, an
+    O(n²/2)-hashes-per-doc shuffle): this is now the same machinery as
+    q_minhash_lsh_neardup —
+
+    1. ONE corpus pass computes each doc's sorted shingle-hash set, persists
+       it to a doc_id-bucketed scratch parquet layout (side effect; the
+       downstream groupby is a barrier so writes complete before gathers),
+       and emits only (prefix_shingle, doc_id) — O(n) per doc.
+    2. ONE salted groupby (~256 coarse partitions) recovers real per-shingle
+       groups vectorized and emits candidate doc-id pairs; groups larger
+       than ``max_bucket`` are skipped (df cutoff — a corpus-hot shingle is
+       all-pairs in disguise) with the skipped-group count carried out on
+       sentinel rows and log()-reported by the driver. The default cutoff is
+       far above any real prefix-group size at test scale (3-word shingle df
+       is tiny), so the result stays EXACT vs the SQL oracle; the property
+       test forces a hot shingle with a low cutoff.
+    3. Candidate pairs dedup DISTRIBUTED (groupby — a pair sharing many
+       prefix tokens never reaches the driver more than once), then stream
+       in fixed-size chunks: per chunk gather only that chunk's sets from
+       the bucketed layout and verify in parallel slices with the
+       integer-exact tau test. Output is O(matches).
     """
+    import logging
+    import shutil
+    import tempfile
+    import uuid
+
+    import pyarrow.parquet as pq_
+
+    from scrapy_ray.pipelines.training import _read_set_bucket
+
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    scratch = tempfile.mkdtemp(prefix="ppjoin_sets_", dir="/tmp")
+    for b in range(n_set_buckets):
+        os.makedirs(os.path.join(scratch, f"bucket={b}"), exist_ok=True)
 
     def emit_prefixes(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        pfx_l, did_l, set_l = [], [], []
+        pfx_l, did_l, set_l, set_ids = [], [], [], []
         for did, txt in zip(ids, t["text"].to_pylist()):
             sh = shingle_hash_set(txt)          # unique + ascending = order
             n = len(sh)
@@ -75,69 +130,117 @@ def q_ppjoin_neardup(sf_dir: str):
             p = n - (_PPJ_NUM * n + _PPJ_DEN - 1) // _PPJ_DEN + 1  # n-ceil(tau n)+1
             pfx_l.append(sh[:p])
             did_l.append(np.full(p, did, dtype=np.int64))
-            set_l.extend([sh] * p)
+            set_l.append(sh)
+            set_ids.append(did)
         if not pfx_l:
             return pa.table({"pfx": pa.array([], pa.uint64()),
                              "doc_id": pa.array([], pa.int64()),
-                             "sh": pa.array([], pa.list_(pa.uint64())),
                              "gkey": pa.array([], pa.int32())})
+        # side effect: persist this block's shingle sets once, bucketed by
+        # doc_id hash (same convention as q_minhash_lsh_neardup's scratch)
+        sid = np.asarray(set_ids, dtype=np.int64)
+        bkt = (sid % n_set_buckets).astype(np.int32)
+        st = pa.table({"doc_id": pa.array(sid),
+                       "sh": pa.array([s.tolist() for s in set_l],
+                                      type=pa.list_(pa.uint64()))})
+        for b in np.unique(bkt):
+            sub = st.filter(pa.array(bkt == b))
+            pq_.write_table(sub, os.path.join(
+                scratch, f"bucket={int(b)}", f"{uuid.uuid4().hex}.parquet"))
         pfx = np.concatenate(pfx_l)
         return pa.table({
             "pfx": pa.array(pfx, type=pa.uint64()),
             "doc_id": pa.array(np.concatenate(did_l), type=pa.int64()),
-            "sh": pa.array([s.tolist() for s in set_l], type=pa.list_(pa.uint64())),
             "gkey": pa.array((pfx % _N_PARTS).astype(np.int32)),
         })
 
-    def verify_partition(df: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b, out_j = [], [], []
+    def candidate_partition(df: pd.DataFrame) -> pd.DataFrame:
+        """Candidate pairs of one salted partition: vectorized per-shingle
+        group boundary recovery, triu pairs per group, df cutoff. Sentinel
+        rows (doc_a = -1, unique negative doc_b) carry the skipped-group
+        count out through the dedup groupby untouched."""
         df = df.sort_values(["pfx", "doc_id"], kind="mergesort")
         pfx = df["pfx"].to_numpy()
         dids = df["doc_id"].to_numpy()
-        sets = df["sh"].to_numpy()
-        # recover real per-shingle group boundaries vectorized
         starts = np.flatnonzero(np.r_[True, pfx[1:] != pfx[:-1]])
         ends = np.r_[starts[1:], len(df)]
-        for s, e in zip(starts, ends):
-            if e - s < 2:
+        sizes = ends - starts
+        outs_a, outs_b = [], []
+        n_skipped = 0
+        for s, e in zip(starts[sizes >= 2], ends[sizes >= 2]):
+            if e - s > max_bucket:
+                n_skipped += 1
                 continue
-            g = pfx[s]
-            for i in range(s, e - 1):
-                A = np.asarray(sets[i], dtype=np.uint64)
-                na = len(A)
-                pa_len = na - (_PPJ_NUM * na + _PPJ_DEN - 1) // _PPJ_DEN + 1
-                for j in range(i + 1, e):
-                    B = np.asarray(sets[j], dtype=np.uint64)
-                    nb = len(B)
-                    lo, hi = min(na, nb), max(na, nb)
-                    if _PPJ_NUM * hi > _PPJ_DEN * lo:   # tau*max > min -> J < tau
-                        continue
-                    inter = np.intersect1d(A, B, assume_unique=True)
-                    k = len(inter)
-                    # J >= num/den  <=>  (den+num)*k >= num*(na+nb)
-                    if (_PPJ_DEN + _PPJ_NUM) * k < _PPJ_NUM * (na + nb):
-                        continue
-                    pb_len = nb - (_PPJ_NUM * nb + _PPJ_DEN - 1) // _PPJ_DEN + 1
-                    common_pfx = np.intersect1d(A[:pa_len], B[:pb_len],
-                                                assume_unique=True)
-                    if common_pfx[0] != g:   # emitted by a smaller group
-                        continue
-                    a, b = dids[i], dids[j]
-                    out_a.append(min(a, b))
-                    out_b.append(max(a, b))
-                    out_j.append(k / (na + nb - k))
-        return pd.DataFrame({
-            "doc_a": pd.Series(out_a, dtype=np.int64),
-            "doc_b": pd.Series(out_b, dtype=np.int64),
-            "jaccard": _round4(np.asarray(out_j, dtype=np.float64)),
-        })
+            d = dids[s:e]
+            ii, jj = np.triu_indices(e - s, k=1)
+            outs_a.append(np.minimum(d[ii], d[jj]))
+            outs_b.append(np.maximum(d[ii], d[jj]))
+        a = (np.concatenate(outs_a) if outs_a
+             else np.empty(0, np.int64)).astype(np.int64)
+        b = (np.concatenate(outs_b) if outs_b
+             else np.empty(0, np.int64)).astype(np.int64)
+        skip = np.zeros(len(a), dtype=np.int64)
+        if n_skipped:
+            gk = int(df["gkey"].iloc[0])
+            a = np.append(a, -1)
+            b = np.append(b, -(gk + 1))   # unique per partition -> survives dedup
+            skip = np.append(skip, n_skipped)
+        return pd.DataFrame({"doc_a": a, "doc_b": b, "skip": skip})
 
-    out = (ds.map_batches(emit_prefixes, batch_format="pyarrow")
-             .groupby("gkey").map_groups(verify_partition, batch_format="pandas")
-             .to_pandas())
+    cand = (ds.map_batches(emit_prefixes, batch_format="pyarrow")
+              .groupby("gkey")
+              .map_groups(candidate_partition, batch_format="pandas"))
+    from ray.data.aggregate import Count
+    dedup = cand.groupby(["doc_a", "doc_b", "skip"]).aggregate(
+        Count(alias_name="_nb"))
+
+    skipped_groups = 0
+    try:
+        parts: list[pa.Table] = []
+        for chunk in dedup.iter_batches(batch_size=chunk_pairs,
+                                        batch_format="pyarrow"):
+            a = chunk["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = chunk["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            sent = a < 0
+            if sent.any():
+                skipped_groups += int(
+                    chunk["skip"].to_numpy(zero_copy_only=False)[sent].sum())
+                a, b = a[~sent], b[~sent]
+            if not len(a):
+                continue
+            need = np.unique(np.concatenate([a, b]))
+            need_ref = ray.put(need)
+            sets: dict[int, np.ndarray] = {}
+            for d in ray.get([_read_set_bucket.remote(
+                    os.path.join(scratch, f"bucket={int(k)}"), need_ref)
+                    for k in np.unique(need % n_set_buckets)]):
+                sets.update(d)
+            sets_ref = ray.put(sets)
+            futs = [_verify_pairs_exact.remote(a[lo:lo + verify_slice],
+                                               b[lo:lo + verify_slice], sets_ref)
+                    for lo in range(0, len(a), verify_slice)]
+            parts.extend(t for t in ray.get(futs) if len(t))
+            del sets_ref, sets
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+    if skipped_groups:
+        logging.getLogger("scrapy_ray.ppjoin").warning(
+            "ppjoin: skipped %d prefix groups larger than max_bucket=%d "
+            "(coverage is no longer exact for pairs whose every common "
+            "prefix shingle is that hot)", skipped_groups, max_bucket)
+
+    if not parts:
+        out = pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
+                            "doc_b": pd.Series(dtype=np.int64),
+                            "jaccard": pd.Series(dtype=np.float64)})
+    else:
+        out = pa.concat_tables(parts).to_pandas()
     for c in ("doc_a", "doc_b"):
         out[c] = out[c].astype(np.int64)
-    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    out.attrs["skipped_groups"] = skipped_groups
+    return out
 
 
 # DISTINCT shingles mirror np.unique(hash64(...)); the <3-token whole-text

@@ -46,26 +46,56 @@ def plan_compaction(files: list[tuple[str, int]],
     return bins
 
 
-def hive_columns(root: str, path: str) -> list[tuple[str, object]]:
+def _int_roundtrips(v: str) -> bool:
+    """True iff v is a canonical base-10 integer (str(int(v)) == v) — a
+    zero-padded value like '007' must stay a string or compaction would
+    silently rewrite the partition value."""
+    try:
+        return str(int(v)) == v
+    except ValueError:
+        return False
+
+
+def hive_key_types(root: str, paths: list[str]) -> dict[str, type]:
+    """Pin ONE type per hive key across the whole compaction: int64 only
+    when EVERY value of that key round-trips as a canonical integer, else
+    string. Mixed int/string values for one key across files would
+    otherwise produce different appended column types and fail the
+    ParquetWriter mid-bin with a schema mismatch."""
+    is_int: dict[str, bool] = {}
+    for p in paths:
+        rel = os.path.relpath(os.path.dirname(p), root)
+        for seg in rel.split(os.sep):
+            if "=" in seg:
+                k, _, v = seg.partition("=")
+                is_int[k] = is_int.get(k, True) and _int_roundtrips(v)
+    return {k: (int if ok else str) for k, ok in is_int.items()}
+
+
+def hive_columns(root: str, path: str,
+                 key_types: dict[str, type] | None = None
+                 ) -> list[tuple[str, object]]:
     """``key=value`` directory segments of ``path`` relative to ``root``,
-    as (name, value) pairs — int64 when the value parses as an integer,
-    string otherwise (the stable materialization rule; hive READ inference
-    is engine-dependent, so the compactor pins the type explicitly)."""
+    as (name, value) pairs. Types come from ``key_types`` (computed once
+    per compaction by hive_key_types so every file of a key agrees);
+    without it, int64 only when the value round-trips canonically."""
     rel = os.path.relpath(os.path.dirname(path), root)
     out: list[tuple[str, object]] = []
     for seg in rel.split(os.sep):
         if "=" in seg:
             k, _, v = seg.partition("=")
-            try:
+            typ = (key_types or {}).get(k)
+            if typ is int or (typ is None and _int_roundtrips(v)):
                 out.append((k, int(v)))
-            except ValueError:
+            else:
                 out.append((k, v))
     return out
 
 
 @ray.remote
 def _compact_bin(paths: list[str], out_path: str,
-                 root: str | None = None) -> tuple[int, int]:
+                 root: str | None = None,
+                 key_types: dict[str, type] | None = None) -> tuple[int, int]:
     """Stream-concatenate whole parquet files into one output file,
     materializing any hive ``key=value`` partition segments as plain
     columns (a flat compacted file must not lose the partition keys).
@@ -80,7 +110,7 @@ def _compact_bin(paths: list[str], out_path: str,
         for p in paths:
             t = pq_.read_table(p)
             if root is not None:
-                for k, v in hive_columns(root, p):
+                for k, v in hive_columns(root, p, key_types):
                     typ = pa.int64() if isinstance(v, int) else pa.string()
                     t = t.append_column(
                         k, pa.array([v] * len(t), type=typ))
@@ -126,8 +156,9 @@ def compact_parquet_dir(src: str, dst: str | None = None,
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     os.makedirs(tmp)
+    key_types = hive_key_types(src, [p for p, _ in files])
     futs = [_compact_bin.remote(b, os.path.join(tmp, f"part-{i:05d}.parquet"),
-                                src)
+                                src, key_types)
             for i, b in enumerate(bins)]
     res = ray.get(futs)
     rows = sum(r for r, _ in res)

@@ -65,9 +65,14 @@ def parse_robots(body: str, user_agent: str = "*") -> RobotsRules:
     whose agent token is a case-insensitive substring of the UA string
     wins, LONGEST token first; the ``*`` group is the fallback; no group
     at all = allow everything. Consecutive ``User-agent`` lines share one
-    group (agent accumulation closes at the first rule line); rules
-    before any UA line belong to the fallback group. ``Sitemap:``
-    directives are group-independent and always collected. The default
+    group (agent accumulation closes at the first rule line). Rules
+    appearing BEFORE any ``User-agent`` line are used only when the file
+    declares no group at all (then they act as the fallback group); when
+    any explicit group exists they are dropped — the RFC 9309-strict
+    reading (rules outside a group are undefined), intentionally stricter
+    than pre-round-3 parsing which merged them into the ``*`` group.
+    ``Sitemap:`` directives are group-independent and always collected.
+    The default
     ``user_agent="*"`` reproduces the star-group-only behavior the
     reference crawler relies on (it sets no custom USER_AGENT)."""
     # groups: list of (agent_tokens_lowercased, RobotsRules)

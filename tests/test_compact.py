@@ -66,6 +66,31 @@ def test_compaction_of_wave_sink_is_content_exact(ray_session, tmp_path):
     assert not os.path.exists(res["out_dir"] + ".tmp")
 
 
+def test_hive_key_type_pinned_across_files(ray_session, tmp_path):
+    """Zero-padded partition values ('007') must stay strings, and a key
+    with mixed int/string values across files must compact with ONE pinned
+    type (string) instead of failing mid-bin on a schema mismatch."""
+    from scrapy_ray.sources.compact import hive_columns, hive_key_types
+
+    d = tmp_path / "hv"
+    t = pa.table({"x": [1, 2, 3]})
+    for part in ("007", "42", "abc"):
+        sub = d / f"k={part}"
+        sub.mkdir(parents=True)
+        pq.write_table(t, str(sub / "f.parquet"))
+    files = list_parquet_files(str(d))
+    kt = hive_key_types(str(d), [p for p, _ in files])
+    assert kt == {"k": str}
+    # zero-padded value survives verbatim even standalone
+    assert hive_columns(str(d), str(d / "k=007" / "f.parquet")) == [("k", "007")]
+    res = compact_parquet_dir(str(d), str(tmp_path / "hv_out"), target_mb=64)
+    assert res["rows"] == 9
+    out = pq.read_table([p for p, _ in
+                         list_parquet_files(str(tmp_path / "hv_out"))])
+    assert sorted(set(out["k"].to_pylist())) == ["007", "42", "abc"]
+    assert out.schema.field("k").type == pa.string()
+
+
 def test_compaction_respects_target_size(ray_session, tmp_path):
     d = tmp_path / "many"
     d.mkdir()

@@ -52,6 +52,19 @@ def test_overlap_with_active_middleware_rejected(ray_session, e2e_corpus):
     assert res.metrics["pages_fetched"] > 0
 
 
+def test_retry_redirect_overlap_rejected(ray_session, e2e_corpus):
+    """A status claimed by BOTH retry and redirect middlewares would be
+    double-subtracted from the per-task error count — rejected upfront."""
+    with pytest.raises(ValueError, match="retry_codes and redirect_codes"):
+        run_crawl(e2e_corpus, CrawlConfig(retry_max=2, retry_codes=(301, 500)))
+    # fine when either middleware is off
+    res = run_crawl(e2e_corpus, CrawlConfig(n_filter_shards=2,
+                                            n_frontier_shards=2,
+                                            retry_max=2, retry_codes=(301, 500),
+                                            redirect_max=0, max_pages=20))
+    assert res.metrics["pages_fetched"] > 0
+
+
 ROBOTS_UA = """# comment
 User-agent: googlebot
 User-agent: bingbot

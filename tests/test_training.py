@@ -125,6 +125,37 @@ def test_ppjoin_exact_vs_brute_force(ray_session):
     assert truth, "testdata should contain shingle near-dups"
     assert got_pairs == truth, (len(got_pairs), len(truth),
                                 got_pairs ^ truth)
+    # the df cutoff never fired at test scale — exactness is unconditional
+    assert got.attrs["skipped_groups"] == 0
+
+
+def test_ppjoin_hot_group_cutoff(ray_session, tmp_path):
+    """Property test for the max_bucket df cutoff: a forced corpus-hot
+    shingle (30 identical docs) makes every prefix group exceed a low
+    cutoff — groups are skipped AND reported; the default cutoff keeps the
+    result exact on the same corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scrapy_ray.pipelines.queries7 import q_ppjoin_neardup
+
+    d = tmp_path / "hot"
+    d.mkdir()
+    n = 30
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "text": pa.array(["alpha beta gamma delta"] * n),
+    }), str(d / "documents.parquet"))
+
+    full = q_ppjoin_neardup(str(d))
+    assert len(full) == n * (n - 1) // 2          # all identical -> all pairs
+    assert (full["jaccard"] == 1.0).all()
+    assert full.attrs["skipped_groups"] == 0
+
+    cut = q_ppjoin_neardup(str(d), max_bucket=10)
+    # every prefix group holds all 30 docs -> all skipped, none verified
+    assert len(cut) == 0
+    assert cut.attrs["skipped_groups"] > 0
 
 
 def test_ivf_recall_vs_brute_force(ray_session):
