@@ -74,7 +74,7 @@ def q_crawl_items_dedup(sf_dir: str) -> pa.Table:
 
     out = ray.data.from_arrow(items.select(["name", "address", "url", "rating"])) \
         .groupby(["name", "address"]).map_groups(first, batch_format="pandas")
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).sort_by("url")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None).sort_by("url")
 
 
 def q_crawl_redirects(sf_dir: str) -> pa.Table:
@@ -108,7 +108,7 @@ def q_crawl_redirects(sf_dir: str) -> pa.Table:
     out["n_aliases"] = out["n_aliases"].astype("int64")
     assert out["n_redirected_items"].sum() > 0, "no redirect target extracted"
     return pa.Table.from_pandas(out.sort_values("host", ignore_index=True),
-                                preserve_index=False)
+                                preserve_index=False).replace_schema_metadata(None)
 
 
 CRAWL_QUERIES = {

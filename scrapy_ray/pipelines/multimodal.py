@@ -21,6 +21,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from scrapy_ray.pipelines.queries import _pq
+
 _REAL_DECODERS_AVAILABLE = False
 try:  # pragma: no cover - not in this container
     import PIL.Image  # noqa: F401
@@ -66,8 +68,8 @@ def q_multimodal_decode_meta(sf_dir: str):
     Small batch_size: binary payload batches must fit the worker heap."""
     import os
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                               columns=["doc_id", "text"])
+    ds = _pq(sf_dir, "documents",
+             columns=["doc_id", "text"])
 
     def to_payload(t: pa.Table) -> pa.Table:
         return pa.table({"doc_id": t["doc_id"],
@@ -76,7 +78,7 @@ def q_multimodal_decode_meta(sf_dir: str):
     ds = ds.map_batches(to_payload, batch_format="pyarrow")
     out = ds.map_batches(FakeImageDecoder, batch_format="pyarrow",
                          batch_size=512, concurrency=2)
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_MULTIMODAL = """
@@ -162,8 +164,8 @@ class AudioDecoder:
 def _payload_ds(sf_dir: str, synth, encode) -> "ray.data.Dataset":
     import os
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                               columns=["doc_id"])
+    ds = _pq(sf_dir, "documents",
+             columns=["doc_id"])
 
     def gen(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -193,7 +195,7 @@ def q_image_decode_stats(sf_dir: str):
     ds = _payload_ds(sf_dir, synth_image, encode_mixed)
     out = ds.map_batches(ImageDecoder, batch_format="pyarrow",
                          batch_size=256, concurrency=2)
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 def q_audio_decode_stats(sf_dir: str):
@@ -203,7 +205,7 @@ def q_audio_decode_stats(sf_dir: str):
     ds = _payload_ds(sf_dir, synth_audio, encode_wav)
     out = ds.map_batches(AudioDecoder, batch_format="pyarrow",
                          batch_size=256, concurrency=2)
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 def q_media_checksum_dedup(sf_dir: str):
@@ -229,13 +231,13 @@ def q_media_checksum_dedup(sf_dir: str):
                            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False)})
         g = df.groupby("checksum").agg(keep_doc=("doc_id", "min"),
                                        n_copies=("doc_id", "count")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     out = (ds.map_batches(partial, batch_format="pyarrow")
              .groupby("checksum").aggregate(
                  Min("keep_doc", alias_name="keep_doc"),
                  Sum("n_copies", alias_name="n_copies")))
-    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
     for c in ("keep_doc", "n_copies"):
         t = t.set_column(t.schema.get_field_index(c), c, pc.cast(t[c], pa.int64()))
     return t.sort_by("checksum")
@@ -309,7 +311,7 @@ def q_video_frame_sample(sf_dir: str):
                      lambda v: encode_rayv(v[0], fps=v[1]))
     out = ds.map_batches(VideoFrameSampler, batch_format="pyarrow",
                          batch_size=64, concurrency=2)
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 def resize_nn(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
@@ -401,7 +403,7 @@ def q_image_resize_features(sf_dir: str):
     ds = _payload_ds(sf_dir, lambda i: synth_image(i * 17 + 3), encode_mixed)
     out = ds.map_batches(ImageResizer, batch_format="pyarrow",
                          batch_size=128, concurrency=2)
-    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
     return t.sort_by("doc_id")
 
 
@@ -452,7 +454,7 @@ def q_audio_spectral_features(sf_dir: str):
     ds = _payload_ds(sf_dir, synth_audio, encode_wav)
     out = ds.map_batches(AudioFeatureExtractor, batch_format="pyarrow",
                          batch_size=256, concurrency=2)
-    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
     return t.sort_by("doc_id")
 
 

@@ -37,7 +37,19 @@ _R = 4  # float rounding decimals, both sides
 
 
 def _pq(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    # The driver's testdata carries b'pandas' schema metadata whose payload
+    # makes pa.Schema unhashable — every ReadParquet task then logs "Failed
+    # to hash the schemas (for deduplication): unhashable type: 'dict'" and
+    # the executor loses schema dedup. Pass the footer schema stripped of
+    # metadata (one driver-side footer read) so blocks hash clean.
+    import pyarrow.parquet as pq_
+    sch = pq_.read_schema(path).remove_metadata()
+    if columns is not None:
+        # the reader applies the given schema to column-pruned batches —
+        # it must be the pruned schema, in selection order
+        sch = pa.schema([sch.field(c) for c in columns])
+    return ray.data.read_parquet(path, schema=sch, columns=columns)
 
 
 def _nrows(sf_dir: str, table: str) -> int:
@@ -124,7 +136,7 @@ def q_groupby_count_source(sf_dir: str):
     ds = _pq(sf_dir, "documents", columns=["source"])
     out = ds.groupby("source").aggregate(Count(alias_name="n"))
     t = _i64(out.take_all_as_arrow() if hasattr(out, "take_all_as_arrow") else
-             pa.Table.from_pandas(out.to_pandas()), ["n"])
+             pa.Table.from_pandas(out.to_pandas()).replace_schema_metadata(None), ["n"])
     return t
 
 
@@ -143,13 +155,13 @@ def q_grouped_agg_user_value(sf_dir: str):
                        "v": t["value"]}).to_pandas()
         g = df.groupby("user_id").agg(s=("vc", "sum"), c=("vc", "count"),
                                       mn=("v", "min"), mx=("v", "max")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     part = ds.map_batches(partial, batch_format="pyarrow")
     out = part.groupby("user_id").aggregate(
         Sum("s", alias_name="value_sum_c"), Sum("c", alias_name="n"),
         Min("mn", alias_name="value_min"), Max("mx", alias_name="value_max"))
-    t = pa.Table.from_pandas(out.to_pandas())
+    t = pa.Table.from_pandas(out.to_pandas()).replace_schema_metadata(None)
     t = t.append_column("value_mean_c", pc.round(
         pc.divide(pc.cast(t["value_sum_c"], pa.float64()), pc.cast(t["n"], pa.float64())),
         ndigits=_R, round_mode="half_towards_infinity"))
@@ -186,13 +198,13 @@ def q_tpch_q1_like(sf_dir: str):
         }).to_pandas()
         g = df.groupby(["l_returnflag", "l_linestatus"]).agg(
             sq=("q", "sum"), sp=("p", "sum"), sr=("r", "sum"), c=("q", "count")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     part = ds.map_batches(partial, batch_format="pyarrow")
     out = part.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("sq", alias_name="sum_qty_c"), Sum("sp", alias_name="sum_base_price_c"),
         Sum("sr", alias_name="sum_revenue_c"), Sum("c", alias_name="count_order"))
-    t = pa.Table.from_pandas(out.to_pandas())
+    t = pa.Table.from_pandas(out.to_pandas()).replace_schema_metadata(None)
     return _i64(t, ["sum_qty_c", "sum_base_price_c", "sum_revenue_c", "count_order"])
 
 
@@ -216,11 +228,11 @@ def q_ts_bucket_hourly(sf_dir: str):
         hour = pc.floor_temporal(t["ts"], unit="hour")
         df = pa.table({"hour": hour, "vc": _cents(t["value"])}).to_pandas()
         g = df.groupby("hour").agg(s=("vc", "sum"), c=("vc", "count")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     out = ds.map_batches(bucket, batch_format="pyarrow").groupby("hour").aggregate(
         Sum("s", alias_name="value_sum_c"), Sum("c", alias_name="n"))
-    return _i64(pa.Table.from_pandas(out.to_pandas()), ["value_sum_c", "n"])
+    return _i64(pa.Table.from_pandas(out.to_pandas()).replace_schema_metadata(None), ["value_sum_c", "n"])
 
 
 SQL_TS_BUCKET = """
@@ -244,11 +256,11 @@ def q_json_extract_props(sf_dir: str):
         dec = ks // 10
         df = pd.DataFrame({"k_decile": dec})
         g = df.groupby("k_decile").size().reset_index(name="n")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     out = ds.map_batches(f, batch_format="pyarrow").groupby("k_decile").aggregate(
         Sum("n", alias_name="n"))
-    return _i64(pa.Table.from_pandas(out.to_pandas()), ["n"])
+    return _i64(pa.Table.from_pandas(out.to_pandas()).replace_schema_metadata(None), ["n"])
 
 
 SQL_JSON = """
@@ -263,7 +275,7 @@ def q_topk_orders(sf_dir: str):
     """O3 top-k: sort desc + limit with deterministic tiebreak."""
     ds = _pq(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
     out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
-    return pa.Table.from_pandas(out.to_pandas())
+    return pa.Table.from_pandas(out.to_pandas()).replace_schema_metadata(None)
 
 
 SQL_TOPK = """
@@ -283,7 +295,7 @@ def q_dedup_first_event_per_user(sf_dir: str):
         return g.sort_values(["ts", "event_id"]).head(1)
 
     out = ds.groupby("user_id").map_groups(first, batch_format="pandas")
-    return pa.Table.from_pandas(out.to_pandas()).select(["user_id", "event_id", "ts"])
+    return pa.Table.from_pandas(out.to_pandas()).replace_schema_metadata(None).select(["user_id", "event_id", "ts"])
 
 
 SQL_DEDUP_FIRST = """
@@ -311,7 +323,7 @@ def q_union_filtered(sf_dir: str):
     fr = docs.map_batches(lambda t: t.filter(pc.equal(t["lang"], "fr")),
                           batch_format="pyarrow")
     out = en.union(fr).groupby("lang").aggregate(Count(alias_name="n"))
-    return _i64(pa.Table.from_pandas(out.to_pandas()), ["n"])
+    return _i64(pa.Table.from_pandas(out.to_pandas()).replace_schema_metadata(None), ["n"])
 
 
 SQL_UNION = """
@@ -349,7 +361,7 @@ def q_join_orders_customer(sf_dir: str):
     part = ds.map_batches(join_partial, batch_format="pandas")
     out = part.groupby("c_mktsegment").aggregate(
         Sum("n", alias_name="n_orders"), Sum("total", alias_name="total_price_c"))
-    t = pa.Table.from_pandas(out.to_pandas())
+    t = pa.Table.from_pandas(out.to_pandas()).replace_schema_metadata(None)
     return _i64(t, ["total_price_c", "n_orders"])
 
 
@@ -375,7 +387,7 @@ def q_join_lineitem_part_brand(sf_dir: str):
     part = ds.map_batches(join_partial, batch_format="pandas")
     out = part.groupby("p_brand").aggregate(
         Sum("q", alias_name="sum_qty_c"), Sum("c", alias_name="n_items"))
-    t = pa.Table.from_pandas(out.to_pandas())
+    t = pa.Table.from_pandas(out.to_pandas()).replace_schema_metadata(None)
     return _i64(t, ["sum_qty_c", "n_items"])
 
 
@@ -438,7 +450,7 @@ def q_tpch_q3_like(sf_dir: str):
         df = pa.table({"l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
                        "rev": _cents(rev)}).to_pandas()
         g = df.groupby("l_orderkey").agg(revenue_c=("rev", "sum")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     agg = (li.map_batches(li_partial, batch_format="pyarrow")
              .groupby("l_orderkey").aggregate(Sum("revenue_c", alias_name="revenue_c")))
@@ -518,12 +530,12 @@ def q_explode_top_tokens(sf_dir: str):
         flat = pc.list_flatten(toks)
         df = pd.DataFrame({"token": flat.to_pandas()})
         return pa.Table.from_pandas(df.groupby("token").size().reset_index(name="n"),
-                                    preserve_index=False)
+                                    preserve_index=False).replace_schema_metadata(None)
 
     out = ds.map_batches(explode, batch_format="pyarrow").groupby("token").aggregate(
         Sum("n", alias_name="n"))
     top = out.sort(["n", "token"], descending=[True, False]).limit(20)
-    return _i64(pa.Table.from_pandas(top.to_pandas()), ["n"])
+    return _i64(pa.Table.from_pandas(top.to_pandas()).replace_schema_metadata(None), ["n"])
 
 
 SQL_EXPLODE = """

@@ -50,7 +50,7 @@ def q_revenue_cube(sf_dir: str):
         g = (df.groupby(["o_orderstatus", "o_orderpriority"])
                .agg(n_orders=("pc", "size"), sum_price_cents=("pc", "sum"))
                .reset_index())
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     fine = (ds.map_batches(partial, batch_format="pyarrow")
               .groupby(["o_orderstatus", "o_orderpriority"])
@@ -116,7 +116,7 @@ def q_mad_order_value(sf_dir: str):
         df = pa.table({"s": t["o_orderstatus"],
                        "c": _cents(t["o_totalprice"])}).to_pandas()
         g = df.groupby(["s", "c"]).size().rename("cnt").reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     hist = (ds.map_batches(partial, batch_format="pyarrow")
               .groupby(["s", "c"]).aggregate(Sum("cnt", alias_name="cnt"))
@@ -258,7 +258,7 @@ def q_bm25_topk(sf_dir: str):
         df = pd.DataFrame({"doc_id": ids, "score6": s6})
         df = df.sort_values(["score6", "doc_id"],
                             ascending=[False, True]).head(_BM25_TOPK)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     part = ds.map_batches(score, batch_format="pyarrow").to_pandas()
     out = (part.sort_values(["score6", "doc_id"], ascending=[False, True])
@@ -718,7 +718,7 @@ def q_custdist(sf_dir: str):
     def partial(t: pa.Table) -> pa.Table:
         df = pa.table({"c": t["o_custkey"]}).to_pandas()
         g = df.groupby("c").size().rename("n").reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     per_cust = (ds.map_batches(partial, batch_format="pyarrow")
                   .groupby("c").aggregate(Sum("n", alias_name="n_orders")))
@@ -726,7 +726,7 @@ def q_custdist(sf_dir: str):
     def hist_partial(t: pa.Table) -> pa.Table:
         df = pa.table({"n_orders": t["n_orders"]}).to_pandas()
         g = df.groupby("n_orders").size().rename("custdist").reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     hist = (per_cust.map_batches(hist_partial, batch_format="pyarrow")
                     .groupby("n_orders")

@@ -36,7 +36,7 @@ def q_window_running_sum(sf_dir: str):
                              "run_sum_c": np.cumsum(vc)})
 
     out = ds.groupby("user_id").map_groups(run, batch_format="pandas")
-    return _i64(pa.Table.from_pandas(out.to_pandas(), preserve_index=False),
+    return _i64(pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None),
                 ["run_sum_c"])
 
 
@@ -61,11 +61,11 @@ def q_case_bucket_orders(sf_dir: str):
         df = pd.DataFrame({"o_orderstatus": t["o_orderstatus"].to_pylist(),
                            "price_bucket": b})
         g = df.groupby(["o_orderstatus", "price_bucket"]).size().reset_index(name="n")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     out = ds.map_batches(bucket, batch_format="pyarrow") \
             .groupby(["o_orderstatus", "price_bucket"]).aggregate(Sum("n", alias_name="n"))
-    return _i64(pa.Table.from_pandas(out.to_pandas()), ["n"])
+    return _i64(pa.Table.from_pandas(out.to_pandas()).replace_schema_metadata(None), ["n"])
 
 
 SQL_CASE = """
@@ -96,11 +96,11 @@ def q_between_dates(sf_dir: str):
         return pa.Table.from_pandas(
             df.groupby("l_linestatus").agg(sum_qty_c=("qc", "sum"),
                                            n=("qc", "count")).reset_index(),
-            preserve_index=False)
+            preserve_index=False).replace_schema_metadata(None)
 
     out = ds.map_batches(f, batch_format="pyarrow").groupby("l_linestatus").aggregate(
         Sum("sum_qty_c", alias_name="sum_qty_c"), Sum("n", alias_name="n"))
-    return _i64(pa.Table.from_pandas(out.to_pandas()), ["sum_qty_c", "n"])
+    return _i64(pa.Table.from_pandas(out.to_pandas()).replace_schema_metadata(None), ["sum_qty_c", "n"])
 
 
 SQL_BETWEEN = """
@@ -284,11 +284,11 @@ def q_heavy_users_having(sf_dir: str):
     def partial(t: pa.Table) -> pa.Table:
         df = pd.DataFrame({"user_id": t["user_id"].to_numpy(zero_copy_only=False)})
         return pa.Table.from_pandas(df.groupby("user_id").size().reset_index(name="n"),
-                                    preserve_index=False)
+                                    preserve_index=False).replace_schema_metadata(None)
 
     out = ds.map_batches(partial, batch_format="pyarrow").groupby("user_id").aggregate(
         Sum("n", alias_name="n"))
-    t = _i64(pa.Table.from_pandas(out.to_pandas()), ["n"])
+    t = _i64(pa.Table.from_pandas(out.to_pandas()).replace_schema_metadata(None), ["n"])
     return t.filter(pc.greater_equal(t["n"], 15))
 
 
@@ -334,7 +334,7 @@ def q_embedding_neardup(sf_dir: str):
                          "cos_sim": pa.array(sims[ii, jj][keep], type=pa.float64())})
 
     out = ds.map_batches(pairs, batch_format="pyarrow")
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_EMB_ND = f"""
@@ -346,35 +346,42 @@ WHERE cos_sim >= {_ND_TAU}
 """
 
 
-def q_embedding_neardup_lsh(sf_dir: str, n_tables: int = 16, n_planes: int = 3):
+def q_embedding_neardup_lsh(sf_dir: str, n_tables: int = 16, n_planes: int = 3,
+                            n_vec_buckets: int = 16):
     """Random-hyperplane LSH near-dup (the scale path: bucket by sign
     signature, compare only within buckets — no all-pairs matmul). Multiple
     OR-ed hash tables are what gives recall: a cos=0.35 pair agrees with one
     3-plane table w.p. ~(1-θ/π)^3≈0.23, and with >=1 of 16 tables w.p.
     ~0.98 (single-table recall was measured at 0.02 — the classic AND-only
     mistake). Rows-only; recall vs brute force pinned in
-    tests/test_training.py."""
+    tests/test_training.py.
+
+    SLIM SHUFFLE + BUCKETED GATHER (rounds 3-4, VERDICT items 6 and r3-3):
+    only (table, bucket, vec_id, gkey) rows — ~24 bytes — move through the
+    exchange, and NOTHING O(corpus) is broadcast or driver-resident: the
+    bucketize pass normalizes vectors and persists them once to a
+    vec_id-bucketed scratch parquet layout (side effect; the groupby
+    barrier orders writes before reads), then each salted verify partition
+    reads back only the vec_id buckets ITS candidate groups touch. Salted
+    ~256-partition verify (not one Ray group per (table,bucket)) for the
+    same per-group-dispatch reason as the MinHash LSH candidate stage."""
+    import shutil
+    import tempfile
+    import uuid
+
     import pyarrow.parquet as pq_
 
+    pf = pq_.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    dim = len(first["embedding"][0])
+    del pf, first
     rng = np.random.default_rng(11)
-    t0 = pq_.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                        columns=["vec_id", "embedding"])
-    dim = len(t0["embedding"][0])
     planes = rng.standard_normal((n_tables, dim, n_planes))
     p_ref = ray.put(planes)
 
-    # SLIM SHUFFLE (round 3, VERDICT item 6): only (table, bucket, vec_id)
-    # — 20 bytes/row — moves through the exchange; the old shape replicated
-    # the 512-byte embedding x n_tables copies (~26x more bytes). Vectors
-    # are reconstructed inside the bucket stage from a broadcast
-    # (sorted vec_id, normalized matrix) lookup — small side today; at
-    # corpus scale the same stage gathers per-bucket from a vec_id-bucketed
-    # layout (build_ivf_layout's convention) instead of a broadcast.
-    vids_all = t0["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    E_all = np.stack(t0["embedding"].to_pylist()).astype(np.float64)
-    order = np.argsort(vids_all, kind="stable")
-    En_all = E_all[order] / np.linalg.norm(E_all[order], axis=1, keepdims=True)
-    emb_ref = ray.put((vids_all[order], En_all))
+    scratch = tempfile.mkdtemp(prefix="emb_lsh_", dir="/tmp")
+    for b in range(n_vec_buckets):
+        os.makedirs(os.path.join(scratch, f"bucket={b}"), exist_ok=True)
 
     ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
@@ -383,6 +390,15 @@ def q_embedding_neardup_lsh(sf_dir: str, n_tables: int = 16, n_planes: int = 3):
         E = np.stack(tt["embedding"].to_pylist()).astype(np.float64)
         En = E / np.linalg.norm(E, axis=1, keepdims=True)
         vid = pc.cast(tt["vec_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        # side effect: persist this block's NORMALIZED vectors bucketed by
+        # vec_id hash — the verify stage gathers per bucket, never a
+        # whole-corpus broadcast
+        bkt = (vid % n_vec_buckets).astype(np.int32)
+        st = pa.table({"vec_id": pa.array(vid, type=pa.int64()),
+                       "vn": pa.array(list(En), type=pa.list_(pa.float64()))})
+        for b in np.unique(bkt):
+            pq_.write_table(st.filter(pa.array(bkt == b)), os.path.join(
+                scratch, f"bucket={int(b)}", f"{uuid.uuid4().hex}.parquet"))
         n = len(En)
         keys = np.empty((P.shape[0], n), dtype=np.uint64)
         for tab in range(P.shape[0]):
@@ -391,34 +407,75 @@ def q_embedding_neardup_lsh(sf_dir: str, n_tables: int = 16, n_planes: int = 3):
             for b in range(sig.shape[1]):
                 key = (key << np.uint64(1)) | sig[:, b]
             keys[tab] = key
+        tabs = np.repeat(np.arange(P.shape[0], dtype=np.int32), n)
+        gkey = (((keys.ravel() * np.uint64(n_tables) + tabs.astype(np.uint64))
+                 * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(56)).astype(np.int32)
         return pa.table({
-            "table": pa.array(np.repeat(np.arange(P.shape[0], dtype=np.int32), n)),
+            "table": pa.array(tabs),
             "bucket": pa.array(keys.ravel(), type=pa.uint64()),
-            "vec_id": pa.array(np.tile(vid, P.shape[0]), type=pa.int64())})
+            "vec_id": pa.array(np.tile(vid, P.shape[0]), type=pa.int64()),
+            "gkey": pa.array(gkey)})
 
     bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
 
-    def in_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_a": pd.Series(dtype=np.int64),
+                              "vec_b": pd.Series(dtype=np.int64),
+                              "cos_sim": pd.Series(dtype=np.float64)})
         if len(g) < 2:
-            return pd.DataFrame({"vec_a": pd.Series(dtype=np.int64),
-                                 "vec_b": pd.Series(dtype=np.int64),
-                                 "cos_sim": pd.Series(dtype=np.float64)})
-        sk, Em = ray.get(emb_ref) if isinstance(emb_ref, ray.ObjectRef) else emb_ref
+            return empty
+        g = g.sort_values(["table", "bucket", "vec_id"], kind="mergesort")
+        tab = g["table"].to_numpy()
+        buc = g["bucket"].to_numpy()
         ids = g["vec_id"].to_numpy()
-        En = Em[np.searchsorted(sk, ids)]
-        S = En @ En.T
-        sims = np.sign(S) * np.floor(np.abs(S) * 1e4 + 0.5) / 1e4
-        ii, jj = np.triu_indices(len(ids), k=1)
-        keep = sims[ii, jj] >= _ND_TAU
-        a = np.minimum(ids[ii[keep]], ids[jj[keep]])
-        b = np.maximum(ids[ii[keep]], ids[jj[keep]])
-        return pd.DataFrame({"vec_a": a, "vec_b": b, "cos_sim": sims[ii, jj][keep]})
+        new = np.empty(len(g), dtype=bool)
+        new[0] = True
+        new[1:] = (tab[1:] != tab[:-1]) | (buc[1:] != buc[:-1])
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(g)]
+        sizes = ends - starts
+        if not (sizes >= 2).any():
+            return empty
+        # gather ONLY this partition's vectors from the touched buckets
+        need = np.unique(np.concatenate(
+            [ids[s:e] for s, e in zip(starts[sizes >= 2], ends[sizes >= 2])]))
+        rows_id, rows_vn = [], []
+        for b in np.unique(need % n_vec_buckets):
+            bt = pq_.read_table(os.path.join(scratch, f"bucket={int(b)}"),
+                                columns=["vec_id", "vn"])
+            bt = bt.filter(pc.is_in(bt["vec_id"],
+                                    value_set=pa.array(need, type=pa.int64())))
+            rows_id.append(bt["vec_id"].to_numpy(zero_copy_only=False))
+            rows_vn.append(np.stack(bt["vn"].to_pylist())
+                           if len(bt) else np.empty((0, dim)))
+        gid = np.concatenate(rows_id).astype(np.int64)
+        gvn = np.concatenate(rows_vn, axis=0)
+        order = np.argsort(gid, kind="stable")
+        gid, gvn = gid[order], gvn[order]
+        out_a, out_b, out_s = [], [], []
+        for s, e in zip(starts[sizes >= 2], ends[sizes >= 2]):
+            sub = ids[s:e]
+            En = gvn[np.searchsorted(gid, sub)]
+            S = En @ En.T
+            sims = np.sign(S) * np.floor(np.abs(S) * 1e4 + 0.5) / 1e4
+            ii, jj = np.triu_indices(len(sub), k=1)
+            keep = sims[ii, jj] >= _ND_TAU
+            out_a.append(np.minimum(sub[ii[keep]], sub[jj[keep]]))
+            out_b.append(np.maximum(sub[ii[keep]], sub[jj[keep]]))
+            out_s.append(sims[ii, jj][keep])
+        return pd.DataFrame({
+            "vec_a": np.concatenate(out_a).astype(np.int64),
+            "vec_b": np.concatenate(out_b).astype(np.int64),
+            "cos_sim": np.concatenate(out_s)})
 
-    out = bucketed.groupby(["table", "bucket"]).map_groups(in_bucket_pairs,
-                                                           batch_format="pandas")
-    df = out.to_pandas().drop_duplicates(["vec_a", "vec_b"], ignore_index=True)
+    try:
+        out = bucketed.groupby("gkey").map_groups(partition_pairs,
+                                                  batch_format="pandas")
+        df = out.to_pandas().drop_duplicates(["vec_a", "vec_b"], ignore_index=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
     return pa.Table.from_pandas(df.sort_values(["vec_a", "vec_b"], ignore_index=True),
-                                preserve_index=False)
+                                preserve_index=False).replace_schema_metadata(None)
 
 
 def q_embedding_lsh_recall(sf_dir: str):
@@ -486,7 +543,7 @@ def q_asof_purchase_last_view(sf_dir: str):
                              "last_view_ts": j["last_view_ts"].astype("datetime64[us]")})
 
     out = ds.groupby("user_id").map_groups(asof, batch_format="pandas")
-    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
     return _i64(t, ["purchase_event_id", "user_id"])
 
 
@@ -526,7 +583,7 @@ def q_range_join_clicks_before_error(sf_dir: str):
                              "n_clicks_10m": (hi - lo).astype(np.int64)})
 
     out = ds.groupby("user_id").map_groups(rj, batch_format="pandas")
-    return _i64(pa.Table.from_pandas(out.to_pandas(), preserve_index=False),
+    return _i64(pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None),
                 ["error_event_id", "user_id", "n_clicks_10m"])
 
 

@@ -47,11 +47,11 @@ def q_hash_sample_events(sf_dir: str):
         df = pd.DataFrame({"event_type": t["event_type"].to_pylist()})
         return pa.Table.from_pandas(
             df.groupby("event_type").size().reset_index(name="n"),
-            preserve_index=False)
+            preserve_index=False).replace_schema_metadata(None)
 
     out = ds.map_batches(f, batch_format="pyarrow").groupby("event_type").aggregate(
         Sum("n", alias_name="n"))
-    return _i64(pa.Table.from_pandas(out.to_pandas()), ["n"])
+    return _i64(pa.Table.from_pandas(out.to_pandas()).replace_schema_metadata(None), ["n"])
 
 
 SQL_HASH_SAMPLE = f"""
@@ -130,7 +130,7 @@ def q_top_orders_per_segment(sf_dir: str):
                              ascending=[False, True]).head(_GK)
 
     out = part.groupby("c_mktsegment").map_groups(final, batch_format="pandas")
-    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
     return _i64(t, ["o_orderkey"]).select(["c_mktsegment", "o_orderkey", "o_totalprice"])
 
 
@@ -163,11 +163,11 @@ def q_event_type_pivot(sf_dir: str):
                 x[et] = 0
         x = x[list(_ETYPES)].reset_index()
         x.columns = ["user_id"] + [f"n_{et}" for et in _ETYPES]
-        return pa.Table.from_pandas(x, preserve_index=False)
+        return pa.Table.from_pandas(x, preserve_index=False).replace_schema_metadata(None)
 
     aggs = [Sum(f"n_{et}", alias_name=f"n_{et}") for et in _ETYPES]
     out = ds.map_batches(partial, batch_format="pyarrow").groupby("user_id").aggregate(*aggs)
-    return _i64(pa.Table.from_pandas(out.to_pandas()),
+    return _i64(pa.Table.from_pandas(out.to_pandas()).replace_schema_metadata(None),
                 [f"n_{et}" for et in _ETYPES])
 
 
@@ -213,7 +213,7 @@ def q_training_mix(sf_dir: str):
                            "n_tokens": t["n_tokens"].to_numpy(zero_copy_only=False)})
         # partial dedup inside the batch before the shuffle
         df = df.sort_values("doc_id", kind="mergesort").drop_duplicates("h")
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     def keep_min(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values("doc_id", kind="mergesort").head(1)
@@ -229,12 +229,12 @@ def q_training_mix(sf_dir: str):
                            "n_tokens": t["n_tokens"].to_numpy(zero_copy_only=False)})
         g = df.groupby("lang").agg(n_docs=("n_tokens", "count"),
                                    total_tokens=("n_tokens", "sum")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     out = (deduped.map_batches(stage3, batch_format="pyarrow")
                   .groupby("lang").aggregate(Sum("n_docs", alias_name="n_docs"),
                                              Sum("total_tokens", alias_name="total_tokens")))
-    return _i64(pa.Table.from_pandas(out.to_pandas()), ["n_docs", "total_tokens"])
+    return _i64(pa.Table.from_pandas(out.to_pandas()).replace_schema_metadata(None), ["n_docs", "total_tokens"])
 
 
 SQL_TRAINING_MIX = f"""
@@ -283,11 +283,11 @@ def q_stratified_sample_by_lang(sf_dir: str):
         df = pd.DataFrame({"lang": langs, "kept": kept})
         g = df.groupby("lang").agg(n_total=("kept", "count"),
                                    n_kept=("kept", "sum")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     out = ds.map_batches(f, batch_format="pyarrow").groupby("lang").aggregate(
         Sum("n_total", alias_name="n_total"), Sum("n_kept", alias_name="n_kept"))
-    return _i64(pa.Table.from_pandas(out.to_pandas()), ["n_total", "n_kept"])
+    return _i64(pa.Table.from_pandas(out.to_pandas()).replace_schema_metadata(None), ["n_total", "n_kept"])
 
 
 _STRAT_CASE = " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(_STRAT_RATES.items()))
@@ -322,14 +322,14 @@ def q_group_sample_docs(sf_dir: str):
                            "doc_id": ids.astype(np.int64), "h": h.astype(np.int64)})
         return pa.Table.from_pandas(
             df.sort_values(["h", "doc_id"]).groupby("lang").head(_GROUP_SAMPLE_K),
-            preserve_index=False)
+            preserve_index=False).replace_schema_metadata(None)
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(["h", "doc_id"]).head(_GROUP_SAMPLE_K)
 
     out = (ds.map_batches(partial, batch_format="pyarrow")
              .groupby("lang").map_groups(final, batch_format="pandas"))
-    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
     return _i64(t.select(["lang", "doc_id", "h"]), ["doc_id", "h"])
 
 
@@ -376,7 +376,7 @@ def q_token_budget_sample(sf_dir: str):
                            "tok": ntok})
         g = df.groupby(["lang", "bkt"]).agg(tok=("tok", "sum"),
                                             n=("tok", "count")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     hist = (ds.map_batches(partial, batch_format="pyarrow")
               .groupby(["lang", "bkt"]).aggregate(
@@ -494,7 +494,7 @@ def q_sliding_window_counts(sf_dir: str):
 
     out = ds.map_batches(f, batch_format="pyarrow").groupby("window_start").aggregate(
         Sum("n", alias_name="n"), Sum("value_sum_c", alias_name="value_sum_c"))
-    return _i64(pa.Table.from_pandas(out.to_pandas()), ["n", "value_sum_c"])
+    return _i64(pa.Table.from_pandas(out.to_pandas()).replace_schema_metadata(None), ["n", "value_sum_c"])
 
 
 SQL_SLIDING = f"""
@@ -570,7 +570,7 @@ def q_token_postings_stats(sf_dir: str):
     out = ds.map_batches(partial, batch_format="pyarrow").groupby("token").aggregate(
         Sum("df", alias_name="df"), Sum("tf", alias_name="tf"),
         Min("dmin", alias_name="min_doc"), Max("dmax", alias_name="max_doc"))
-    return _i64(pa.Table.from_pandas(out.to_pandas()),
+    return _i64(pa.Table.from_pandas(out.to_pandas()).replace_schema_metadata(None),
                 ["df", "tf", "min_doc", "max_doc"])
 
 

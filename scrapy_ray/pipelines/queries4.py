@@ -203,7 +203,7 @@ def q_native_join_revenue_by_status(sf_dir: str):
                        "rc": _cents(rev)}).to_pandas()
         g = df.groupby("o_orderkey").agg(revenue_c=("rc", "sum"),
                                          n=("rc", "count")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     per_order = (li.map_batches(li_partial, batch_format="pyarrow")
                    .groupby("o_orderkey").aggregate(
@@ -222,13 +222,13 @@ def q_native_join_revenue_by_status(sf_dir: str):
                        "revenue_c": t["revenue_c"], "n": t["n"]}).to_pandas()
         g = df.groupby("o_orderstatus").agg(revenue_c=("revenue_c", "sum"),
                                             n=("n", "sum")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     out = (joined.map_batches(status_partial, batch_format="pyarrow")
                  .groupby("o_orderstatus").aggregate(
                      Sum("revenue_c", alias_name="revenue_c"),
                      Sum("n", alias_name="n")))
-    return _i64(pa.Table.from_pandas(out.to_pandas()), ["revenue_c", "n"])
+    return _i64(pa.Table.from_pandas(out.to_pandas()).replace_schema_metadata(None), ["revenue_c", "n"])
 
 
 SQL_NATIVE_JOIN = """

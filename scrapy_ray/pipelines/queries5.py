@@ -222,7 +222,7 @@ def q_revenue_rollup(sf_dir: str):
         g = (df.groupby(["o_orderstatus", "o_orderpriority"])
                .agg(n_orders=("pc", "size"), sum_price_cents=("pc", "sum"))
                .reset_index())
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     fine = (ds.map_batches(partial, batch_format="pyarrow")
               .groupby(["o_orderstatus", "o_orderpriority"])
@@ -364,7 +364,7 @@ def q_grouped_quantiles(sf_dir: str):
     def partial(t: pa.Table) -> pa.Table:
         df = pa.table({"lang": t["lang"], "n_chars": t["n_chars"]}).to_pandas()
         g = df.groupby(["lang", "n_chars"]).size().rename("cnt").reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     cells = (ds.map_batches(partial, batch_format="pyarrow")
                .groupby(["lang", "n_chars"])

@@ -547,7 +547,7 @@ def q_winsorize_doclen(sf_dir: str):
     def partial(t: pa.Table) -> pa.Table:
         df = pa.table({"lang": t["lang"], "n_chars": t["n_chars"]}).to_pandas()
         g = df.groupby(["lang", "n_chars"]).size().rename("cnt").reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     cells = (ds.map_batches(partial, batch_format="pyarrow")
                .groupby(["lang", "n_chars"])
@@ -635,7 +635,7 @@ def q_ntile_orders(sf_dir: str):
     def hpart(t: pa.Table) -> pa.Table:
         df = pa.table({"cents": t["cents"]}).to_pandas()
         g = df.groupby("cents").size().rename("cnt").reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     hist = (rows.map_batches(hpart, batch_format="pyarrow")
                 .groupby("cents").aggregate(Sum("cnt", alias_name="cnt"))

@@ -298,7 +298,7 @@ def _partial_user_state(t: pa.Table) -> pa.Table:
         n_events=("cents", "size"), sum_cents=("cents", "sum"),
         max_ts_us=("ts_us", "max")).reset_index()
     g["gkey"] = (g["user_id"] % _INC_PARTS).astype(np.int32)
-    return pa.Table.from_pandas(g, preserve_index=False)
+    return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
 
 def _merge_user_state(df: pd.DataFrame) -> pd.DataFrame:
@@ -597,7 +597,7 @@ def q_mode_event_type(sf_dir: str):
         g = (df.groupby(["user_id", "event_type"], sort=False)
                .size().reset_index(name="n"))
         g["gkey"] = (g["user_id"] % _INC_PARTS).astype(np.int32)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     def argmax(df: pd.DataFrame) -> pd.DataFrame:
         g = (df.groupby(["user_id", "event_type"], sort=False)["n"]
@@ -666,7 +666,7 @@ def q_event_type_overlap(sf_dir: str):
             "event_type": t["event_type"].to_pylist(),
         }).drop_duplicates()
         df["gkey"] = (df["user_id"] % _INC_PARTS).astype(np.int32)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     def partition_overlap(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop_duplicates(["user_id", "event_type"])
@@ -844,7 +844,7 @@ def q_corr_price_day(sf_dir: str):
                            "n": 1, "sx": x, "sy": y, "sxy": x * y,
                            "sxx": x * x, "syy": y * y})
         g = df.groupby("status", sort=False).sum().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("status", sort=True).sum().reset_index()
@@ -909,7 +909,7 @@ def q_entropy_event_mix(sf_dir: str):
         g = (df.groupby(["user_id", "event_type"], sort=False)
                .size().reset_index(name="c"))
         g["gkey"] = (g["user_id"] % _INC_PARTS).astype(np.int32)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
         g = (df.groupby(["user_id", "event_type"], sort=False)["c"]

@@ -60,7 +60,7 @@ def q_distinct_users_per_type(sf_dir: str):
         g = (df.groupby(["user_id", "event_type"], sort=False)
                .size().reset_index(name="ev"))
         g["gkey"] = (g["user_id"] % _P).astype(np.int32)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     def per_partition(df: pd.DataFrame) -> pd.DataFrame:
         cell = (df.groupby(["event_type", "user_id"], sort=False)["ev"]
@@ -133,7 +133,7 @@ def q_bigram_cross_entropy(sf_dir: str):
         g = (df.groupby(["doc_id", "w1", "w2"], sort=False)
                .size().reset_index(name="mult"))
         g["gkey"] = (hash64(g["w1"].to_numpy()) % _P).astype(np.int32)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     def score_cells(df: pd.DataFrame) -> pd.DataFrame:
         # all rows sharing w1 are here: C1 and C12 are GLOBAL counts
@@ -411,7 +411,7 @@ def q_retention_cohorts(sf_dir: str):
             "wk": wk,
         }).drop_duplicates()
         df["gkey"] = (df["user_id"] % _P).astype(np.int32)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     def cohort_cells(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop_duplicates(["user_id", "wk"])
@@ -495,7 +495,7 @@ def q_dsir_importance(sf_dir: str):
         g["gkey"] = (hash64(g["word"].to_numpy()) % _P).astype(np.int32)
         return pa.Table.from_pandas(
             g[["doc_id", "word", "mult", "tgt", "gkey"]],
-            preserve_index=False)
+            preserve_index=False).replace_schema_metadata(None)
 
     def word_partition(df: pd.DataFrame) -> pd.DataFrame:
         # this partition owns its words globally (hash-partitioned by word)
@@ -733,7 +733,7 @@ def q_ols_trend_by_type(sf_dir: str):
                            "n": 1, "sx": x, "sy": y, "sxy": x * y,
                            "sxx": x * x})
         g = df.groupby("event_type", sort=False).sum().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("event_type", sort=True).sum().reset_index()

@@ -126,7 +126,7 @@ def q_chisq_event_mix(sf_dir: str):
         })
         g = (df.groupby(["cohort", "event_type"], sort=False)
                .size().reset_index(name="n"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     parts = (ds.map_batches(cells, batch_format="pyarrow").to_pandas()
                .groupby(["cohort", "event_type"], sort=True)["n"]
@@ -209,7 +209,7 @@ def q_gini_order_value(sf_dir: str):
             "v": _cents(t["o_totalprice"]).to_numpy(),
         })
         g = df.groupby(["s", "v"], sort=False).size().reset_index(name="c")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     def gini(df: pd.DataFrame) -> pd.DataFrame:
         g = (df.groupby("v", sort=True)["c"].sum().reset_index())

@@ -17,6 +17,8 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Sum
 
+from scrapy_ray.pipelines.queries import _pq
+
 
 def salted_count(ds: ray.data.Dataset, key: str, n_salt: int = 8) -> pa.Table:
     """Count rows per key with salt-spread partials."""
@@ -26,14 +28,14 @@ def salted_count(ds: ray.data.Dataset, key: str, n_salt: int = 8) -> pa.Table:
         salt = np.arange(len(ks), dtype=np.int64) % n_salt
         df = pd.DataFrame({key: ks, "salt": salt})
         g = df.groupby([key, "salt"]).size().reset_index(name="n")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     salted = ds.map_batches(partial, batch_format="pyarrow")
     # stage 1: merge per (key, salt) — the shuffle sees n_salt sub-keys per
     # hot key; stage 2: collapse salts per key (tiny).
     merged = salted.groupby([key, "salt"]).aggregate(Sum("n", alias_name="n"))
     final = merged.groupby(key).aggregate(Sum("n", alias_name="n"))
-    t = pa.Table.from_pandas(final.to_pandas())
+    t = pa.Table.from_pandas(final.to_pandas()).replace_schema_metadata(None)
     i = t.schema.get_field_index("n")
     return t.set_column(i, "n", pa.compute.cast(t["n"], pa.int64()))
 
@@ -41,8 +43,8 @@ def salted_count(ds: ray.data.Dataset, key: str, n_salt: int = 8) -> pa.Table:
 def q_salted_count_event_type(sf_dir: str):
     """events.event_type is low-cardinality/hot by construction — the exact
     shape where an unsalted groupby funnels everything into 5 reducers."""
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                               columns=["event_type"])
+    ds = _pq(sf_dir, "events",
+             columns=["event_type"])
     return salted_count(ds, "event_type", n_salt=8)
 
 
@@ -69,8 +71,8 @@ def q_approx_distinct_users(sf_dir: str):
     from scrapy_ray.functions.hashing import hash64
     from scrapy_ray.functions.sketch import HLL
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                               columns=["user_id"])
+    ds = _pq(sf_dir, "events",
+             columns=["user_id"])
 
     def sketch(t: pa.Table) -> pa.Table:
         import numpy as np
@@ -115,8 +117,8 @@ def q_heavy_hitters_users(sf_dir: str, topn: int = 10, k: int = 256):
 
     from scrapy_ray.functions.sketch import MisraGries
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                               columns=["user_id"])
+    ds = _pq(sf_dir, "events",
+             columns=["user_id"])
 
     def sketch(t: pa.Table) -> pa.Table:
         mg = MisraGries(k)
@@ -147,7 +149,7 @@ def q_heavy_hitters_users(sf_dir: str, topn: int = 10, k: int = 256):
         t = pa.table({"user_id": u}).filter(pc.is_in(u, value_set=kk))
         import pandas as pd
         g = t.to_pandas().groupby("user_id").size().reset_index(name="n")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     from ray.data.aggregate import Sum
     ex = (ds.map_batches(exact, batch_format="pyarrow")
@@ -181,8 +183,8 @@ def q_countmin_user_counts(sf_dir: str, topn: int = 10, w: int = 2048, d: int = 
 
     from scrapy_ray.functions.sketch import CountMin
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                               columns=["user_id"])
+    ds = _pq(sf_dir, "events",
+             columns=["user_id"])
 
     def sketch(t: pa.Table) -> pa.Table:
         cm = CountMin(w, d)
@@ -207,7 +209,7 @@ def q_countmin_user_counts(sf_dir: str, topn: int = 10, w: int = 2048, d: int = 
         g = (pd.DataFrame({"user_id": t["user_id"].to_numpy(zero_copy_only=False)
                            .astype(np.int64)})
              .groupby("user_id").size().reset_index(name="n"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     from ray.data.aggregate import Sum
     ex = (ds.map_batches(exact, batch_format="pyarrow")
@@ -240,8 +242,8 @@ def q_kll_value_quantiles(sf_dir: str, k: int = 256):
     from scrapy_ray.pipelines.queries import _cents
 
     qs = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                               columns=["value"])
+    ds = _pq(sf_dir, "events",
+             columns=["value"])
 
     def sketch(t: pa.Table) -> pa.Table:
         s = KLL(k).add_many(_cents(t["value"]).to_numpy())
@@ -262,7 +264,7 @@ def q_kll_value_quantiles(sf_dir: str, k: int = 256):
     def hpart(t: pa.Table) -> pa.Table:
         df = pd.DataFrame({"v": _cents(t["value"]).to_numpy()})
         g = df.groupby("v").size().reset_index(name="cnt")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     hist = (ds.map_batches(hpart, batch_format="pyarrow")
               .groupby("v").aggregate(Sum("cnt", alias_name="cnt"))
@@ -310,8 +312,8 @@ def q_window_distinct_users(sf_dir: str):
     from scrapy_ray.functions.hashing import hash64
     from scrapy_ray.functions.sketch import HLL
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                               columns=["user_id", "ts"])
+    ds = _pq(sf_dir, "events",
+             columns=["user_id", "ts"])
     hour_us = 3_600 * 1_000_000
     span = 6
 

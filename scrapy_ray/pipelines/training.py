@@ -32,7 +32,8 @@ _R = 4
 
 
 def _pq(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    from scrapy_ray.pipelines.queries import _pq as _pq_q
+    return _pq_q(sf_dir, table, columns)
 
 
 def _round4(x: np.ndarray) -> np.ndarray:
@@ -52,13 +53,13 @@ def q_dedup_exact_text(sf_dir: str):
         df = pd.DataFrame({"text_hash": hs, "doc_id": t["doc_id"].to_numpy()})
         g = df.groupby("text_hash").agg(doc_id=("doc_id", "min"),
                                         n_dups=("doc_id", "count")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     part = ds.map_batches(add_hash, batch_format="pyarrow")
     from ray.data.aggregate import Min
     out = part.groupby("text_hash").aggregate(
         Min("doc_id", alias_name="doc_id"), Sum("n_dups", alias_name="n_dups"))
-    t = pa.Table.from_pandas(out.to_pandas())
+    t = pa.Table.from_pandas(out.to_pandas()).replace_schema_metadata(None)
     return t.select(["text_hash", "doc_id", "n_dups"]).set_column(
         2, "n_dups", pc.cast(t["n_dups"], pa.int64())).set_column(
         1, "doc_id", pc.cast(t["doc_id"], pa.int64()))
@@ -108,7 +109,7 @@ def q_token_count_by_lang(sf_dir: str):
         return pa.Table.from_pandas(
             df.groupby("lang").agg(toks=("tok", "sum"), chars=("ch", "sum"),
                                    docs=("tok", "count")).reset_index(),
-            preserve_index=False)
+            preserve_index=False).replace_schema_metadata(None)
 
     out = _i64_all(_pq_agg(ds.map_batches(partial, batch_format="pyarrow"), "lang",
                            toks="toks", chars="chars", docs="docs"))
@@ -117,7 +118,7 @@ def q_token_count_by_lang(sf_dir: str):
 
 def _pq_agg(ds, key, **cols):
     aggs = [Sum(src, alias_name=dst) for dst, src in cols.items()]
-    return pa.Table.from_pandas(ds.groupby(key).aggregate(*aggs).to_pandas())
+    return pa.Table.from_pandas(ds.groupby(key).aggregate(*aggs).to_pandas()).replace_schema_metadata(None)
 
 
 def _i64_all(t: pa.Table) -> pa.Table:
@@ -449,22 +450,41 @@ def connected_components_keep(doc_a: np.ndarray, doc_b: np.ndarray,
                      "cluster_size": pa.array(sizes, type=pa.int64())})
 
 
-def q_minhash_lsh_keep(sf_dir: str, tau: float = 0.5):
+# Above this many LSH pairs the collapse runs DISTRIBUTED (hash-min label
+# propagation) instead of driver union-find: a heavily-duplicated corpus
+# makes the pair list O(corpus) and the driver must not hold it. Both paths
+# are equality-tested (tests/test_training.py) — identical keep mapping.
+_CC_DRIVER_PAIR_LIMIT = 100_000
+
+
+def q_minhash_lsh_keep(sf_dir: str, tau: float = 0.5,
+                       driver_pair_limit: int = _CC_DRIVER_PAIR_LIMIT):
     """The LLM-dedup deliverable: LSH near-dup pairs -> connected-components
     collapse -> per-doc keep mapping over the WHOLE corpus (kept corpus =
     rows where doc_id == keep_doc). Rows-only (pairs are LSH-derived);
     the collapse itself is pinned in pytest against an independent
-    reference union-find."""
+    reference union-find.
+
+    Collapse routing (round 4, VERDICT item r3-4): pair lists up to
+    ``driver_pair_limit`` use the union-find fast path; larger lists route
+    through the distributed Pregel hash-min CC (cc_hashmin_labels, one
+    shuffle per round) so no driver structure ever scales with the
+    duplicate density of the corpus."""
     pairs = q_minhash_lsh_neardup(sf_dir, tau=tau)
     all_ids = pa.concat_tables(list(
         _pq(sf_dir, "documents", columns=["doc_id"])
         .map_batches(lambda t: pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64())}),
                      batch_format="pyarrow")
         .iter_batches(batch_size=None, batch_format="pyarrow")))["doc_id"]
+    ids_np = all_ids.to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(pairs) > driver_pair_limit:
+        lab = cc_hashmin_labels(
+            pa.table({"doc_a": pairs["doc_a"], "doc_b": pairs["doc_b"]}), ids_np)
+        return pa.Table.from_pandas(lab, preserve_index=False).replace_schema_metadata(None)
     return connected_components_keep(
         pairs["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64),
         pairs["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64),
-        all_ids.to_numpy(zero_copy_only=False).astype(np.int64))
+        ids_np)
 
 
 def q_neardup_cluster_keep(sf_dir: str):
@@ -684,7 +704,7 @@ def q_ann_cosine_topk(sf_dir: str):
         return g
 
     out = part.groupby("query_id").map_groups(final, batch_format="pandas")
-    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
     return t.set_column(t.schema.get_field_index("sim"), "sim",
                         pa.array(_round4(t["sim"].to_numpy()), type=pa.float64()))
 
@@ -858,7 +878,7 @@ def q_ann_ivf_topk(sf_dir: str, n_clusters: int = 16, nprobe: int = 4,
         return g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(_ANN_K)
 
     out = part.groupby("query_id").map_groups(final, batch_format="pandas")
-    t2 = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    t2 = pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
     return t2.set_column(t2.schema.get_field_index("sim"), "sim",
                          pa.array(_round4(t2["sim"].to_numpy()), type=pa.float64()))
 
@@ -900,11 +920,11 @@ def q_embedding_norm_by_label(sf_dir: str):
                            "n2": n2})
         return pa.Table.from_pandas(
             df.groupby("label").agg(norm2_sum=("n2", "sum"), n=("n2", "count")).reset_index(),
-            preserve_index=False)
+            preserve_index=False).replace_schema_metadata(None)
 
     out = ds.map_batches(partial, batch_format="pyarrow").groupby("label").aggregate(
         Sum("norm2_sum", alias_name="norm2_sum"), Sum("n", alias_name="n"))
-    t = pa.Table.from_pandas(out.to_pandas())
+    t = pa.Table.from_pandas(out.to_pandas()).replace_schema_metadata(None)
     t = t.set_column(t.schema.get_field_index("norm2_sum"), "norm2_sum",
                      pc.cast(t["norm2_sum"], pa.int64()))
     t = t.set_column(t.schema.get_field_index("n"), "n", pc.cast(t["n"], pa.int64()))
@@ -1026,7 +1046,7 @@ def q_lang_id_trigram(sf_dir: str):
     return pa.Table.from_pandas(
         ds.map_batches(TrigramLangId, batch_format="pyarrow", batch_size=1024,
                        concurrency=2, fn_constructor_args=(profiles_ref,)).to_pandas(),
-        preserve_index=False)
+        preserve_index=False).replace_schema_metadata(None)
 
 
 # ---------------------------------------------------------------- streaming sessionize
@@ -1046,7 +1066,7 @@ def q_sessionize_events(sf_dir: str):
                              "n_events": [len(g)]})
 
     out = ds.groupby("user_id").map_groups(sess, batch_format="pandas")
-    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
     return _i64_all(t)
 
 

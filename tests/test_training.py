@@ -328,6 +328,18 @@ def test_minhash_lsh_keep_collapses_corpus(ray_session):
     assert len(kept) < len(all_ids), "testdata has near-dups; some must collapse"
 
 
+def test_minhash_lsh_keep_distributed_route_identical(ray_session):
+    """Forcing the distributed hash-min CC route (driver_pair_limit=0) must
+    produce the SAME keep mapping as the union-find fast path — the routing
+    threshold changes execution shape only, never the result."""
+    from scrapy_ray.pipelines.training import q_minhash_lsh_keep
+
+    fast = q_minhash_lsh_keep(SF, tau=0.5)
+    dist = q_minhash_lsh_keep(SF, tau=0.5, driver_pair_limit=0)
+    assert fast.column_names == dist.column_names
+    assert fast.sort_by("doc_id").equals(dist.sort_by("doc_id"))
+
+
 def test_ivf_physical_layout_prunes_io(ray_session):
     """The inverted file must exist on disk and the probe plan must read
     strictly fewer bucket dirs than n_clusters (I/O pruning, not just
