@@ -76,6 +76,7 @@ class FrontierShard:
         self._deny_hosts = {h for h, r in self.robots.items() if r.disallow}
         self.n_robots_denied = 0
         self.n_pushed = 0
+        self.n_spilled_total = 0   # monotone: rows ever spilled (observability)
         # disk-backed frontier ([S:queuelib]/JOBDIR parity): host -> spilled
         # row count; rows live in parquet under _spill_dir until the host's
         # politeness clock readies it again (see _maybe_spill/_unspill_ready)
@@ -155,6 +156,7 @@ class FrontierShard:
         del self.queues[host]
         self._queued -= n_live
         self.spilled[host] = self.spilled.get(host, 0) + n_live
+        self.n_spilled_total += n_live
 
     def _unspill_host(self, host: str) -> None:
         path = self._spill_path(host)
@@ -396,6 +398,7 @@ class FrontierShard:
         return {"shard": self.shard_id, "queued": self.size(),
                 "mem_rows": self._queued,
                 "spilled_rows": sum(self.spilled.values()),
+                "spilled_rows_total": self.n_spilled_total,
                 "spilled_hosts": len(self.spilled),
                 "hosts": len(self.queues), "robots_denied": self.n_robots_denied,
                 "pushed": self.n_pushed}
@@ -484,8 +487,16 @@ class ShardedFrontier:
         ray.get([s.set_epoch.remote(epoch) for s in self.shards])
 
     def push(self, rows: pa.Table) -> int:
+        return sum(ray.get(self.push_async(rows)))
+
+    def push_async(self, rows: pa.Table) -> list:
+        """Submit the per-shard push RPCs without waiting. Per-actor FIFO
+        guarantees a later next_wave RPC on the same shard sees these rows,
+        so the engine may defer the ray.get into its end-of-wave overlap
+        section; shard errors (StaleShardError) surface there instead —
+        same recovery path, detection delayed by under one wave."""
         if len(rows) == 0:
-            return 0
+            return []
         shard = self.shard_of_hosts(rows["host"].to_pylist())
         futs = []
         for s in range(self.n_shards):
@@ -493,7 +504,7 @@ class ShardedFrontier:
             if len(idx):
                 futs.append(self.shards[s].push.remote(rows.take(pa.array(idx)),
                                                        epoch=self.epoch))
-        return sum(ray.get(futs))
+        return futs
 
     def update_throttle(self, hosts: list[str], latencies: np.ndarray) -> None:
         if not hosts:
@@ -507,9 +518,16 @@ class ShardedFrontier:
                     [hosts[i] for i in idx], latencies[idx], epoch=self.epoch))
         ray.get(futs)
 
-    def next_wave(self, wave_idx: int) -> pa.Table:
-        parts = ray.get([s.next_wave.remote(wave_idx, epoch=self.epoch)
-                         for s in self.shards])
+    def next_wave_async(self, wave_idx: int) -> list:
+        """Submit every shard's next_wave RPC without waiting. The engine
+        issues these at the END of wave k (after all pushes — per-actor FIFO
+        keeps the shard op order identical to the synchronous path) so the
+        drains overlap the driver's sink/metrics work; merge_wave() finishes
+        the job at the start of wave k+1."""
+        return [s.next_wave.remote(wave_idx, epoch=self.epoch)
+                for s in self.shards]
+
+    def merge_wave(self, parts: list[pa.Table]) -> pa.Table:
         t = pa.concat_tables(parts)
         if len(t) == 0:
             return t
@@ -524,6 +542,9 @@ class ShardedFrontier:
             t = t.slice(0, cap)
         return t
 
+    def next_wave(self, wave_idx: int) -> pa.Table:
+        return self.merge_wave(ray.get(self.next_wave_async(wave_idx)))
+
     def total_size(self) -> int:
         return sum(ray.get([s.size.remote() for s in self.shards]))
 
@@ -537,7 +558,12 @@ class ShardedFrontier:
         return ray.get([s.stats.remote(epoch=self.epoch) for s in self.shards])
 
     def checkpoint(self, dirpath: str) -> None:
-        ray.get([s.checkpoint.remote(dirpath, epoch=self.epoch) for s in self.shards])
+        ray.get(self.checkpoint_async(dirpath))
+
+    def checkpoint_async(self, dirpath: str) -> list:
+        """Submit-only variant (see ShardedUrlSeen.checkpoint_async)."""
+        return [s.checkpoint.remote(dirpath, epoch=self.epoch)
+                for s in self.shards]
 
     def restore(self, dirpath: str) -> None:
         ray.get([s.restore.remote(dirpath) for s in self.shards])

@@ -234,7 +234,13 @@ class ShardedUrlSeen:
         return ray.get([s.stats.remote(epoch=self.epoch) for s in self.shards])
 
     def checkpoint(self, dirpath: str) -> None:
-        ray.get([s.checkpoint.remote(dirpath, epoch=self.epoch) for s in self.shards])
+        ray.get(self.checkpoint_async(dirpath))
+
+    def checkpoint_async(self, dirpath: str) -> list:
+        """Submit shard checkpoint RPCs WITHOUT waiting — the engine overlaps
+        the shard writes with driver-side sink work and ray.get()s the
+        futures before the manifest commit (the commit point is unchanged)."""
+        return [s.checkpoint.remote(dirpath, epoch=self.epoch) for s in self.shards]
 
     def restore(self, dirpath: str) -> None:
         ray.get([s.restore.remote(dirpath) for s in self.shards])

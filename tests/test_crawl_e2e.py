@@ -384,10 +384,12 @@ def test_frontier_spill_crawl_equality(ray_session, e2e_corpus, tmp_path):
                         frontier_spill_dir=str(tmp_path / "spill"))
     eng = CrawlEngine(e2e_corpus, spill)
     eng.seed()
-    spilled_seen = 0
     while eng.run_wave():
-        spilled_seen = max(spilled_seen,
-                           sum(s["spilled_rows"] for s in eng.frontier.stats()))
+        pass
+    # monotone total (not the instantaneous gauge: the wave-prefetch overlap
+    # means stats() now observes post-drain state, where ready hosts have
+    # already been unspilled)
+    spilled_seen = sum(s["spilled_rows_total"] for s in eng.frontier.stats())
     got = eng.result()
     assert spilled_seen > 0, "cap 60 must force real spilling mid-crawl"
     _assert_equal(want, got)
