@@ -78,6 +78,10 @@ def main(argv: list[str] | None = None) -> int:
                         "pages that already yielded items (DeltaFetch)")
     c.add_argument("--no-metarefresh", action="store_true",
                    help="disable the meta-refresh redirect middleware")
+    c.add_argument("--cookies", action="store_true",
+                   help="F6 cookies analogue: per-host session tokens in the "
+                        "frontier shards; requests carry a session column "
+                        "(COOKIES_ENABLED)")
     c.add_argument("--download-maxsize", type=int, default=0,
                    help="drop responses with bodies larger than this many "
                         "raw bytes (DOWNLOAD_MAXSIZE; 0 = off)")
@@ -240,6 +244,7 @@ def main(argv: list[str] | None = None) -> int:
                 n_frontier_shards=args.frontier_shards,
                 checkpoint_dir=checkpoint,
                 autothrottle=args.autothrottle,
+                cookies=args.cookies,
                 retry_max=args.retry_max,
                 metarefresh=not args.no_metarefresh,
                 deltafetch_items=args.deltafetch,
@@ -263,7 +268,11 @@ def main(argv: list[str] | None = None) -> int:
                                  if args.fields else None),
                          batch_item_count=args.batch_item_count,
                          compress=args.compress)
-            print(json.dumps(res.metrics))
+            m = dict(res.metrics)
+            if "sessions" in m:   # F6: summarize (one entry per host/request)
+                m["n_session_hosts"] = len(m.pop("sessions"))
+                m["n_session_log"] = len(m.pop("session_log"))
+            print(json.dumps(m))
     finally:
         ray.shutdown()
     return 0

@@ -121,6 +121,20 @@ class CrawlConfig:
     # unaffected — they produce no items). Simulator-mirrored.
     deltafetch_items: str | None = None
 
+    # F6 cookies analogue ([S:scrapy/downloadermiddlewares/cookies.py],
+    # adapted for corpus replay): per-host session tokens managed inside the
+    # frontier shard that owns the host (the "cookie jar" partitions with
+    # the politeness/robots state). Every FETCHED response of a host — the
+    # point where pages_fetched counts, after the maxsize gate, before
+    # status diversion — "sets" the host session to hash64(response url);
+    # within a wave the LAST response (max seq) wins, like a server rotating
+    # a session cookie per hit. Requests emitted by later waves carry the
+    # current token as a uint64 `session` column (0 = no session yet) — the
+    # Cookie-header analogue, wave-granular because responses of wave k can
+    # only influence requests of wave k+1 on a batch engine.
+    # Simulator-mirrored; zero cost when off (no extra column, no RPCs).
+    cookies: bool = False            # COOKIES_ENABLED
+
     # close-spider limits ([S:scrapy/extensions/closespider.py])
     max_pages: int = 0               # CLOSESPIDER_PAGECOUNT, 0 = unlimited
     max_items: int = 0               # CLOSESPIDER_ITEMCOUNT

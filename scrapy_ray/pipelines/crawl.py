@@ -200,6 +200,7 @@ class CrawlEngine:
         self._mem_items: list[pa.Table] = []
         self._mem_order: list[pa.Table] = []
         self._seeds: list[dict] | None = None
+        self.session_log: list[tuple[int, int]] = []   # F6: (seq, token)
         # (wave_idx, [per-shard next_wave futures]) issued at the END of the
         # previous wave so shard drains overlap driver sink/metrics work —
         # the round-4 attack on the per-wave serial floor (VERDICT item 2)
@@ -343,6 +344,7 @@ class CrawlEngine:
                 self.urlseen.reset()
                 self.frontier.reset()
                 self._mem_items, self._mem_order = [], []
+                self.session_log = []
                 self.wave_idx = 0
                 self.next_seq = 0
                 self.pages_fetched = 0
@@ -450,13 +452,17 @@ class CrawlEngine:
                                  return_counts=True)
         for dv, dc in zip(dvals, dcnts):
             self.depth_stats[int(dv)] = self.depth_stats.get(int(dv), 0) + int(dc)
+        if cfg.cookies:
+            # F6: record the Cookie-header analogue each request carried
+            self.session_log.extend(zip(wave["seq"].to_pylist(),
+                                        wave["session"].to_pylist()))
 
         # ONE distributed pass per wave: partition-pruned fetch-join + fused
         # parse + in-task items/links splits — neither html nor list columns
         # reach the driver (stages/fetch.py fetch_parse_wave, stages/parse.py).
         _t0 = _time.perf_counter()
         (items, links, n_fetched, hstats, retry_rows, redirect_rows,
-         (n_maxsize_drop, n_maxsize_warn, n_err)) = fetch_parse_wave(
+         (n_maxsize_drop, n_maxsize_warn, n_err), sess_updates) = fetch_parse_wave(
             self.root, wave, self.n_buckets, cache=self._bucket_cache,
             registry_ref=self._registry_ref, want_stats=cfg.autothrottle,
             retry_cfg=((cfg.retry_codes, cfg.retry_max) if cfg.retry_max else None),
@@ -468,7 +474,8 @@ class CrawlEngine:
             maxsize_cfg=((cfg.download_maxsize, cfg.download_warnsize)
                          if (cfg.download_maxsize or cfg.download_warnsize)
                          else None),
-            allowed_statuses=cfg.handle_httpstatus_list)
+            allowed_statuses=cfg.handle_httpstatus_list,
+            want_sessions=cfg.cookies)
         self.maxsize_dropped += n_maxsize_drop
         self.maxsize_warned += n_maxsize_warn
         self.error_count += n_err
@@ -482,6 +489,18 @@ class CrawlEngine:
             lat = (df["nbytes"] / df["n"] / cfg.at_bytes_per_sec).to_numpy()
             self.frontier.update_throttle(df["host"].tolist(), lat)
 
+        push_futs: list = []    # deferred shard RPCs (per-actor FIFO orders
+        #                         them before the prefetched next_wave;
+        #                         collected in the overlap section)
+        if cfg.cookies and len(sess_updates):
+            # F6: per-host max-seq winner across this wave's tasks ("last
+            # response wins", Scrapy jar order), routed to the owning shards
+            sdf = sess_updates.to_pandas()
+            sdf = (sdf.sort_values(["host", "seq"], kind="mergesort")
+                      .groupby("host", as_index=False).last())
+            push_futs += self.frontier.update_sessions_async(
+                sdf["host"].tolist(), [int(t) for t in sdf["token"]])
+
         self.pages_fetched += n_fetched
         if self.item_pipelines:
             from scrapy_ray.registry import apply_chain
@@ -489,9 +508,6 @@ class CrawlEngine:
             items = apply_chain(self.item_pipelines, items)
         self.items_count += len(items)
 
-        push_futs: list = []    # deferred per-shard push RPCs (FIFO-ordered
-        #                         before the prefetched next_wave; collected
-        #                         in the overlap section after the sink)
         if len(links):
             _t0 = _time.perf_counter()
             links = links.sort_by([("parent_seq", "ascending"), ("link_idx", "ascending")])
@@ -612,6 +628,15 @@ class CrawlEngine:
             "frontier_remaining": sum(s["queued"] for s in fstats),
             "phase_times": {k: round(v, 3) for k, v in self.phase_times.items()},
         }
+        if self.cfg.cookies:
+            # F6 observability: final per-host jar + the Cookie-header
+            # analogue every scheduled request carried ((seq, token), seq
+            # order). session_log is driver-side and not checkpointed — a
+            # resumed run reports the post-resume slice only.
+            metrics["sessions"] = {h: int(t) for h, t
+                                   in sorted(self.frontier.sessions().items())}
+            metrics["session_log"] = sorted(
+                (int(s), int(t)) for s, t in self.session_log)
         return CrawlResult(items=items, crawl_order=order, url_seen=seen, metrics=metrics)
 
 

@@ -78,6 +78,8 @@ def simulate_crawl(corpus_root: str, cfg: CrawlConfig | None = None,
     queues: dict[str, list] = defaultdict(list)
     last_emit: dict[str, int] = {}
     at_delay: dict[str, float] = {}   # F4 mirror (see config.py)
+    sessions: dict[str, int] = {}     # F6 mirror (see CrawlConfig.cookies)
+    session_log: list[tuple[int, int]] = []
     next_seq = 0
     n_robots_denied = 0
 
@@ -191,6 +193,8 @@ def simulate_crawl(corpus_root: str, cfg: CrawlConfig | None = None,
         for c in emitted:
             order_rows.append((c["seq"], wave_idx, c["url"]))
             depth_stats[c["depth"]] = depth_stats.get(c["depth"], 0) + 1
+            if cfg.cookies:   # F6: the token this request carried
+                session_log.append((c["seq"], sessions.get(c["host"], 0)))
 
         # fetch + parse in seq order (canonical link order = parent seq asc,
         # document order — matches engine's (parent_seq, link_idx) sort).
@@ -204,6 +208,7 @@ def simulate_crawl(corpus_root: str, cfg: CrawlConfig | None = None,
         retry_cands: list[dict] = []                 # [S:retry.py] mirror
         redirect_cands: list[dict] = []              # [S:redirect.py] mirror
         wave_host_bytes: dict[str, list[int]] = {}   # host -> [n, nbytes] (F4)
+        sess_wave: dict[str, int] = {}               # F6 mirror: last wins
         for c in sorted(emitted, key=lambda c: c["seq"]):
             i = page_of.get(c["url"])
             if i is None:
@@ -224,6 +229,10 @@ def simulate_crawl(corpus_root: str, cfg: CrawlConfig | None = None,
                 st[0] += 1
                 st[1] += len(pages["html"][i].as_py())
             pages_fetched += 1
+            if cfg.cookies:
+                # F6 mirror: every FETCHED response (incl. diverted) rotates
+                # the host session; seq-order loop makes overwrite = max seq
+                sess_wave[c["host"]] = int(hash64_one(c["url"]))
             if not (200 <= statuses[i] < 300):   # M10
                 if (cfg.redirect_max and statuses[i] in cfg.redirect_codes
                         and locations[i]
@@ -317,6 +326,8 @@ def simulate_crawl(corpus_root: str, cfg: CrawlConfig | None = None,
                 prev = at_delay.get(h, cfg.at_start_delay)
                 new = (prev + lat / cfg.at_target_concurrency) / 2.0
                 at_delay[h] = min(max(new, cfg.download_delay), cfg.at_max_delay)
+        if cfg.cookies:
+            sessions.update(sess_wave)   # F6: applied before the next wave
         schedule2(cands)
         # redirect targets take seqs AFTER this wave's fresh links and
         # BEFORE its retries; normal dedup, NO spider-middleware filters
@@ -355,5 +366,9 @@ def simulate_crawl(corpus_root: str, cfg: CrawlConfig | None = None,
                  "maxsize_warned": maxsize_warned,
                  "error_responses": error_count,
                  "depth_stats": {str(k): v for k, v
-                                 in sorted(depth_stats.items())}},
+                                 in sorted(depth_stats.items())},
+                 **({"sessions": {h: int(t) for h, t
+                                  in sorted(sessions.items())},
+                     "session_log": sorted(session_log)}
+                    if cfg.cookies else {})},
     )

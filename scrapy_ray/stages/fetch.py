@@ -30,6 +30,36 @@ CARRY = ["depth", "priority", "seq", "callback"]
 HOST_STATS_SCHEMA = pa.schema([("host", pa.string()), ("n", pa.int64()),
                                ("nbytes", pa.int64())])
 
+# F6 cookies analogue: per-host session update emitted by each fetch task —
+# (host, seq of the task's last-fetched row for the host, hash64(its url))
+SESSION_SCHEMA = pa.schema([("host", pa.string()), ("seq", pa.int64()),
+                            ("token", pa.uint64())])
+
+
+def _session_updates(t: pa.Table) -> pa.Table:
+    """F6 ([S:cookies.py] analogue): this task's per-host session
+    contribution — the max-seq fetched row per host sets the token to
+    hash64(url), like a server rotating a session cookie per hit. Runs on
+    the joined (page x wave) table at the pages_fetched count point
+    (after the maxsize gate, before status diversion), so EVERY response
+    refreshes the jar, exactly as Set-Cookie applies to redirects too."""
+    from scrapy_ray.functions.hashing import hash64
+
+    if len(t) == 0:
+        return SESSION_SCHEMA.empty_table()
+    seqs = t["seq"].to_numpy(zero_copy_only=False).astype(np.int64)
+    hosts = np.asarray(t["host"].to_pylist(), dtype=object)
+    idx = np.lexsort((seqs, hosts))
+    hs = hosts[idx]
+    last = np.r_[hs[1:] != hs[:-1], True]
+    sel = idx[last]
+    urls_all = t["url"].to_pylist()
+    urls = [urls_all[i] for i in sel]
+    return pa.table({"host": pa.array(list(hs[last]), type=pa.string()),
+                     "seq": pa.array(seqs[sel], type=pa.int64()),
+                     "token": pa.array(hash64(urls), type=pa.uint64())},
+                    schema=SESSION_SCHEMA)
+
 
 def _retry_rows(t: pa.Table, retry_codes: tuple, retry_max: int) -> pa.Table:
     """Fetched rows whose status is retryable and attempt budget remains ->
@@ -223,7 +253,8 @@ def _empty_fetched(page_schema: pa.Schema) -> pa.Table:
 def _fetch_parse_bucket(path: str, sub: pa.Table, registry_ref=None,
                         want_stats: bool = False, retry_cfg=None,
                         redirect_cfg=None, metarefresh_cfg=None,
-                        maxsize_cfg=None, allowed_statuses: tuple = ()) -> tuple:
+                        maxsize_cfg=None, allowed_statuses: tuple = (),
+                        want_sessions: bool = False) -> tuple:
     """Read one corpus bucket with an ``url IN (...)`` parquet filter
     (row-group pruning — bucket files are written sorted by url and ``sub``
     is a url-sorted contiguous wave slice, so a chunk touches few row
@@ -254,12 +285,15 @@ def _fetch_parse_bucket(path: str, sub: pa.Table, registry_ref=None,
     if len(t) == 0:
         return (schemas.ITEMS.empty_table(), schemas.LINKS.empty_table(), 0,
                 HOST_STATS_SCHEMA.empty_table(), schemas.RETRY_ROWS.empty_table(),
-                schemas.REDIRECT_ROWS.empty_table(), (nd, nw, 0))
+                schemas.REDIRECT_ROWS.empty_table(), (nd, nw, 0),
+                SESSION_SCHEMA.empty_table())
     stats = _host_stats(t) if want_stats else HOST_STATS_SCHEMA.empty_table()
     t = t.join(sub, keys="url", join_type="inner")
     n_fetched = len(t)    # BEFORE the meta-refresh split removes rows — a
                           # diverted interstitial is still a fetched page
                           # (simulator counts at the same point)
+    sess = (_session_updates(t) if want_sessions
+            else SESSION_SCHEMA.empty_table())
     retries = (_retry_rows(t, *retry_cfg) if retry_cfg is not None
                else schemas.RETRY_ROWS.empty_table())
     redirects = (_redirect_rows(t, *redirect_cfg) if redirect_cfg is not None
@@ -277,7 +311,7 @@ def _fetch_parse_bucket(path: str, sub: pa.Table, registry_ref=None,
         - n_diverted
     return (split_items(parsed), split_links(parsed, routes=routes, rules=rules),
             n_fetched,
-            stats, retries, redirects, (nd, nw, n_err))
+            stats, retries, redirects, (nd, nw, n_err), sess)
 
 
 @ray.remote
@@ -295,7 +329,8 @@ def _load_bucket(path: str) -> pa.Table:
 def _fetch_parse_cached(bucket: pa.Table, sub: pa.Table, registry_ref=None,
                         want_stats: bool = False, retry_cfg=None,
                         redirect_cfg=None, metarefresh_cfg=None,
-                        maxsize_cfg=None, allowed_statuses: tuple = ()) -> tuple:
+                        maxsize_cfg=None, allowed_statuses: tuple = (),
+                        want_sessions: bool = False) -> tuple:
     """In-memory probe variant of _fetch_parse_bucket: ``bucket`` arrives as
     a zero-copy plasma reference; filter + join + parse + split in-task."""
     from scrapy_ray import schemas
@@ -315,12 +350,15 @@ def _fetch_parse_cached(bucket: pa.Table, sub: pa.Table, registry_ref=None,
     if len(t) == 0:
         return (schemas.ITEMS.empty_table(), schemas.LINKS.empty_table(), 0,
                 HOST_STATS_SCHEMA.empty_table(), schemas.RETRY_ROWS.empty_table(),
-                schemas.REDIRECT_ROWS.empty_table(), (nd, nw, 0))
+                schemas.REDIRECT_ROWS.empty_table(), (nd, nw, 0),
+                SESSION_SCHEMA.empty_table())
     stats = _host_stats(t) if want_stats else HOST_STATS_SCHEMA.empty_table()
     t = t.join(sub, keys="url", join_type="inner")
     n_fetched = len(t)    # BEFORE the meta-refresh split removes rows — a
                           # diverted interstitial is still a fetched page
                           # (simulator counts at the same point)
+    sess = (_session_updates(t) if want_sessions
+            else SESSION_SCHEMA.empty_table())
     retries = (_retry_rows(t, *retry_cfg) if retry_cfg is not None
                else schemas.RETRY_ROWS.empty_table())
     redirects = (_redirect_rows(t, *redirect_cfg) if redirect_cfg is not None
@@ -338,7 +376,7 @@ def _fetch_parse_cached(bucket: pa.Table, sub: pa.Table, registry_ref=None,
         - n_diverted
     return (split_items(parsed), split_links(parsed, routes=routes, rules=rules),
             n_fetched,
-            stats, retries, redirects, (nd, nw, n_err))
+            stats, retries, redirects, (nd, nw, n_err), sess)
 
 
 class BucketCache:
@@ -427,7 +465,8 @@ def fetch_parse_wave(corpus_root: str, wave: pa.Table, n_buckets: int,
                      cache: "BucketCache | None" = None, registry_ref=None,
                      want_stats: bool = False, retry_cfg=None,
                      redirect_cfg=None, metarefresh_cfg=None,
-                     maxsize_cfg=None, allowed_statuses: tuple = ()) -> tuple:
+                     maxsize_cfg=None, allowed_statuses: tuple = (),
+                     want_sessions: bool = False) -> tuple:
     """Wave-loop fast path (SURVEY §7.4.3): the per-wave fetch-join is a
     repeated *small indexed lookup*, for which per-wave ``read_parquet``
     Dataset construction costs seconds (fragment sampling). Raw Ray tasks —
@@ -484,22 +523,24 @@ def fetch_parse_wave(corpus_root: str, wave: pa.Table, n_buckets: int,
                                                        retry_cfg, redirect_cfg,
                                                        metarefresh_cfg,
                                                        maxsize_cfg,
-                                                       allowed_statuses))
+                                                       allowed_statuses,
+                                                       want_sessions))
             else:
                 futs.append(_fetch_parse_bucket.remote(paths[int(b)], sub,
                                                        registry_ref, want_stats,
                                                        retry_cfg, redirect_cfg,
                                                        metarefresh_cfg,
                                                        maxsize_cfg,
-                                                       allowed_statuses))
-    items_p, links_p, stats_p, retry_p, redir_p, n = [], [], [], [], [], 0
+                                                       allowed_statuses,
+                                                       want_sessions))
+    items_p, links_p, stats_p, retry_p, redir_p, sess_p, n = [], [], [], [], [], [], 0
     nd_sum = nw_sum = ne_sum = 0
     # consume incrementally: driver-side deserialization + concat overlap
     # with still-running tasks instead of waiting for the full barrier
     pending = futs
     while pending:
         done, pending = ray.wait(pending, num_returns=min(16, len(pending)))
-        for it, lk, nf, st, rr, rd, (nd, nw, ne) in ray.get(done):
+        for it, lk, nf, st, rr, rd, (nd, nw, ne), se in ray.get(done):
             n += nf
             nd_sum += nd
             nw_sum += nw
@@ -514,6 +555,8 @@ def fetch_parse_wave(corpus_root: str, wave: pa.Table, n_buckets: int,
                 retry_p.append(rr)
             if len(rd):
                 redir_p.append(rd)
+            if len(se):
+                sess_p.append(se)
     items = pa.concat_tables(items_p) if items_p else schemas.ITEMS.empty_table()
     links = pa.concat_tables(links_p) if links_p else schemas.LINKS.empty_table()
     stats = (pa.concat_tables(stats_p) if stats_p
@@ -522,7 +565,10 @@ def fetch_parse_wave(corpus_root: str, wave: pa.Table, n_buckets: int,
                else schemas.RETRY_ROWS.empty_table())
     redirects = (pa.concat_tables(redir_p) if redir_p
                  else schemas.REDIRECT_ROWS.empty_table())
-    return items, links, n, stats, retries, redirects, (nd_sum, nw_sum, ne_sum)
+    sess = (pa.concat_tables(sess_p) if sess_p
+            else SESSION_SCHEMA.empty_table())
+    return (items, links, n, stats, retries, redirects,
+            (nd_sum, nw_sum, ne_sum), sess)
 
 
 def fetch_wave(corpus_root: str, wave: pa.Table, n_buckets: int) -> ray.data.Dataset:

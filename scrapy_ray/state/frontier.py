@@ -82,6 +82,13 @@ class FrontierShard:
         # politeness clock readies it again (see _maybe_spill/_unspill_ready)
         self.spilled: dict[str, int] = {}
         self._spill_dir: str | None = None
+        # F6 cookies analogue ([S:scrapy/downloadermiddlewares/cookies.py]):
+        # per-host session token — host affinity puts the "cookie jar" in
+        # the shard that owns the host, exactly where robots/politeness
+        # state already lives. Updated once per wave from the host's
+        # LAST-fetched response (max seq), carried on every emitted request
+        # row as a `session` column when cfg.cookies is on.
+        self.sessions: dict[str, int] = {}
         self.epoch = -1  # stamped by the driver; -1 = fresh/restarted actor
 
     def set_epoch(self, epoch: int) -> None:
@@ -185,6 +192,19 @@ class FrontierShard:
         for host in sorted(self.spilled):
             if wave_idx >= self._ready_at(host):
                 self._unspill_host(host)
+
+    def update_sessions(self, hosts: list[str], tokens: list[int],
+                        epoch: int | None = None) -> None:
+        """F6: overwrite each host's session token with this wave's value
+        (the engine pre-reduced to the max-seq response per host; wave
+        order means a later wave always wins, like a rotating Set-Cookie)."""
+        self._guard(epoch)
+        for h, tok in zip(hosts, tokens):
+            self.sessions[h] = int(tok)
+
+    def get_sessions(self, epoch: int | None = None) -> dict[str, int]:
+        self._guard(epoch)
+        return dict(self.sessions)
 
     def update_throttle(self, hosts: list[str], latencies: np.ndarray,
                         epoch: int | None = None) -> None:
@@ -328,9 +348,19 @@ class FrontierShard:
                     del self.queues[host]
             self.last_emit_wave[host] = wave_idx
         if not picks:
-            return schemas.FRONTIER.empty_table()
+            out = schemas.FRONTIER.empty_table()
+            if cfg.cookies:   # keep shard emissions concat-compatible
+                out = out.append_column("session",
+                                        pa.array([], type=pa.uint64()))
+            return out
         out = self._take_pairs(np.concatenate(picks, axis=1))
         self._maybe_compact()
+        if cfg.cookies:
+            # F6: every request carries its host's current session token
+            # (0 = no session yet) — the Cookie header analogue
+            out = out.append_column("session", pa.array(
+                [self.sessions.get(h, 0) for h in out["host"].to_pylist()],
+                type=pa.uint64()))
         return out
 
     def _all_pairs(self) -> np.ndarray:
@@ -413,6 +443,7 @@ class FrontierShard:
         self._queued = 0
         self.last_emit_wave = {}
         self.at_delay = {}
+        self.sessions = {}
         self.n_robots_denied = 0
         self.n_pushed = 0
 
@@ -432,6 +463,7 @@ class FrontierShard:
         with open(jtmp, "w") as fh:
             json.dump({"last_emit_wave": self.last_emit_wave,
                        "at_delay": self.at_delay,
+                       "sessions": self.sessions,
                        "n_robots_denied": self.n_robots_denied,
                        "n_pushed": self.n_pushed}, fh)
         os.replace(jtmp, os.path.join(dirpath, f"clock_{self.shard_id}.json"))
@@ -448,6 +480,7 @@ class FrontierShard:
             d = json.load(fh)
         self.last_emit_wave = {k: int(v) for k, v in d["last_emit_wave"].items()}
         self.at_delay = {k: float(v) for k, v in d.get("at_delay", {}).items()}
+        self.sessions = {k: int(v) for k, v in d.get("sessions", {}).items()}
         self.n_robots_denied = d["n_robots_denied"]
         self.n_pushed = d["n_pushed"]
         self._maybe_spill()   # re-bound memory immediately after restore
@@ -505,6 +538,29 @@ class ShardedFrontier:
                 futs.append(self.shards[s].push.remote(rows.take(pa.array(idx)),
                                                        epoch=self.epoch))
         return futs
+
+    def update_sessions_async(self, hosts: list[str], tokens: list[int]) -> list:
+        """F6: route per-host session updates to the owning shards —
+        submit-only (FIFO-ordered before the next wave's drain)."""
+        if not hosts:
+            return []
+        shard = self.shard_of_hosts(hosts)
+        futs = []
+        for s in range(self.n_shards):
+            idx = np.nonzero(shard == s)[0]
+            if len(idx):
+                futs.append(self.shards[s].update_sessions.remote(
+                    [hosts[i] for i in idx], [tokens[i] for i in idx],
+                    epoch=self.epoch))
+        return futs
+
+    def sessions(self) -> dict[str, int]:
+        """Merged host -> session-token map (disjoint by host partitioning)."""
+        out: dict[str, int] = {}
+        for d in ray.get([s.get_sessions.remote(epoch=self.epoch)
+                          for s in self.shards]):
+            out.update(d)
+        return out
 
     def update_throttle(self, hosts: list[str], latencies: np.ndarray) -> None:
         if not hosts:

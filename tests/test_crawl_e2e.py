@@ -107,7 +107,7 @@ def test_fetch_wave_dataset_path(ray_session, e2e_corpus):
     ds_urls = set()
     for b in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
         ds_urls.update(b["url"].to_pylist())
-    items, links, n_fetched, _hstats, _rr, _rd, _sz = fetch_parse_wave(
+    items, links, n_fetched, _hstats, _rr, _rd, _sz, _se = fetch_parse_wave(
         e2e_corpus, wave, eng.n_buckets)
     assert len(ds_urls) == n_fetched
     assert ds_urls <= set(wave["url"].to_pylist())

@@ -244,6 +244,7 @@ def test_randomized_config_sweep(ray_session, tmp_path):
             max_errors=rng.choice([0, 0, 5]),
             frontier_max_rows=rng.choice([0, 0, 50]),
             max_wave_urls=rng.choice([0, 0, 30]),
+            cookies=rng.random() < 0.5,
         )
         sim = simulate_crawl(corpus, cfg)
         eng = run_crawl(corpus, cfg)
@@ -252,5 +253,8 @@ def test_randomized_config_sweep(ray_session, tmp_path):
             assert eng.metrics["pages_fetched"] == sim.metrics["pages_fetched"]
             assert eng.metrics["error_responses"] == sim.metrics["error_responses"]
             assert eng.metrics["depth_stats"] == sim.metrics["depth_stats"]
+            if cfg.cookies:   # F6: full per-request session-log equality
+                assert eng.metrics["session_log"] == sim.metrics["session_log"]
+                assert eng.metrics["sessions"] == sim.metrics["sessions"]
         except AssertionError as e:
             raise AssertionError(f"trial {trial} cfg={cfg}") from e
