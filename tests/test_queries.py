@@ -96,6 +96,13 @@ SUBSET = [
     "window_frames_user_value",
     "hits_docs",
     "custdist",
+    "exists_discounted_orders",
+    "large_volume_orders",
+    "rich_inactive_customers",
+    "unpivot_orders",
+    "zscore_doclen_by_lang",
+    "behavior_signatures",
+    "histogram_order_value",
 ]
 
 
