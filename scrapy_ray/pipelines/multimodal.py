@@ -243,6 +243,83 @@ def q_media_checksum_dedup(sf_dir: str):
     return t.sort_by("checksum")
 
 
+def dhash64(gray: np.ndarray) -> int:
+    """64-bit difference hash: nearest-neighbor resample to 8x9, bit k =
+    (right pixel > left pixel). The standard perceptual fingerprint —
+    invariant to small pixel noise (a +/-1 perturbation cannot flip a
+    gradient gap) and to constant brightness shifts."""
+    g = resize_nn(gray[:, :, None].repeat(3, axis=2), 8, 9)[:, :, 0] \
+        .astype(np.int64)
+    bits = (g[:, 1:] > g[:, :-1]).ravel()
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+class ImagePHashDeduper:
+    """Actor-pool stage: REAL image decode -> grayscale -> dHash64. The
+    perceptual analogue of the md5 checksum stage — near-identical pixels
+    (noise, brightness shift) collapse to one fingerprint."""
+
+    def __init__(self):
+        from scrapy_ray.functions.codecs import decode_image
+
+        self._decode = decode_image
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        hashes = []
+        for payload in t["payload"].to_pylist():
+            img = self._decode(payload)
+            hashes.append(dhash64(img[:, :, 0]))
+        # int64 VIEW of the 64-bit hash (bijective): Ray Data groupby sort
+        # boundaries overflow on uint64 keys above 2^63
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "phash": pa.array(np.array(hashes, dtype=np.uint64)
+                              .view(np.int64), type=pa.int64()),
+        })
+
+
+def synth_noisy_image(doc_id: int) -> np.ndarray:
+    """50 base patterns (seeded per-pattern random permutation values on an
+    8x9 grid, spaced >= 3 apart so a single +/-1 pixel perturbation can
+    NEVER flip a dHash comparison) plus a deterministic per-doc noise
+    pixel — byte-distinct payloads (md5 dedup keeps them apart) that are
+    perceptually identical within a base group (dHash collapses them)."""
+    k = doc_id % 50
+    rng = np.random.default_rng(1000 + k)
+    gray = (rng.permutation(72).reshape(8, 9) * 3).astype(np.uint8)
+    img = np.stack([gray, gray, gray], axis=2)
+    r, c = (doc_id * 13) % 8, (doc_id * 31) % 9
+    delta = 1 if doc_id % 2 else -1
+    img[r, c] = np.clip(img[r, c].astype(np.int64) + delta, 0, 255) \
+        .astype(np.uint8)
+    return img
+
+
+def q_image_phash_dedup(sf_dir: str):
+    """Perceptual near-duplicate image dedup: decode -> dHash64 in the
+    actor pool, then the same hash-partition + keep-min-doc collapse as
+    exact dedup — but over the perceptual fingerprint, so byte-distinct
+    noisy copies of one image land in one group (md5 keeps them apart;
+    the pytest pin asserts exactly that). Rows-only; the group mapping
+    must factor through doc_id % 50 by construction."""
+    from ray.data.aggregate import Count, Min
+
+    from scrapy_ray.functions.codecs import encode_bmp
+
+    ds = _payload_ds(sf_dir, synth_noisy_image, encode_bmp)
+    hashed = ds.map_batches(ImagePHashDeduper, batch_format="pyarrow",
+                            batch_size=256, concurrency=2)
+    out = (hashed.groupby("phash").aggregate(
+        Min("doc_id", alias_name="keep_doc"),
+        Count(alias_name="n_copies")))
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False) \
+                .replace_schema_metadata(None)
+    for c in ("phash", "keep_doc", "n_copies"):
+        t = t.set_column(t.schema.get_field_index(c), c,
+                         pc.cast(t[c], pa.int64()))
+    return t.sort_by("phash")
+
+
 def synth_video(doc_id: int) -> tuple[list[np.ndarray], int]:
     """Deterministic frame sequence per doc_id (varied frame count, fps and
     per-frame dims)."""
@@ -463,6 +540,7 @@ MULTIMODAL_QUERIES = {
     "image_decode_stats": (q_image_decode_stats, None),
     "audio_decode_stats": (q_audio_decode_stats, None),
     "media_checksum_dedup": (q_media_checksum_dedup, None),
+    "image_phash_dedup": (q_image_phash_dedup, None),
     "video_frame_sample": (q_video_frame_sample, None),
     "image_resize_features": (q_image_resize_features, None),
     "audio_spectral_features": (q_audio_spectral_features, None),

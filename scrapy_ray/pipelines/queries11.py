@@ -459,6 +459,172 @@ FROM orders GROUP BY 1, 2 ORDER BY bin
 """
 
 
+# ---------------------------------------------------------------------------
+# Spearman rank correlation per group (no global sort)
+# ---------------------------------------------------------------------------
+
+
+def q_spearman_price_date_by_status(sf_dir: str):
+    """Spearman correlation of (order value, order date) per status WITHOUT
+    a global sort: pass A builds per-status value histograms for both
+    variables (O(distinct values) cells — the value_quantiles bound); the
+    driver turns them into integer average-rank lookups (rank2 =
+    2*counts_below + cnt + 1, doubled to stay integral under ties) and
+    broadcasts the sorted arrays; pass B maps every row to (rx2, ry2) by
+    searchsorted and accumulates exact int64 Pearson moments per status.
+    Float finalization is the identical expression on both sides, round6.
+    int64 bound: sum(rank2^2) <= n*(2n)^2 — fine to ~1e6 rows/group; past
+    that the moments switch to float partials (documented trade)."""
+    ds = _pq(sf_dir, "orders", ["o_orderstatus", "o_totalprice", "o_orderdate"])
+    day_us = 86_400 * 1_000_000
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        s = t["o_orderstatus"].to_pylist()
+        x = _cents(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+        y = (t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+             // day_us)
+        df = pd.DataFrame({"s": s + s,
+                           "which": np.r_[np.zeros(len(x), np.int8),
+                                          np.ones(len(y), np.int8)],
+                           "v": np.r_[x, y]})
+        g = df.groupby(["s", "which", "v"]).size().reset_index(name="cnt")
+        return pa.Table.from_pandas(g, preserve_index=False) \
+                       .replace_schema_metadata(None)
+
+    hist = (ds.map_batches(hist_partial, batch_format="pyarrow")
+              .groupby(["s", "which", "v"]).aggregate(Sum("cnt", alias_name="cnt"))
+              .to_pandas())
+
+    import ray
+
+    # per (status, which): sorted values + rank2 of each value
+    lut: dict[tuple, tuple] = {}
+    for (s, w), g in hist.groupby(["s", "which"], sort=True):
+        g = g.sort_values("v")
+        vals = g["v"].to_numpy(dtype=np.int64)
+        cnts = g["cnt"].to_numpy(dtype=np.int64)
+        below = np.r_[0, np.cumsum(cnts)[:-1]]
+        lut[(s, int(w))] = (vals, 2 * below + cnts + 1)   # doubled avg rank
+    lut_ref = ray.put(lut)
+
+    def moments(t: pa.Table) -> pa.Table:
+        lu = ray.get(lut_ref) if not isinstance(lut_ref, dict) else lut_ref
+        s = np.asarray(t["o_orderstatus"].to_pylist(), dtype=object)
+        x = _cents(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+        y = (t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+             // day_us)
+        rows = []
+        for sv in np.unique(s):
+            m = s == sv
+            vx, rx = lu[(sv, 0)]
+            vy, ry = lu[(sv, 1)]
+            rx2 = rx[np.searchsorted(vx, x[m])]
+            ry2 = ry[np.searchsorted(vy, y[m])]
+            rows.append((sv, int(m.sum()), int(rx2.sum()), int(ry2.sum()),
+                         int((rx2 * ry2).sum()), int((rx2 * rx2).sum()),
+                         int((ry2 * ry2).sum())))
+        return pa.table({
+            "s": pa.array([r[0] for r in rows], type=pa.string()),
+            **{k: pa.array([r[i] for r in rows], type=pa.int64())
+               for i, k in enumerate(("n", "sx", "sy", "sxy", "sxx", "syy"), 1)},
+        })
+
+    agg = (ds.map_batches(moments, batch_format="pyarrow")
+             .groupby("s").aggregate(*[Sum(k, alias_name=k) for k in
+                                       ("n", "sx", "sy", "sxy", "sxx", "syy")])
+             .to_pandas())
+    n = agg["n"].astype(np.float64)
+    sx, sy = agg["sx"].astype(np.float64), agg["sy"].astype(np.float64)
+    sxy = agg["sxy"].astype(np.float64)
+    sxx, syy = agg["sxx"].astype(np.float64), agg["syy"].astype(np.float64)
+    out = pd.DataFrame({
+        "o_orderstatus": agg["s"],
+        "n_orders": agg["n"].astype(np.int64),
+        "spearman6": _round6((n * sxy - sx * sy)
+                             / (np.sqrt(n * sxx - sx * sx)
+                                * np.sqrt(n * syy - sy * sy))),
+    })
+    return out.sort_values("o_orderstatus").reset_index(drop=True)
+
+
+SQL_SPEARMAN = """
+WITH b AS (
+  SELECT o_orderstatus AS s,
+         CAST(round(o_totalprice*100) AS BIGINT) AS x,
+         epoch_us(o_orderdate) // 86400000000 AS y
+  FROM orders),
+r AS (
+  SELECT s,
+         2*RANK() OVER (PARTITION BY s ORDER BY x)
+           + COUNT(*) OVER (PARTITION BY s, x) - 1 AS rx2,
+         2*RANK() OVER (PARTITION BY s ORDER BY y)
+           + COUNT(*) OVER (PARTITION BY s, y) - 1 AS ry2
+  FROM b),
+m AS (
+  SELECT s, COUNT(*)::BIGINT AS n,
+         SUM(rx2)::BIGINT AS sx, SUM(ry2)::BIGINT AS sy,
+         SUM(rx2*ry2)::BIGINT AS sxy,
+         SUM(rx2*rx2)::BIGINT AS sxx, SUM(ry2*ry2)::BIGINT AS syy
+  FROM r GROUP BY 1)
+SELECT s AS o_orderstatus, n AS n_orders,
+       round((n::DOUBLE*sxy - sx::DOUBLE*sy)
+             / (sqrt(n::DOUBLE*sxx - sx::DOUBLE*sx)
+                * sqrt(n::DOUBLE*syy - sy::DOUBLE*sy)), 6) AS spearman6
+FROM m ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# daily new users + cumulative (growth accounting)
+# ---------------------------------------------------------------------------
+
+
+def q_daily_new_users(sf_dir: str):
+    """First-seen day per user -> daily new-user counts -> running
+    cumulative total. One user-keyed Min shuffle, one O(days) count
+    shuffle, driver cumsum over O(days) rows — the user set never
+    assembles anywhere."""
+    from ray.data.aggregate import Min
+
+    ds = _pq(sf_dir, "events", ["user_id", "ts"])
+    day_us = 86_400 * 1_000_000
+
+    def first_partial(t: pa.Table) -> pa.Table:
+        df = pa.table({"u": pc.cast(t["user_id"], pa.int64()),
+                       "ts": t["ts"].cast(pa.int64())}).to_pandas()
+        g = df.groupby("u", as_index=False)["ts"].min()
+        return pa.Table.from_pandas(g, preserve_index=False) \
+                       .replace_schema_metadata(None)
+
+    first = (ds.map_batches(first_partial, batch_format="pyarrow")
+               .groupby("u").aggregate(Min("ts", alias_name="ft")))
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        d = t["ft"].to_numpy(zero_copy_only=False) // day_us
+        v, c = np.unique(d, return_counts=True)
+        return pa.table({"day": pa.array(v, type=pa.int64()),
+                         "new_users": pa.array(c, type=pa.int64())})
+
+    daily = (first.map_batches(day_partial, batch_format="pyarrow")
+                  .groupby("day").aggregate(Sum("new_users",
+                                               alias_name="new_users"))
+                  .to_pandas().sort_values("day"))
+    daily["cum_users"] = daily["new_users"].cumsum()
+    for c in ("day", "new_users", "cum_users"):
+        daily[c] = daily[c].astype(np.int64)
+    return daily.reset_index(drop=True)
+
+
+SQL_DAILY_NEW_USERS = """
+WITH f AS (SELECT user_id, min(ts) AS ft FROM events GROUP BY 1),
+c AS (SELECT epoch_us(ft) // 86400000000 AS day,
+             COUNT(*)::BIGINT AS new_users FROM f GROUP BY 1)
+SELECT day::BIGINT AS day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+FROM c ORDER BY day
+"""
+
+
 QUERIES11: dict[str, tuple] = {
     "exists_discounted_orders": (q_exists_discounted_orders,
                                  SQL_EXISTS_DISCOUNTED),
@@ -468,4 +634,7 @@ QUERIES11: dict[str, tuple] = {
     "zscore_doclen_by_lang": (q_zscore_doclen_by_lang, SQL_ZSCORE),
     "behavior_signatures": (q_behavior_signatures, SQL_BEHAVIOR_SIGS),
     "histogram_order_value": (q_histogram_order_value, SQL_HISTOGRAM),
+    "spearman_price_date_by_status": (q_spearman_price_date_by_status,
+                                      SQL_SPEARMAN),
+    "daily_new_users": (q_daily_new_users, SQL_DAILY_NEW_USERS),
 }

@@ -117,6 +117,33 @@ def test_media_checksum_dedup(ray_session):
     assert sorted(t["keep_doc"].to_pylist()) == list(range(50))
 
 
+def test_image_phash_dedup_collapses_noisy_copies(ray_session):
+    """Perceptual dedup: 500 byte-DISTINCT noisy payloads (md5 would keep
+    ~500 groups) collapse to the 50 base patterns — the group assignment
+    must factor exactly through doc_id % 50, i.e. dHash is invariant to
+    the planted +/-1 pixel noise while md5 is not."""
+    import hashlib
+
+    from scrapy_ray.functions.codecs import encode_bmp
+    from scrapy_ray.pipelines.multimodal import (q_image_phash_dedup,
+                                                 synth_noisy_image)
+
+    t = q_image_phash_dedup("/root/testdata/sf0.001")
+    assert sum(t["n_copies"].to_pylist()) == 500
+    # perceptual groups = distinct dHashes of the 50 base patterns (some
+    # may collide — that is what perceptual hashing does) — never more
+    assert len(t) <= 50
+    assert len(t) > 40, "dHash degenerated on the permutation patterns"
+    # byte-level distinctness: md5 keeps (nearly) every payload apart
+    md5s = {hashlib.md5(encode_bmp(synth_noisy_image(i))).hexdigest()
+            for i in range(500)}
+    assert len(md5s) > 400
+    # group assignment factors through doc_id % 50: a group's copy count
+    # is a multiple of 10 (500 docs / 50 patterns) and keep_doc < 50
+    assert all(n % 10 == 0 for n in t["n_copies"].to_pylist())
+    assert all(k < 50 for k in t["keep_doc"].to_pylist())
+
+
 def test_rayv_roundtrip_and_seek():
     from scrapy_ray.functions.codecs import (decode_rayv_frame, encode_rayv,
                                              rayv_index)

@@ -103,6 +103,8 @@ SUBSET = [
     "zscore_doclen_by_lang",
     "behavior_signatures",
     "histogram_order_value",
+    "spearman_price_date_by_status",
+    "daily_new_users",
 ]
 
 
