@@ -111,10 +111,116 @@ def decode_pgm(payload: bytes) -> np.ndarray:
     return np.frombuffer(payload, np.uint8, count=h * w, offset=off).reshape(h, w).copy()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(rgb: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> PNG bytes (color type 2, 8-bit, filter 0 per
+    scanline, one zlib IDAT). Lossless — byte-exact pixel round-trip."""
+    import zlib
+
+    assert rgb.ndim == 3 and rgb.shape[2] == 3 and rgb.dtype == np.uint8
+    h, w, _ = rgb.shape
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + typ + body
+                + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.concatenate([np.zeros((h, 1), dtype=np.uint8),   # filter 0
+                          rgb.reshape(h, w * 3)], axis=1).tobytes()
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6))
+            + chunk(b"IEND", b""))
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo per-scanline PNG filters (types 0-4). Up/None/Sub vectorize;
+    Average/Paeth walk the row (left-neighbor recurrence is sequential)."""
+    out = np.zeros((h, stride), dtype=np.int64)
+    rows = raw.reshape(h, stride + 1)
+    for y in range(h):
+        f = int(rows[y, 0])
+        cur = rows[y, 1:].astype(np.int64)
+        up = out[y - 1] if y else np.zeros(stride, dtype=np.int64)
+        if f == 0:
+            rec = cur
+        elif f == 1:            # Sub: lane-wise cumulative sum mod 256
+            rec = cur.copy()
+            for lane in range(bpp):
+                rec[lane::bpp] = np.cumsum(cur[lane::bpp]) % 256
+        elif f == 2:            # Up
+            rec = (cur + up) % 256
+        elif f == 3:            # Average
+            rec = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (cur[x] + (left + up[x]) // 2) % 256
+        elif f == 4:            # Paeth
+            rec = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = up[x]
+                c = out[y - 1][x - bpp] if (y and x >= bpp) else 0
+                p = a + b - c
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
+                rec[x] = (cur[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = rec
+    return out.astype(np.uint8)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, 3) uint8 RGB. Supports 8-bit color types 0
+    (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA); alpha is dropped, gray
+    expands to 3 channels. All five scanline filters; interlace rejected."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    idat = bytearray()
+    w = h = depth = ctype = None
+    while pos < len(payload):
+        ln = struct.unpack(">I", payload[pos:pos + 4])[0]
+        typ = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", body)
+            if depth != 8:
+                raise ValueError("only 8-bit PNG supported")
+            if interlace:
+                raise ValueError("interlaced PNG unsupported")
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("missing IHDR")
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if nch is None:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    px = _png_unfilter(raw, h, stride, nch).reshape(h, w, nch)
+    if ctype == 2:
+        return px
+    if ctype == 6:
+        return px[:, :, :3].copy()
+    g = px[:, :, 0]
+    return np.repeat(g[:, :, None], 3, axis=2)
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Magic-sniffed image decode (BMP / PPM / PGM) -> (h, w, 3) uint8 RGB
-    (grayscale expands to 3 identical channels) — the dispatch a media
-    pipeline's downloader applies per content type."""
+    """Magic-sniffed image decode (BMP / PPM / PGM / PNG / baseline JPEG)
+    -> (h, w, 3) uint8 RGB (grayscale expands to 3 identical channels) —
+    the dispatch a media pipeline's downloader applies per content type."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
@@ -122,6 +228,11 @@ def decode_image(payload: bytes) -> np.ndarray:
     if payload[:2] == b"P5":
         g = decode_pgm(payload)
         return np.repeat(g[:, :, None], 3, axis=2)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from scrapy_ray.functions.jpeg import decode_jpeg
+        return decode_jpeg(payload)
     raise ValueError(f"unknown image magic {payload[:2]!r}")
 
 

@@ -129,25 +129,23 @@ def q_large_volume_orders(sf_dir: str):
              .groupby("o").aggregate(Sum("q", alias_name="sum_qty"))
              .to_pandas())
     big = big[big["sum_qty"] > _Q18_MINQTY]          # tiny by construction
-    okeys = ray.put(set(int(x) for x in big["o"]))
+    okeys = ray.put(np.sort(big["o"].to_numpy(dtype=np.int64)))
 
     def probe_orders(t: pa.Table) -> pa.Table:
-        ks = ray.get(okeys) if not isinstance(okeys, set) else okeys
-        m = pa.array([int(x) in ks for x in
-                      t["o_orderkey"].to_numpy(zero_copy_only=False)])
-        hit = t.filter(m)
+        ks = ray.get(okeys) if isinstance(okeys, ray.ObjectRef) else okeys
+        col = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = t.filter(pa.array(np.isin(col, ks)))   # vectorized probe
         return pa.table({"o_orderkey": pc.cast(hit["o_orderkey"], pa.int64()),
                          "o_custkey": pc.cast(hit["o_custkey"], pa.int64())})
 
     om = (_pq(sf_dir, "orders", ["o_orderkey", "o_custkey"])
           .map_batches(probe_orders, batch_format="pyarrow").to_pandas())
-    ckeys = ray.put(set(int(x) for x in om["o_custkey"]))
+    ckeys = ray.put(np.sort(om["o_custkey"].to_numpy(dtype=np.int64)))
 
     def probe_cust(t: pa.Table) -> pa.Table:
-        ks = ray.get(ckeys) if not isinstance(ckeys, set) else ckeys
-        m = pa.array([int(x) in ks for x in
-                      t["c_custkey"].to_numpy(zero_copy_only=False)])
-        hit = t.filter(m)
+        ks = ray.get(ckeys) if isinstance(ckeys, ray.ObjectRef) else ckeys
+        col = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = t.filter(pa.array(np.isin(col, ks)))
         return pa.table({"c_custkey": pc.cast(hit["c_custkey"], pa.int64()),
                          "c_name": pc.cast(hit["c_name"], pa.string())})
 

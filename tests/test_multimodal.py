@@ -117,6 +117,98 @@ def test_media_checksum_dedup(ray_session):
     assert sorted(t["keep_doc"].to_pylist()) == list(range(50))
 
 
+def test_png_roundtrip_exact():
+    """PNG codec (stdlib zlib + numpy, written from the spec): byte-exact
+    pixel round-trip for RGB, and the decoder handles gray / RGBA inputs
+    plus all five scanline filters."""
+    import zlib
+
+    from scrapy_ray.functions.codecs import decode_image, decode_png, encode_png
+
+    rng = np.random.default_rng(5)
+    for shape in [(1, 1), (7, 13), (32, 24)]:
+        img = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+        p = encode_png(img)
+        assert p[:8] == b"\x89PNG\r\n\x1a\n"
+        np.testing.assert_array_equal(decode_png(p), img)
+        np.testing.assert_array_equal(decode_image(p), img)  # sniff path
+    # filters 1-4: hand-build a PNG whose rows use Sub/Up/Average/Paeth
+    import struct
+
+    h, w, nch = 4, 5, 3
+    img = rng.integers(0, 256, (h, w, nch), dtype=np.uint8).astype(np.int64)
+    rows = []
+    prev = np.zeros(w * nch, dtype=np.int64)
+    flat = img.reshape(h, w * nch)
+    for y, f in enumerate((1, 2, 3, 4)):
+        cur = flat[y]
+        raw = np.empty(w * nch, dtype=np.int64)
+        for x in range(w * nch):
+            a = cur[x - nch] if x >= nch else 0
+            b = prev[x]
+            c = (flat[y - 1][x - nch] if (y and x >= nch) else 0)
+            if f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p_ = a + b - c
+                pa_, pb, pc_ = abs(p_ - a), abs(p_ - b), abs(p_ - c)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
+            raw[x] = (cur[x] - pred) % 256
+        rows.append(bytes([f]) + bytes(raw.astype(np.uint8)))
+        prev = cur
+    body = b"".join(rows)
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    payload = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(body))
+               + chunk(b"IEND", b""))
+    np.testing.assert_array_equal(decode_png(payload), img.astype(np.uint8))
+
+
+def test_jpeg_roundtrip_bounded_error():
+    """Baseline JPEG codec (pure numpy, T.81): lossy but bounded — smooth
+    images reconstruct within a few gray levels, flat images exactly;
+    4:2:0 subsampling and DRI/RSTn restart paths decode identically; the
+    magic sniff dispatches; progressive/garbage inputs are rejected."""
+    import pytest
+
+    from scrapy_ray.functions.codecs import decode_image
+    from scrapy_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+    grad = np.zeros((37, 29, 3), np.uint8)
+    grad[:, :, 0] = np.linspace(0, 255, 29).astype(np.uint8)[None, :]
+    grad[:, :, 1] = 128
+    grad[:, :, 2] = np.linspace(255, 0, 37).astype(np.uint8)[:, None]
+    for sub in ("444", "420"):
+        for dri in (0, 2):
+            out = decode_jpeg(encode_jpeg(grad, quality=92, subsampling=sub,
+                                          restart_interval=dri))
+            assert out.shape == grad.shape
+            err = np.abs(out.astype(int) - grad.astype(int))
+            bound = 4 if sub == "444" else 10   # chroma is subsampled
+            assert err.max() <= bound, (sub, dri, err.max())
+    flat = np.full((16, 16, 3), 77, np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(flat)), flat)
+    # sniff dispatch
+    assert decode_image(encode_jpeg(flat)).shape == (16, 16, 3)
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01garbage")
+    # a progressive SOF2 skeleton must be rejected, not mis-decoded
+    import struct
+    prog = (b"\xff\xd8" + struct.pack(">HH", 0xFFC2, 8)
+            + b"\x08\x00\x10\x00\x10\x01")
+    with pytest.raises(ValueError):
+        decode_jpeg(prog)
+
+
 def test_image_phash_dedup_collapses_noisy_copies(ray_session):
     """Perceptual dedup: 500 byte-DISTINCT noisy payloads (md5 would keep
     ~500 groups) collapse to the 50 base patterns — the group assignment
