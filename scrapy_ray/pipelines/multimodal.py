@@ -183,18 +183,23 @@ def _payload_ds(sf_dir: str, synth, encode) -> "ray.data.Dataset":
 
 def q_image_decode_stats(sf_dir: str):
     """Encode a deterministic image per document — format rotates
-    BMP / PPM / PGM by doc_id so the actor's magic-sniff dispatch is
-    exercised — decode in an actor pool, emit real pixel statistics.
+    BMP / PPM / PNG / PGM by doc_id so the actor's magic-sniff dispatch is
+    exercised (all four lossless, so the pinned stats are format-free;
+    the lossy JPEG codec is pinned separately with error bounds) —
+    decode in an actor pool, emit real pixel statistics.
     Rows-only (pixel math is not SQL); byte-exact codec round-trips +
     stats vs a numpy reference are pytest-pinned."""
-    from scrapy_ray.functions.codecs import encode_bmp, encode_pgm, encode_ppm
+    from scrapy_ray.functions.codecs import (encode_bmp, encode_pgm,
+                                             encode_png, encode_ppm)
 
     def encode_mixed(img: np.ndarray) -> bytes:
-        k = int(img[0, 0, 0]) % 3     # deterministic per-image format pick
+        k = int(img[0, 0, 0]) % 4     # deterministic per-image format pick
         if k == 0:
             return encode_bmp(img)
         if k == 1:
             return encode_ppm(img)
+        if k == 2:
+            return encode_png(img)
         return encode_pgm(img[:, :, 0].copy())
 
     ds = _payload_ds(sf_dir, synth_image, encode_mixed)
