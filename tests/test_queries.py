@@ -105,6 +105,10 @@ SUBSET = [
     "histogram_order_value",
     "spearman_price_date_by_status",
     "daily_new_users",
+    "profile_orders",
+    "orders_above_customer_avg",
+    "user_set_ops",
+    "rs_simjoin",
 ]
 
 
