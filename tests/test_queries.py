@@ -109,6 +109,8 @@ SUBSET = [
     "orders_above_customer_avg",
     "user_set_ops",
     "rs_simjoin",
+    "sssp_weighted",
+    "scd2_user_status",
 ]
 
 
