@@ -125,10 +125,14 @@ def q_large_volume_orders(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False) \
                        .replace_schema_metadata(None)
 
+    def having(t: pa.Table) -> pa.Table:   # distributed HAVING — only the
+        return t.filter(pc.greater(t["sum_qty"], _Q18_MINQTY))  # tiny
+        # surviving key set ever reaches the driver
+
     big = (li.map_batches(qty_partial, batch_format="pyarrow")
              .groupby("o").aggregate(Sum("q", alias_name="sum_qty"))
+             .map_batches(having, batch_format="pyarrow")
              .to_pandas())
-    big = big[big["sum_qty"] > _Q18_MINQTY]          # tiny by construction
     okeys = ray.put(np.sort(big["o"].to_numpy(dtype=np.int64)))
 
     def probe_orders(t: pa.Table) -> pa.Table:

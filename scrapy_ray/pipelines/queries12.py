@@ -4,16 +4,16 @@
   per-column null counts / min / max / distinct over orders, one pass,
   exact integers;
 - correlated scalar subquery shape: orders strictly above their OWN
-  customer's average order value — per-group exact moments broadcast back
-  into a stateless filter pass (the decorrelated plan every optimizer
-  rewrites this to);
-- INTERSECT / EXCEPT set semantics over derived key sets: users who did
-  BOTH purchase and error (intersect) but never signup (except) — per-type
-  membership flags ride one user-co-partitioned shuffle;
-- R-S MinHash LSH join (two-TABLE near-dup, not a self-join): a held-out
-  "query set" of documents joined against the corpus by shingle-Jaccard —
-  the probe side is banded exactly like the corpus, candidates verify
-  integer-exactly; oracle replays with a bounded exact join.
+  customer's average order value — decorrelated into ONE key-co-partitioned
+  shuffle where the per-customer aggregate and the filter both run
+  (customers scale with the fact table, so nothing broadcasts);
+- INTERSECT / EXCEPT set semantics over derived key sets: users with >= 10
+  purchases AND >= 10 errors but NOT >= 10 signups — per-type membership
+  bits ride one user-co-partitioned shuffle;
+- exact R-S similarity join (two-TABLE near-dup, not a self-join): a small
+  probe set joined against the full corpus by shingle-Jaccard — probe sets
+  broadcast once, length-filtered integer-exact verify per corpus batch,
+  zero shuffles (the decontamination shape).
 
 All DuckDB-oracle-checked on the same parquet inputs.
 """
@@ -163,48 +163,41 @@ SQL_PROFILE = _profile_sql()
 
 def q_orders_above_customer_avg(sf_dir: str):
     """Orders whose value strictly exceeds their OWN customer's average
-    order value — the correlated-subquery shape, decorrelated: pass A
-    aggregates exact per-customer (n, sum_cents); the predicate is the
-    integer cross-multiplication cents * n > sum (no float average exists
-    on either side); the per-customer table broadcasts into a stateless
-    filter pass. Output: per customer, how many of their orders beat
-    their average (only customers with >= 2 orders can qualify)."""
-    import ray
+    order value — the correlated-subquery shape, decorrelated; the
+    predicate is the integer cross-multiplication cents * n > sum (no
+    float average exists on either side). Output: per customer, how many
+    of their orders beat their average.
 
+    Scale shape: customers scale WITH the fact table, so the per-customer
+    aggregate is NOT a broadcastable small side — instead every customer's
+    rows land in one salted partition (ONE shuffle of the raw (key, cents)
+    pairs) where the aggregate and the filter both run; the driver only
+    sees the O(qualifying customers) result."""
     ds = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
-    def agg_partial(t: pa.Table) -> pa.Table:
-        df = pa.table({"k": pc.cast(t["o_custkey"], pa.int64()),
-                       "c": _cents(t["o_totalprice"])}).to_pandas()
-        g = df.groupby("k", as_index=False).agg(n=("c", "size"),
-                                                s=("c", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False) \
-                       .replace_schema_metadata(None)
-
-    cust = (ds.map_batches(agg_partial, batch_format="pyarrow")
-              .groupby("k").aggregate(Sum("n", alias_name="n"),
-                                      Sum("s", alias_name="s"))
-              .to_pandas())
-    ks = np.sort(cust["k"].to_numpy(dtype=np.int64))
-    order = np.argsort(cust["k"].to_numpy(dtype=np.int64), kind="stable")
-    lut_ref = ray.put((ks, cust["n"].to_numpy(dtype=np.int64)[order],
-                       cust["s"].to_numpy(dtype=np.int64)[order]))
-
-    def above(t: pa.Table) -> pa.Table:
-        ks_, n_, s_ = (ray.get(lut_ref) if isinstance(lut_ref, ray.ObjectRef)
-                       else lut_ref)
+    def rows(t: pa.Table) -> pa.Table:
         k = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        c = _cents(t["o_totalprice"]).to_numpy(zero_copy_only=False)
-        i = np.searchsorted(ks_, k)
-        m = c * n_[i] > s_[i]
-        v, cnt = np.unique(k[m], return_counts=True)
-        return pa.table({"o_custkey": pa.array(v, type=pa.int64()),
-                         "n_above_avg": pa.array(cnt, type=pa.int64())})
+        return pa.table({
+            "gkey": pa.array((k % _P).astype(np.int32)),
+            "k": pa.array(k),
+            "c": _cents(t["o_totalprice"]),
+        })
 
-    out = (ds.map_batches(above, batch_format="pyarrow")
-             .groupby("o_custkey").aggregate(Sum("n_above_avg",
-                                                 alias_name="n_above_avg"))
+    def above_partition(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("k")["c"].agg(["size", "sum"])
+        n = df["k"].map(g["size"]).to_numpy()
+        s = df["k"].map(g["sum"]).to_numpy()
+        m = df["c"].to_numpy() * n > s
+        hit = df.loc[m].groupby("k").size().reset_index(name="n_above_avg")
+        return hit.rename(columns={"k": "o_custkey"})
+
+    out = (ds.map_batches(rows, batch_format="pyarrow")
+             .groupby("gkey").map_groups(above_partition,
+                                         batch_format="pandas")
              .to_pandas())
+    if "o_custkey" not in out.columns:
+        out = pd.DataFrame({"o_custkey": pd.Series(dtype=np.int64),
+                            "n_above_avg": pd.Series(dtype=np.int64)})
     for c in ("o_custkey", "n_above_avg"):
         out[c] = out[c].astype(np.int64)
     return out.sort_values("o_custkey").reset_index(drop=True)
