@@ -184,7 +184,81 @@ FROM i ORDER BY user_id, valid_from
 """
 
 
+# ---------------------------------------------------------------------------
+# time-series resample + forward fill
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86_400 * 1_000_000
+
+
+def q_resample_ffill_daily(sf_dir: str):
+    """Per-user DAILY resample with forward fill: for every day in the
+    user's [first-event-day, last-event-day] range, the value (cents) of
+    the latest event strictly before the end of that day — the gap-filling
+    primitive time-series features need. One user-co-partitioned pass;
+    per user the fill is one searchsorted over the (ts, event_id)-sorted
+    stream (the sort order makes the tie rule exact: last index among
+    equal timestamps = highest event_id, the same DESC pick the oracle's
+    ROW_NUMBER takes). Output is O(users x days), never joined wide on
+    the Ray side."""
+    ds = _pq(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def with_key(t: pa.Table) -> pa.Table:
+        g = (t["user_id"].to_numpy(zero_copy_only=False) % _P).astype(np.int32)
+        return t.append_column("gkey", pa.array(g))
+
+    def ffill(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = df["user_id"].to_numpy()
+        ts = df["ts"].astype("int64").to_numpy()
+        c = (np.sign(df["value"].to_numpy() * 100.0)
+             * np.floor(np.abs(df["value"].to_numpy() * 100.0) + 0.5)) \
+            .astype(np.int64)
+        starts = np.r_[0, np.flatnonzero(u[1:] != u[:-1]) + 1]
+        bounds = np.r_[starts, len(u)]
+        out_u, out_d, out_c = [], [], []
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            t_u = ts[a:b]
+            d0, d1 = t_u[0] // _DAY_US, t_u[-1] // _DAY_US
+            days = np.arange(d0, d1 + 1, dtype=np.int64)
+            idx = np.searchsorted(t_u, (days + 1) * _DAY_US, side="left") - 1
+            out_u.append(np.full(len(days), u[a], dtype=np.int64))
+            out_d.append(days)
+            out_c.append(c[a:b][idx])
+        return pd.DataFrame({"user_id": np.concatenate(out_u),
+                             "day": np.concatenate(out_d),
+                             "ffill_cents": np.concatenate(out_c)})
+
+    out = (ds.map_batches(with_key, batch_format="pyarrow")
+             .groupby("gkey").map_groups(ffill, batch_format="pandas")
+             .to_pandas())
+    for c in ("user_id", "day", "ffill_cents"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["user_id", "day"]).reset_index(drop=True)
+
+
+SQL_RESAMPLE_FFILL = f"""
+WITH b AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(round(value*100) AS BIGINT) AS c
+  FROM events),
+r AS (SELECT user_id, MIN(ts_us) // {_DAY_US} AS d0,
+             MAX(ts_us) // {_DAY_US} AS d1 FROM b GROUP BY 1),
+g AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM r),
+q AS (
+  SELECT g.user_id, g.day, b.c,
+         ROW_NUMBER() OVER (PARTITION BY g.user_id, g.day
+                            ORDER BY b.ts_us DESC, b.event_id DESC) AS rn
+  FROM g JOIN b ON b.user_id = g.user_id
+              AND b.ts_us < (g.day + 1) * {_DAY_US})
+SELECT user_id::BIGINT AS user_id, day::BIGINT AS day,
+       c::BIGINT AS ffill_cents
+FROM q WHERE rn = 1 ORDER BY user_id, day
+"""
+
+
 QUERIES13: dict[str, tuple] = {
     "sssp_weighted": (q_sssp_weighted, SQL_SSSP),
     "scd2_user_status": (q_scd2_user_status, SQL_SCD2),
+    "resample_ffill_daily": (q_resample_ffill_daily, SQL_RESAMPLE_FFILL),
 }

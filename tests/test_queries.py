@@ -111,6 +111,7 @@ SUBSET = [
     "rs_simjoin",
     "sssp_weighted",
     "scd2_user_status",
+    "resample_ffill_daily",
 ]
 
 
