@@ -103,7 +103,8 @@ def bench_crawl() -> dict:
     eng.seed()
     while eng.run_wave():
         pass
-    dt = time.time() - t0
+    eng._drain_sinks()   # sink writes are async tasks now; durability stays
+    dt = time.time() - t0  # inside the timed region (round-3 comparability)
     n_seen = sum(s["n_seen"] for s in eng.urlseen.stats())
     return {
         "sec": dt,
@@ -236,6 +237,7 @@ def run_crawl1m_mode() -> None:
     eng.seed()
     while eng.run_wave():
         pass
+    eng._drain_sinks()   # keep sink durability inside the timed region
     dt = time.time() - t0
     print(json.dumps({
         "metric": "crawl_1m_pages_bloom_only", "value": round(dt, 3),

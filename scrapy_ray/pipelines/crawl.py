@@ -44,7 +44,7 @@ from scrapy_ray.sources.readers import (read_deltafetch_urls, read_robots,
                                         read_seeds)
 from scrapy_ray.stages.extract import classify_callback
 from scrapy_ray.stages.fetch import fetch_parse_wave
-from scrapy_ray.stages.links import filter_links
+from scrapy_ray.stages.links import filter_links, filter_params
 from scrapy_ray.state.errors import StaleShardError
 from scrapy_ray.state.frontier import ShardedFrontier
 from scrapy_ray.state.urlseen import ShardedUrlSeen
@@ -124,6 +124,26 @@ def _retries_to_frontier(rr: pa.Table, next_seq: int, adjust: int) -> pa.Table:
     )
 
 
+def _sink_write(ckpt: str, wave: int, items: pa.Table, order: pa.Table) -> int:
+    """Per-wave items/order parquet write, run on the engine's background
+    writer thread (round 4: the encode+write was ~0.4 s/run of driver
+    serial time on the 1M bench — BENCH/BASELINE.md run N). A THREAD, not a
+    Ray task: shipping the tables through the object store costs more in
+    driver-side serialization than the write itself (measured: sink phase
+    0.38 s -> ~1.0 s as a num_cpus=0 task), while pq.write_table releases
+    the GIL and overlaps the driver's ray.wait idle during the next wave's
+    fetch. Write-then-rename makes the part file atomic: a kill mid-write
+    can never leave a torn part.parquet, so the resume cleanup in
+    try_resume() only ever sees whole files."""
+    for sub, t in (("items", items), ("order", order)):
+        d = os.path.join(ckpt, sub, f"wave={wave}")
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, ".part.parquet.tmp")
+        pq.write_table(t, tmp)
+        os.replace(tmp, os.path.join(d, "part.parquet"))
+    return wave
+
+
 def seeds_to_links(seeds: list[dict]) -> pa.Table:
     """Seed list -> candidate-link table (depth 0, canonical order = list
     order). Seeds flow through the same dedup path as discovered links —
@@ -199,6 +219,8 @@ class CrawlEngine:
         self.lineage: list[dict] = []
         self._mem_items: list[pa.Table] = []
         self._mem_order: list[pa.Table] = []
+        self._sink_futs: list = []    # pending per-wave _sink_write futures
+        self._sink_pool = None        # lazy single writer thread (_sink)
         self._seeds: list[dict] | None = None
         self.session_log: list[tuple[int, int]] = []   # F6: (seq, token)
         # (wave_idx, [per-shard next_wave futures]) issued at the END of the
@@ -256,6 +278,7 @@ class CrawlEngine:
                       + self.frontier.checkpoint_async(vdir))
 
     def _commit_checkpoint(self, vdir: str, shard_futs: list) -> None:
+        self._drain_sinks()   # every lineage-referenced sink file durable
         ray.get(shard_futs)   # every shard segment durable before the commit
         stmp = os.path.join(vdir, "state.json.tmp")
         with open(stmp, "w") as fh:
@@ -331,6 +354,17 @@ class CrawlEngine:
         # any pending prefetched wave references pre-failure shard state —
         # the restore below rolls every shard back, so the futures are stale
         self._prefetch = None
+        # settle in-flight sink writes before the rollback cleanup: a
+        # straggler completing AFTER try_resume() pruned not-in-lineage wave
+        # dirs would resurrect a rolled-back wave's files (the replay would
+        # overwrite them byte-identically, but the window is ugly). Failures
+        # are ignored — the wave will be replayed anyway.
+        for f in self._sink_futs:
+            try:
+                f.result()
+            except Exception:
+                pass
+        self._sink_futs = []
         last = None
         for _ in range(20):  # restarting actors answer with
             try:             # ActorUnavailableError until they are back up
@@ -398,14 +432,27 @@ class CrawlEngine:
     def _sink(self, wave: int, items: pa.Table, order: pa.Table) -> dict:
         entry = {"wave": wave, "n_scheduled": len(order), "n_items": len(items)}
         if self.ckpt:
-            for sub, t in (("items", items), ("order", order)):
-                d = os.path.join(self.ckpt, sub, f"wave={wave}")
-                os.makedirs(d, exist_ok=True)
-                pq.write_table(t, os.path.join(d, "part.parquet"))
+            # submit-only: the atomic write overlaps the next wave on the
+            # writer thread; futures are collected before any checkpoint
+            # COMMIT (sink durability precedes the lineage that references
+            # it) and before result()
+            if self._sink_pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._sink_pool = ThreadPoolExecutor(
+                    max_workers=1, thread_name_prefix="sink-writer")
+            self._sink_futs.append(self._sink_pool.submit(
+                _sink_write, self.ckpt, wave, items, order))
         else:
             self._mem_items.append(items)
             self._mem_order.append(order)
         return entry
+
+    def _drain_sinks(self) -> None:
+        if self._sink_futs:
+            for f in self._sink_futs:
+                f.result()   # surface writer-thread errors here
+            self._sink_futs = []
 
     def _should_stop(self) -> bool:
         """CloseSpider-style stop predicate (O2). Evaluated both at the top
@@ -460,11 +507,17 @@ class CrawlEngine:
         # ONE distributed pass per wave: partition-pruned fetch-join + fused
         # parse + in-task items/links splits — neither html nor list columns
         # reach the driver (stages/fetch.py fetch_parse_wave, stages/parse.py).
+        # With no link middlewares the M7/M8/M9 filter also runs in-task
+        # (per-row pure → identical surviving set) so the driver link chain
+        # and the task→driver payload shrink with the filter selectivity —
+        # the O(links) wide-wave serial term (BENCH/BASELINE.md run N).
+        lf_pack = filter_params(cfg) if not self.link_middlewares else None
         _t0 = _time.perf_counter()
         (items, links, n_fetched, hstats, retry_rows, redirect_rows,
          (n_maxsize_drop, n_maxsize_warn, n_err), sess_updates) = fetch_parse_wave(
             self.root, wave, self.n_buckets, cache=self._bucket_cache,
             registry_ref=self._registry_ref, want_stats=cfg.autothrottle,
+            link_filter=lf_pack,
             retry_cfg=((cfg.retry_codes, cfg.retry_max) if cfg.retry_max else None),
             redirect_cfg=((cfg.redirect_codes, cfg.redirect_max)
                           if cfg.redirect_max else None),
@@ -515,7 +568,8 @@ class CrawlEngine:
                 from scrapy_ray.registry import apply_chain
 
                 links = apply_chain(self.link_middlewares, links)
-            links = filter_links(links, cfg)                     # M7/M8/M9
+                links = filter_links(links, cfg)                 # M7/M8/M9
+            # else: the filter already ran inside the fetch tasks (lf_pack)
             self.phase_times["link_filter"] += _time.perf_counter() - _t0
             _t0 = _time.perf_counter()
             fresh = self.urlseen.filter_new(links)               # F1 anti-join
@@ -604,6 +658,7 @@ class CrawlEngine:
         return pa.concat_tables(ts) if ts else schema.empty_table()
 
     def result(self) -> CrawlResult:
+        self._drain_sinks()   # all wave part files on disk before reading
         items = self._collect("items", schemas.ITEMS, self._mem_items)
         order = self._collect("order", schemas.CRAWL_ORDER, self._mem_order)
         if self.cfg.exact_urlseen:

@@ -254,7 +254,8 @@ def _fetch_parse_bucket(path: str, sub: pa.Table, registry_ref=None,
                         want_stats: bool = False, retry_cfg=None,
                         redirect_cfg=None, metarefresh_cfg=None,
                         maxsize_cfg=None, allowed_statuses: tuple = (),
-                        want_sessions: bool = False) -> tuple:
+                        want_sessions: bool = False,
+                        link_filter: tuple | None = None) -> tuple:
     """Read one corpus bucket with an ``url IN (...)`` parquet filter
     (row-group pruning — bucket files are written sorted by url and ``sub``
     is a url-sorted contiguous wave slice, so a chunk touches few row
@@ -309,7 +310,16 @@ def _fetch_parse_bucket(path: str, sub: pa.Table, registry_ref=None,
     # (CLOSESPIDER_ERRORCOUNT input; diverted redirect/retry rows excluded)
     n_err = len(parsed) - int(pc.sum(parsed["status_ok"]).as_py() or 0) \
         - n_diverted
-    return (split_items(parsed), split_links(parsed, routes=routes, rules=rules),
+    links = split_links(parsed, routes=routes, rules=rules)
+    if link_filter is not None and len(links):
+        # M7/M8/M9 in-task (engine passes the pack iff no link middlewares
+        # are registered — those must see the unfiltered stream): shrinks
+        # the O(links) driver chain AND the task->driver payload; per-row
+        # pure, so the surviving set is identical to the driver-side path
+        from scrapy_ray.stages.links import filter_links_p
+
+        links = filter_links_p(links, link_filter)
+    return (split_items(parsed), links,
             n_fetched,
             stats, retries, redirects, (nd, nw, n_err), sess)
 
@@ -330,7 +340,8 @@ def _fetch_parse_cached(bucket: pa.Table, sub: pa.Table, registry_ref=None,
                         want_stats: bool = False, retry_cfg=None,
                         redirect_cfg=None, metarefresh_cfg=None,
                         maxsize_cfg=None, allowed_statuses: tuple = (),
-                        want_sessions: bool = False) -> tuple:
+                        want_sessions: bool = False,
+                        link_filter: tuple | None = None) -> tuple:
     """In-memory probe variant of _fetch_parse_bucket: ``bucket`` arrives as
     a zero-copy plasma reference; filter + join + parse + split in-task."""
     from scrapy_ray import schemas
@@ -374,7 +385,16 @@ def _fetch_parse_cached(bucket: pa.Table, sub: pa.Table, registry_ref=None,
     # (CLOSESPIDER_ERRORCOUNT input; diverted redirect/retry rows excluded)
     n_err = len(parsed) - int(pc.sum(parsed["status_ok"]).as_py() or 0) \
         - n_diverted
-    return (split_items(parsed), split_links(parsed, routes=routes, rules=rules),
+    links = split_links(parsed, routes=routes, rules=rules)
+    if link_filter is not None and len(links):
+        # M7/M8/M9 in-task (engine passes the pack iff no link middlewares
+        # are registered — those must see the unfiltered stream): shrinks
+        # the O(links) driver chain AND the task->driver payload; per-row
+        # pure, so the surviving set is identical to the driver-side path
+        from scrapy_ray.stages.links import filter_links_p
+
+        links = filter_links_p(links, link_filter)
+    return (split_items(parsed), links,
             n_fetched,
             stats, retries, redirects, (nd, nw, n_err), sess)
 
@@ -466,7 +486,8 @@ def fetch_parse_wave(corpus_root: str, wave: pa.Table, n_buckets: int,
                      want_stats: bool = False, retry_cfg=None,
                      redirect_cfg=None, metarefresh_cfg=None,
                      maxsize_cfg=None, allowed_statuses: tuple = (),
-                     want_sessions: bool = False) -> tuple:
+                     want_sessions: bool = False,
+                     link_filter: tuple | None = None) -> tuple:
     """Wave-loop fast path (SURVEY §7.4.3): the per-wave fetch-join is a
     repeated *small indexed lookup*, for which per-wave ``read_parquet``
     Dataset construction costs seconds (fragment sampling). Raw Ray tasks —
@@ -524,7 +545,8 @@ def fetch_parse_wave(corpus_root: str, wave: pa.Table, n_buckets: int,
                                                        metarefresh_cfg,
                                                        maxsize_cfg,
                                                        allowed_statuses,
-                                                       want_sessions))
+                                                       want_sessions,
+                                                       link_filter))
             else:
                 futs.append(_fetch_parse_bucket.remote(paths[int(b)], sub,
                                                        registry_ref, want_stats,
@@ -532,7 +554,8 @@ def fetch_parse_wave(corpus_root: str, wave: pa.Table, n_buckets: int,
                                                        metarefresh_cfg,
                                                        maxsize_cfg,
                                                        allowed_statuses,
-                                                       want_sessions))
+                                                       want_sessions,
+                                                       link_filter))
     items_p, links_p, stats_p, retry_p, redir_p, sess_p, n = [], [], [], [], [], [], 0
     nd_sum = nw_sum = ne_sum = 0
     # consume incrementally: driver-side deserialization + concat overlap

@@ -76,21 +76,38 @@ def extract_links_batch(t: pa.Table) -> pa.Table:
     )
 
 
-def filter_links(t: pa.Table, cfg: CrawlConfig) -> pa.Table:
-    """Vectorized M7/M8/M9 predicates + depth-based priority adjust."""
+def filter_params(cfg: CrawlConfig) -> tuple:
+    """Picklable M7/M8/M9 parameter pack — lets the per-bucket fetch tasks
+    run the filter in-task (wide-wave scaling: the driver link chain is
+    O(links), measured ~1.9 s/run on the 1M-page bench at every CPU level;
+    BENCH/BASELINE.md run N). Per-row pure, so task-side pre-sort filtering
+    yields the identical surviving set."""
+    return (cfg.url_length_limit, tuple(cfg.allowed_domains or ()),
+            cfg.depth_limit, cfg.depth_priority)
+
+
+def filter_links_p(t: pa.Table, p: tuple) -> pa.Table:
+    """Vectorized M7/M8/M9 predicates + depth-based priority adjust,
+    parameterized by a ``filter_params`` pack (usable inside Ray tasks)."""
+    url_length_limit, allowed_domains, depth_limit, depth_priority = p
     if len(t) == 0:
         return t
-    mask = pc.less_equal(pc.utf8_length(t["url"]), cfg.url_length_limit)  # M8
-    if cfg.allowed_domains:  # M7: host == domain or endswith "."+domain
-        ok = pc.is_in(t["host"], value_set=pa.array(list(cfg.allowed_domains)))
-        for dom in cfg.allowed_domains:
+    mask = pc.less_equal(pc.utf8_length(t["url"]), url_length_limit)  # M8
+    if allowed_domains:  # M7: host == domain or endswith "."+domain
+        ok = pc.is_in(t["host"], value_set=pa.array(list(allowed_domains)))
+        for dom in allowed_domains:
             ok = pc.or_(ok, pc.ends_with(t["host"], pattern="." + dom))
         mask = pc.and_(mask, ok)
-    if cfg.depth_limit > 0:  # M9
-        mask = pc.and_(mask, pc.less_equal(t["depth"], cfg.depth_limit))
+    if depth_limit > 0:  # M9
+        mask = pc.and_(mask, pc.less_equal(t["depth"], depth_limit))
     t = t.filter(mask)
-    if cfg.depth_priority:
-        pri = pc.add(t["priority"], pc.multiply(t["depth"], cfg.depth_priority))
+    if depth_priority:
+        pri = pc.add(t["priority"], pc.multiply(t["depth"], depth_priority))
         t = t.set_column(t.schema.get_field_index("priority"), "priority",
                          pc.cast(pri, pa.int32()))
     return t
+
+
+def filter_links(t: pa.Table, cfg: CrawlConfig) -> pa.Table:
+    """Vectorized M7/M8/M9 predicates + depth-based priority adjust."""
+    return filter_links_p(t, filter_params(cfg))
