@@ -112,6 +112,9 @@ SUBSET = [
     "sssp_weighted",
     "scd2_user_status",
     "resample_ffill_daily",
+    "percentile_cont_price",
+    "order_status_seq",
+    "activity_streaks",
 ]
 
 
