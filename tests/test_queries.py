@@ -115,6 +115,8 @@ SUBSET = [
     "percentile_cont_price",
     "order_status_seq",
     "activity_streaks",
+    "dense_rank_top_prices",
+    "inter_event_gap_stats",
 ]
 
 
