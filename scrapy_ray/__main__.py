@@ -132,6 +132,10 @@ def main(argv: list[str] | None = None) -> int:
     tp.add_argument("--out", required=True, help="training-shard output dir")
     tp.add_argument("--shards", type=int, default=8)
     tp.add_argument("--min-tokens", type=int, default=3)
+    tp.add_argument("--neardup", action="store_true",
+                    help="also collapse MinHash-LSH near-duplicates "
+                         "(keep-min-url-hash per cluster)")
+    tp.add_argument("--neardup-tau", type=float, default=0.5)
     tp.add_argument("--num-cpus", type=int, default=None)
 
     v = sub.add_parser("validate", help="check a bucketed corpus's "
@@ -167,7 +171,9 @@ def main(argv: list[str] | None = None) -> int:
             res = run_crawl(args.corpus, CrawlConfig())
             manifest = build_training_corpus(res.items, args.out,
                                              n_shards=args.shards,
-                                             min_tokens=args.min_tokens)
+                                             min_tokens=args.min_tokens,
+                                             neardup=args.neardup,
+                                             neardup_tau=args.neardup_tau)
             manifest["pages_fetched"] = res.metrics["pages_fetched"]
             print(json.dumps(manifest))
         elif args.cmd == "validate":

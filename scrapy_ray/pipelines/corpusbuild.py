@@ -20,16 +20,27 @@ import ray.data
 
 def build_training_corpus(items: pa.Table, out_dir: str,
                           n_shards: int = 8,
-                          min_tokens: int = 3) -> dict:
+                          min_tokens: int = 3,
+                          neardup: bool = False,
+                          neardup_tau: float = 0.5) -> dict:
     """items (ITEMS schema or any table with url + extracted_text) ->
     ``<out_dir>/shard=<k>/part.parquet`` training shards.
 
     Passes: (1) gate — non-null text with >= min_tokens whitespace tokens
     (vectorized in-batch); (2) exact dedup — md5(text) keyed shuffle, keep
     the lexicographically smallest url per digest (the suite's
-    dedup_exact_text rule); (3) shard — url-hash partitioned, rows written
-    in deterministic (url) order per shard with per-row token counts.
-    Returns the manifest: rows in/kept/deduped, tokens kept, shard sizes."""
+    dedup_exact_text rule); (3) optional NEAR-dup collapse — MinHash+LSH
+    pairs (training.minhash_lsh_pairs, the bounded-memory core) over
+    url-hash int64 ids, connected-components keep-min-id, drop-set
+    broadcast into a stateless filter. With ``neardup`` the exact-deduped
+    stream is spilled to ``<out_dir>/_stage_dedup`` parquet first so the
+    LSH pass, the drop filter and the manifest aggregate each re-READ
+    instead of re-running the gate+dedup lineage (the between-super-stage
+    spill idiom — resumable and no recompute at scale); (4) shard —
+    url-hash partitioned, rows written in deterministic (url) order per
+    shard with per-row token counts.
+    Returns the manifest: rows in/kept/deduped (+ near-dup drops), tokens
+    kept, shard sizes."""
     from scrapy_ray.functions.hashing import hash64
 
     ds = ray.data.from_arrow(items.select(["url", "extracted_text"]))
@@ -63,6 +74,59 @@ def build_training_corpus(items: pa.Table, out_dir: str,
     kept = (ds.map_batches(gate, batch_format="pyarrow")
               .groupby("digest").map_groups(keep_first, batch_format="pandas"))
 
+    n_neardup = 0
+    if neardup:
+        import shutil
+
+        from scrapy_ray.pipelines.training import (
+            _CC_DRIVER_PAIR_LIMIT, cc_hashmin_labels,
+            connected_components_keep, minhash_lsh_pairs)
+
+        def with_nid(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            # stable int64 id from the url hash (bijective uint64 view —
+            # Ray groupby overflows on uint64 > 2^63). A 64-bit collision
+            # can only OVER-drop one extra doc, never corrupt output.
+            df["nid"] = hash64(df["url"].tolist()).view(np.int64)
+            return df
+
+        stage = os.path.join(out_dir, "_stage_dedup")
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage, exist_ok=True)
+        kept.map_batches(with_nid, batch_format="pandas").write_parquet(stage)
+        kept = ray.data.read_parquet(stage)
+
+        pairs = minhash_lsh_pairs(kept, tau=neardup_tau,
+                                  id_col="nid", text_col="text")
+        if len(pairs):
+            touched = np.unique(np.concatenate([
+                pairs["doc_a"].to_numpy(zero_copy_only=False),
+                pairs["doc_b"].to_numpy(zero_copy_only=False)]))
+            if len(pairs) > _CC_DRIVER_PAIR_LIMIT:
+                lab = cc_hashmin_labels(
+                    pa.table({"doc_a": pairs["doc_a"],
+                              "doc_b": pairs["doc_b"]}), touched)
+                drop = set(lab.loc[lab["doc_id"] != lab["keep_doc"],
+                                   "doc_id"].tolist())
+            else:
+                keep_t = connected_components_keep(
+                    pairs["doc_a"].to_numpy(zero_copy_only=False),
+                    pairs["doc_b"].to_numpy(zero_copy_only=False), touched)
+                kt = keep_t.to_pandas()
+                drop = set(kt.loc[kt["doc_id"] != kt["keep_doc"],
+                                  "doc_id"].tolist())
+            n_neardup = len(drop)
+            drop_ref = ray.put(np.fromiter(drop, dtype=np.int64,
+                                           count=len(drop)))
+
+            def drop_neardups(df: pd.DataFrame) -> pd.DataFrame:
+                d = ray.get(drop_ref)
+                return df[~df["nid"].isin(d)].drop(columns=["nid"])
+
+            kept = kept.map_batches(drop_neardups, batch_format="pandas")
+        else:
+            kept = kept.drop_columns(["nid"])
+
     def shard_of(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         df["shard"] = (hash64(df["url"].tolist())
@@ -84,8 +148,16 @@ def build_training_corpus(items: pa.Table, out_dir: str,
                              Sum("n_tokens", alias_name="tokens"))
                   .to_pandas().sort_values("shard"))
     n_kept = int(agg["rows"].sum())
+    if neardup:
+        import shutil
+
+        # the spill served its purpose (shards + manifest both read it);
+        # drop it so the output dir holds only shard=<k> partitions
+        shutil.rmtree(os.path.join(out_dir, "_stage_dedup"),
+                      ignore_errors=True)
     return {"rows_in": n_in, "rows_kept": n_kept,
             "rows_dropped": n_in - n_kept,
+            "rows_neardup_dropped": n_neardup,
             "tokens": int(agg["tokens"].sum()),
             "shards": {str(int(s)): int(r)
                        for s, r in zip(agg["shard"], agg["rows"])}}

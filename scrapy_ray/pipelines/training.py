@@ -290,6 +290,26 @@ def q_minhash_lsh_neardup(sf_dir: str, tau: float = 0.5, n_perm: int = 64,
 
     BOUNDED-MEMORY verification (round 3, VERDICT item 1): nothing
     proportional to the candidate count lives on the driver or in a single
+    object-store value — see minhash_lsh_pairs (the Dataset-generic core
+    this thin wrapper and pipelines/corpusbuild.py share)."""
+    return minhash_lsh_pairs(
+        _pq(sf_dir, "documents", columns=["doc_id", "text"]),
+        tau=tau, n_perm=n_perm, n_bands=n_bands, max_bucket=max_bucket,
+        chunk_pairs=chunk_pairs, n_set_buckets=n_set_buckets,
+        verify_slice=verify_slice)
+
+
+def minhash_lsh_pairs(ds: "ray.data.Dataset", tau: float = 0.5,
+                      n_perm: int = 64, n_bands: int = 16,
+                      max_bucket: int = 200, chunk_pairs: int = 65536,
+                      n_set_buckets: int = 16, verify_slice: int = 8192,
+                      id_col: str = "doc_id", text_col: str = "text"):
+    """Dataset-generic MinHash+LSH near-dup pair core over (id_col int64,
+    text_col string) — consumed by q_minhash_lsh_neardup (documents table)
+    and build_training_corpus (crawled items keyed by url-hash ids).
+
+    BOUNDED-MEMORY verification (round 3, VERDICT item 1): nothing
+    proportional to the candidate count lives on the driver or in a single
     object-store value.
 
     1. Shingle sets are computed ONCE in a streaming pass and written to a
@@ -310,15 +330,13 @@ def q_minhash_lsh_neardup(sf_dir: str, tau: float = 0.5, n_perm: int = 64,
 
     import pyarrow.parquet as pq_
 
-    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
-
     scratch = tempfile.mkdtemp(prefix="lsh_sets_", dir="/tmp")
     for b in range(n_set_buckets):
         os.makedirs(os.path.join(scratch, f"bucket={b}"), exist_ok=True)
 
     def sig_bands(t: pa.Table) -> pa.Table:
-        ids64 = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        sets = [shingle_hash_set(s) for s in t["text"].to_pylist()]
+        ids64 = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sets = [shingle_hash_set(s) for s in t[text_col].to_pylist()]
         # side-effect: persist this block's shingle sets into the bucketed
         # scratch layout (ONE corpus read computes signatures AND sets; the
         # downstream groupby is a barrier, so every write completes before

@@ -453,6 +453,47 @@ def test_build_training_corpus(ray_session, tmp_path):
     assert sum(m["shards"].values()) == 10
 
 
+def test_build_training_corpus_neardup(ray_session, tmp_path):
+    """Optional near-dup stage: byte-DISTINCT texts that are shingle-level
+    near-duplicates collapse to one survivor per cluster (keep-min url-hash
+    id); unrelated texts survive; the _stage_dedup spill is cleaned up."""
+    import pyarrow.parquet as pq
+
+    from scrapy_ray.functions.hashing import hash64
+    from scrapy_ray.pipelines.corpusbuild import build_training_corpus
+
+    base = ("the quick brown fox jumps over the lazy dog while rain "
+            "falls softly on ancient cobblestone streets of the town")
+    rows = []
+    for i in range(4):  # 4 near-dup variants: one trailing token differs
+        rows.append({"url": f"https://a.example.com/dup/{i}",
+                     "extracted_text": base + f" variant{i}"})
+    for i in range(6):  # unrelated distinct docs
+        rows.append({"url": f"https://a.example.com/solo/{i}",
+                     "extracted_text": " ".join(
+                         f"tok{i}w{j}" for j in range(20))})
+    items = pa.table({
+        "url": [r["url"] for r in rows],
+        "extracted_text": [r["extracted_text"] for r in rows],
+    })
+    out = str(tmp_path / "shards_nd")
+    m = build_training_corpus(items, out, n_shards=4, min_tokens=3,
+                              neardup=True, neardup_tau=0.5)
+    assert m["rows_in"] == 10
+    assert m["rows_neardup_dropped"] == 3           # 4 variants -> 1 kept
+    assert m["rows_kept"] == 7
+    back = pq.read_table(out).to_pandas()
+    assert len(back) == 7
+    # keep rule: the surviving variant is the min url-hash id of the four
+    dup_urls = [f"https://a.example.com/dup/{i}" for i in range(4)]
+    ids = hash64(dup_urls).view("int64")
+    survivor = dup_urls[int(ids.argmin())]
+    kept_dups = [u for u in back["url"] if "/dup/" in u]
+    assert kept_dups == [survivor]
+    assert "nid" not in back.columns
+    assert not os.path.exists(os.path.join(out, "_stage_dedup"))
+
+
 def test_pipeline_cli(e2e_corpus, tmp_path):
     """One-command crawl -> training shards (subprocess owns its session)."""
     out = str(tmp_path / "train")
