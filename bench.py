@@ -269,9 +269,9 @@ def run_scaling_wide() -> None:
 
     lo_n, hi_n = 2, 8
     lo_runs, hi_runs = [], []
-    for _ in range(2):
-        lo_runs.append(_sub("--crawl1m", lo_n))
-        hi_runs.append(_sub("--crawl1m", hi_n))
+    for _ in range(3):   # interleaved x3, per-level min — the same protocol
+        lo_runs.append(_sub("--crawl1m", lo_n))   # as --scaling (episodic
+        hi_runs.append(_sub("--crawl1m", hi_n))   # steal needs 3 chances)
     lo = min(lo_runs, key=lambda r: r["value"])
     hi = min(hi_runs, key=lambda r: r["value"])
     eff = (lo["value"] / hi["value"]) / (hi_n / lo_n)
