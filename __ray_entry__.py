@@ -50,6 +50,7 @@ def _registry() -> dict[str, tuple]:
     from scrapy_ray.pipelines.queries13 import QUERIES13
     from scrapy_ray.pipelines.queries14 import QUERIES14
     from scrapy_ray.pipelines.queries15 import QUERIES15
+    from scrapy_ray.pipelines.queries16 import QUERIES16
     from scrapy_ray.pipelines.skew import SKEW_QUERIES
     from scrapy_ray.pipelines.textqual import TEXTQUAL_QUERIES
     from scrapy_ray.pipelines.training import TRAINING_QUERIES
@@ -70,6 +71,7 @@ def _registry() -> dict[str, tuple]:
     reg.update(QUERIES13)
     reg.update(QUERIES14)
     reg.update(QUERIES15)
+    reg.update(QUERIES16)
     reg.update(TRAINING_QUERIES)
     reg.update(TEXTQUAL_QUERIES)
     reg.update(MULTIMODAL_QUERIES)

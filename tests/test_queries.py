@@ -117,6 +117,7 @@ SUBSET = [
     "activity_streaks",
     "dense_rank_top_prices",
     "inter_event_gap_stats",
+    "grouped_percentile_cont",
 ]
 
 
