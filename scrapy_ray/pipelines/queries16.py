@@ -153,7 +153,83 @@ ORDER BY priority, q100
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape: top supplier(s) by windowed revenue, ties kept
+# ---------------------------------------------------------------------------
+
+_Q15_LO = pd.Timestamp("1996-01-01")
+_Q15_HI = pd.Timestamp("1996-04-01")
+
+
+def q_tpch_q15_like(sf_dir: str):
+    """TPC-H Q15 shape (top_supplier view): per-supplier revenue over a
+    3-month shipdate window, then the supplier(s) achieving the GLOBAL
+    max (ties kept — the aggregate-of-aggregate scalar + tie filter).
+    Shape: in-batch combiner (per-batch per-supplier partial sums) ->
+    groupby(suppkey).sum — the shuffled payload is O(suppliers per batch),
+    never O(lineitem rows); the max and tie filter touch only the
+    O(suppliers) aggregate; winner names come from a broadcast-probed
+    pruned supplier read. Revenue is exact integer cents with the
+    identical per-row quantization expression both sides."""
+    import pyarrow.compute as pc
+
+    ds = _pq(sf_dir, "lineitem",
+             ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(_Q15_LO)),
+                    pc.less(t["l_shipdate"], pa.scalar(_Q15_HI)))
+        t = t.filter(m)
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "s_suppkey": t["l_suppkey"].to_numpy(zero_copy_only=False),
+            "r": _cents_np(price * (1.0 - disc)),
+        })
+        g = df.groupby("s_suppkey")["r"].sum().rename("r").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False) \
+                       .replace_schema_metadata(None)
+
+    rev = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("s_suppkey").aggregate(Sum("r", alias_name="total_cents"))
+             .to_pandas())   # O(suppliers) — the dimension cardinality
+    best = int(rev["total_cents"].max())
+    win = rev[rev["total_cents"] == best]
+    win_keys = set(int(k) for k in win["s_suppkey"])
+
+    sup = _pq(sf_dir, "supplier", ["s_suppkey", "s_name"])
+
+    def probe(t: pa.Table) -> pa.Table:
+        keep = np.isin(t["s_suppkey"].to_numpy(zero_copy_only=False),
+                       list(win_keys))
+        return t.filter(pa.array(keep))
+
+    names = sup.map_batches(probe, batch_format="pyarrow").to_pandas()
+    out = names.merge(win, on="s_suppkey")
+    out["s_suppkey"] = out["s_suppkey"].astype(np.int64)
+    out["total_cents"] = out["total_cents"].astype(np.int64)
+    return (out[["s_suppkey", "s_name", "total_cents"]]
+            .sort_values("s_suppkey").reset_index(drop=True))
+
+
+SQL_TPCH_Q15 = """
+WITH rev AS (
+  SELECT l_suppkey AS s_suppkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+            )::BIGINT AS total_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey::BIGINT AS s_suppkey, s.s_name, r.total_cents
+FROM rev r JOIN supplier s ON s.s_suppkey = r.s_suppkey
+WHERE r.total_cents = (SELECT MAX(total_cents) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
 QUERIES16: dict[str, tuple] = {
     "grouped_percentile_cont": (q_grouped_percentile_cont,
                                 SQL_GROUPED_PERCENTILE_CONT),
+    "tpch_q15_like": (q_tpch_q15_like, SQL_TPCH_Q15),
 }

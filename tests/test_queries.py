@@ -118,6 +118,7 @@ SUBSET = [
     "dense_rank_top_prices",
     "inter_event_gap_stats",
     "grouped_percentile_cont",
+    "tpch_q15_like",
 ]
 
 
