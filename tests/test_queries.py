@@ -119,6 +119,7 @@ SUBSET = [
     "inter_event_gap_stats",
     "grouped_percentile_cont",
     "tpch_q15_like",
+    "tpch_q5_like",
 ]
 
 
