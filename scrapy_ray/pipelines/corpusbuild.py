@@ -96,8 +96,11 @@ def build_training_corpus(items: pa.Table, out_dir: str,
         kept.map_batches(with_nid, batch_format="pandas").write_parquet(stage)
         kept = ray.data.read_parquet(stage)
 
-        pairs = minhash_lsh_pairs(kept, tau=neardup_tau,
-                                  id_col="nid", text_col="text")
+        # pruned 2-column read for the LSH pass (url/digest/n_tokens would
+        # otherwise ride the scan for nothing)
+        pairs = minhash_lsh_pairs(
+            ray.data.read_parquet(stage, columns=["nid", "text"]),
+            tau=neardup_tau, id_col="nid", text_col="text")
         if len(pairs):
             touched = np.unique(np.concatenate([
                 pairs["doc_a"].to_numpy(zero_copy_only=False),
