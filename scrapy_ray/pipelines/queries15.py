@@ -140,8 +140,13 @@ def q_inter_event_gap_stats(sf_dir: str):
         gap_s = np.zeros(len(df), dtype=np.int64)
         gap_s[1:] = (ts[1:] - ts[:-1]) // 1_000_000
         out = pd.DataFrame({"event_type": ty[same], "gap_s": gap_s[same]})
-        return (out.groupby(["event_type", "gap_s"]).size().rename("cnt")
-                   .reset_index())
+        cells = (out.groupby(["event_type", "gap_s"]).size().rename("cnt")
+                    .reset_index())
+        # hand ARROW blocks to the downstream (type, gap_s) aggregate —
+        # pandas blocks push the two-key groupby onto its slow path
+        # (measured 21 s -> ~2 s at sf0.1; CLAUDE.md pandas-block rule)
+        return pa.Table.from_pandas(cells, preserve_index=False) \
+                       .replace_schema_metadata(None)
 
     cells = (ds.map_batches(with_key, batch_format="pyarrow")
                .groupby("gkey").map_groups(gaps, batch_format="pandas"))
