@@ -199,6 +199,86 @@ GROUP BY nat.n_name ORDER BY n_name
 """
 
 
+# ---------------------------------------------------------------------------
+# exact covariance moment matrix (one pass, arbitrary-precision finalize)
+# ---------------------------------------------------------------------------
+
+_COV_COLS = ("q", "p", "d", "t")   # quantity(units), price(dollars),
+_COV_PAIRS = [(a, b) for i, a in enumerate(_COV_COLS)   # discount, tax (cents)
+              for b in _COV_COLS[i:]]
+
+
+def q_cov_matrix_lineitem(sf_dir: str):
+    """EXACT population-covariance NUMERATORS ``n*sum(xy) - sum(x)*sum(y)``
+    for every pair of four lineitem measures — the one-pass moment-matrix
+    build (10 upper-triangle pairs incl. variances). Integer end to end:
+    per-batch int64 partial sums of values and cross products (one tiny
+    row per batch; magnitudes fit int64 per batch by the dollars/cents
+    unit choice), combined driver-side in PYTHON ints (arbitrary
+    precision — the n*sum(xy) finalization overflows int64 at bench scale
+    exactly like DuckDB's HUGEINT path), emitted as decimal STRINGS so the
+    compare is exact at any magnitude. The same one-pass shape at 100 TB
+    tree-aggregates the per-batch partial rows instead of driver-summing
+    them; nothing else changes."""
+    ds = _pq(sf_dir, "lineitem",
+             ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        def r(col: str, scale: float) -> np.ndarray:
+            y = t[col].to_numpy(zero_copy_only=False).astype(np.float64) * scale
+            return (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64)
+
+        v = {"q": r("l_quantity", 1.0), "p": r("l_extendedprice", 1.0),
+             "d": r("l_discount", 100.0), "t": r("l_tax", 100.0)}
+        row = {"n": np.int64(len(t))}
+        for c in _COV_COLS:
+            row[f"s_{c}"] = v[c].sum()
+        for a, b in _COV_PAIRS:
+            row[f"s_{a}{b}"] = (v[a] * v[b]).sum()
+        return pa.table({k: pa.array([int(x)]) for k, x in row.items()})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    # exact combine: Python ints (per-batch partials fit int64; the global
+    # finalization does not — same reason DuckDB promotes to HUGEINT)
+    n = int(parts["n"].sum())
+    s = {c: sum(int(x) for x in parts[f"s_{c}"]) for c in _COV_COLS}
+    rows = []
+    for a, b in _COV_PAIRS:
+        sxy = sum(int(x) for x in parts[f"s_{a}{b}"])
+        rows.append((a, b, str(n * sxy - s[a] * s[b]), n))
+    df = pd.DataFrame(rows, columns=["col_x", "col_y", "cov_num", "n"])
+    df["n"] = df["n"].astype(np.int64)
+    return df.sort_values(["col_x", "col_y"]).reset_index(drop=True)
+
+
+def _cov_sql() -> str:
+    sel = ["COUNT(*)::HUGEINT AS n"]
+    for c in _COV_COLS:
+        sel.append(f"sum({c})::HUGEINT AS s_{c}")
+    for a, b in _COV_PAIRS:
+        sel.append(f"sum({a}*{b})::HUGEINT AS s_{a}{b}")
+    unions = []
+    for a, b in _COV_PAIRS:
+        unions.append(
+            f"SELECT '{a}' AS col_x, '{b}' AS col_y, "
+            f"CAST(n*s_{a}{b} - s_{a}*s_{b} AS VARCHAR) AS cov_num, "
+            f"n::BIGINT AS n FROM s")
+    return f"""
+WITH b AS (SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+                  CAST(round(l_extendedprice) AS BIGINT) AS p,
+                  CAST(round(l_discount*100) AS BIGINT) AS d,
+                  CAST(round(l_tax*100) AS BIGINT) AS t
+           FROM lineitem),
+s AS (SELECT {", ".join(sel)} FROM b)
+{" UNION ALL ".join(unions)}
+ORDER BY col_x, col_y
+"""
+
+
+SQL_COV_MATRIX = _cov_sql()
+
+
 QUERIES17: dict[str, tuple] = {
     "tpch_q5_like": (q_tpch_q5_like, SQL_TPCH_Q5),
+    "cov_matrix_lineitem": (q_cov_matrix_lineitem, SQL_COV_MATRIX),
 }

@@ -120,6 +120,7 @@ SUBSET = [
     "grouped_percentile_cont",
     "tpch_q15_like",
     "tpch_q5_like",
+    "cov_matrix_lineitem",
 ]
 
 
