@@ -1,0 +1,265 @@
+"""Eighteenth oracle-query batch — the three remaining expressible TPC-H
+shapes (the testdata lacks l_shipmode/commitdate/receiptdate and
+p_container, so Q12/Q21 cannot be stated faithfully; Q2/Q11/Q16/Q20 need
+partsupp, which the driver does not generate):
+
+- Q14 promo revenue: broadcast-dim CASE aggregate over a shipdate month.
+  The classic output is a float ratio; per the repo's no-float-sum-compare
+  rule the query emits the exact integer-cents NUMERATOR and DENOMINATOR
+  instead (promo_rev_c / total_rev_c) — the ratio is a trivial driver-side
+  division for a consumer, and the compare stays exact.
+- Q19 disjunctive-predicate scan: three OR'd (brand, size-range,
+  quantity-range) classes. Parts are classified driver-side into a class
+  code (tiny dim), the code array is broadcast, and each lineitem batch
+  tests the per-class quantity window vectorized — the disjunction never
+  materializes a join, and the scan stays zero-shuffle.
+- Q17 small-quantity-order revenue: per-part average-quantity correlated
+  filter, restricted to one brand. Two passes over a 2/3-column pruned
+  lineitem read: pass 1 computes per-part integer (sum_qty, cnt) partials
+  per batch and combines them with a Ray groupby over the tiny partial
+  stream (scale-safe: the shuffle payload is |branded parts| x batches
+  rows, never O(fact)); pass 2 applies the EXACT integer form of the
+  classic predicate — qty < 0.2*avg(qty)  <=>  5*cnt*qty < sum_qty —
+  so no float-division tie can diverge from the oracle.
+
+All three: pruned reads, broadcast small sides via ray.put, per-batch
+int64 partials, exact integer-cents compares (BIGINT in the oracle).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data.aggregate import Sum
+
+from scrapy_ray.pipelines.queries import _cents, _pq
+
+_Q14_LO = pd.Timestamp("1996-03-01")
+_Q14_HI = pd.Timestamp("1996-04-01")
+
+
+def _part_arrays(sf_dir: str, columns: list[str]):
+    import pyarrow.parquet as pq_
+    t = pq_.read_table(os.path.join(sf_dir, "part.parquet"), columns=columns)
+    return t
+
+
+def q_tpch_q14_like(sf_dir: str):
+    """TPC-H Q14 (promo revenue) — exact integer numerator/denominator."""
+    part = _part_arrays(sf_dir, ["p_partkey", "p_type"])
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    promo = pc.equal(part["p_type"], pa.scalar("PROMO")) \
+        .to_numpy(zero_copy_only=False)
+    o = np.argsort(pk, kind="stable")
+    dim_ref = ray.put((pk[o], promo[o]))
+
+    ds = _pq(sf_dir, "lineitem",
+             columns=["l_partkey", "l_extendedprice", "l_discount",
+                      "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        k, pr = ray.get(dim_ref) if isinstance(dim_ref, ray.ObjectRef) \
+            else dim_ref
+        keep = pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(_Q14_LO)),
+                       pc.less(t["l_shipdate"], pa.scalar(_Q14_HI)))
+        t = t.filter(keep)
+        if len(t) == 0:
+            return pa.table({"promo_rev_c": pa.array([], pa.int64()),
+                             "total_rev_c": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        lp = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_promo = pr[np.searchsorted(k, lp)]
+        rc = _cents(pc.multiply(t["l_extendedprice"],
+                                pc.subtract(pa.scalar(1.0), t["l_discount"]))) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "promo_rev_c": pa.array([int(rc[is_promo].sum())]),
+            "total_rev_c": pa.array([int(rc.sum())]),
+            "n": pa.array([np.int64(len(t))]),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    # per-batch int64 partials; global combine is a tiny exact sum (at
+    # 100 TB: tree-aggregate the partial rows — same one-pass shape)
+    return pd.DataFrame({
+        "promo_rev_c": [np.int64(parts["promo_rev_c"].sum())],
+        "total_rev_c": [np.int64(parts["total_rev_c"].sum())],
+        "n": [np.int64(parts["n"].sum())],
+    })
+
+
+SQL_TPCH_Q14 = """
+SELECT
+  coalesce(sum(CASE WHEN p_type = 'PROMO'
+       THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+       ELSE 0 END), 0)::BIGINT AS promo_rev_c,
+  coalesce(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+       AS BIGINT)), 0)::BIGINT AS total_rev_c,
+  count(*)::BIGINT AS n
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= DATE '1996-03-01' AND l_shipdate < DATE '1996-04-01'
+"""
+
+
+# (brand, max p_size, qty lo, qty hi) — three disjunctive classes
+_Q19_CLASSES = [("Brand#12", 15, 1.0, 21.0),
+                ("Brand#23", 20, 10.0, 30.0),
+                ("Brand#19", 25, 20.0, 40.0)]
+
+
+def q_tpch_q19_like(sf_dir: str):
+    """TPC-H Q19 (discounted revenue, disjunctive predicate classes)."""
+    part = _part_arrays(sf_dir, ["p_partkey", "p_brand", "p_size"])
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    brand = part["p_brand"].to_numpy(zero_copy_only=False)
+    size = part["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cls = np.full(len(pk), -1, dtype=np.int8)
+    for i, (b, hi, _ql, _qh) in enumerate(_Q19_CLASSES):
+        cls[(brand == b) & (size >= 1) & (size <= hi)] = i
+    o = np.argsort(pk, kind="stable")
+    dim_ref = ray.put((pk[o], cls[o]))
+    qlo = np.array([c[2] for c in _Q19_CLASSES])
+    qhi = np.array([c[3] for c in _Q19_CLASSES])
+
+    ds = _pq(sf_dir, "lineitem",
+             columns=["l_partkey", "l_quantity", "l_extendedprice",
+                      "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        k, c = ray.get(dim_ref) if isinstance(dim_ref, ray.ObjectRef) \
+            else dim_ref
+        lp = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ci = c[np.searchsorted(k, lp)].astype(np.int64)
+        q = t["l_quantity"].to_numpy(zero_copy_only=False)
+        hit = ci >= 0
+        ci0 = np.where(hit, ci, 0)
+        keep = hit & (q >= qlo[ci0]) & (q <= qhi[ci0])
+        rc = _cents(pc.multiply(t["l_extendedprice"],
+                                pc.subtract(pa.scalar(1.0), t["l_discount"]))) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({"revenue_c": pa.array([int(rc[keep].sum())]),
+                         "n": pa.array([int(keep.sum())])})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({"revenue_c": [np.int64(parts["revenue_c"].sum())],
+                         "n": [np.int64(parts["n"].sum())]})
+
+
+def _q19_sql() -> str:
+    ors = " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN 1 AND {hi} "
+        f"AND l_quantity BETWEEN {ql} AND {qh})"
+        for b, hi, ql, qh in _Q19_CLASSES)
+    return f"""
+SELECT coalesce(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+         AS BIGINT)), 0)::BIGINT AS revenue_c,
+       count(*)::BIGINT AS n
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE {ors}
+"""
+
+
+SQL_TPCH_Q19 = _q19_sql()
+
+_Q17_BRAND = "Brand#13"
+
+
+def q_tpch_q17_like(sf_dir: str):
+    """TPC-H Q17 (small-quantity-order revenue) with the exact-integer
+    predicate 5*cnt*qty < sum_qty (== qty < 0.2*avg(qty), no float ties)."""
+    part = _part_arrays(sf_dir, ["p_partkey", "p_brand"])
+    mask = pc.equal(part["p_brand"], pa.scalar(_Q17_BRAND)) \
+        .to_numpy(zero_copy_only=False)
+    bpk = np.sort(part["p_partkey"].to_numpy(zero_copy_only=False)
+                  .astype(np.int64)[mask])
+    bpk_ref = ray.put(bpk)
+
+    def _qint(t: pa.Table) -> np.ndarray:
+        q = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return (np.sign(q) * np.floor(np.abs(q) + 0.5)).astype(np.int64)
+
+    def _branded(t: pa.Table) -> tuple[pa.Table, np.ndarray]:
+        k = ray.get(bpk_ref) if isinstance(bpk_ref, ray.ObjectRef) else bpk_ref
+        lp = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(k, lp)
+        keep = (pos < len(k)) & (k[np.minimum(pos, len(k) - 1)] == lp)
+        return t.filter(pa.array(keep)), lp[keep]
+
+    # pass 1: per-part integer (sum_qty, cnt) — per-batch partial groupby,
+    # combined by a Ray groupby over the TINY partial stream (payload is
+    # |branded parts| x batches rows, never O(fact) — scale-safe)
+    ds1 = _pq(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t, lp = _branded(t)
+        if len(t) == 0:
+            return pa.table({"pk": pa.array([], pa.int64()),
+                             "sq": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        qi = _qint(t)
+        order = np.argsort(lp, kind="stable")
+        lp, qi = lp[order], qi[order]
+        starts = np.flatnonzero(np.r_[True, lp[1:] != lp[:-1]])
+        ends = np.r_[starts[1:], len(lp)]
+        csum = np.r_[0, np.cumsum(qi)]
+        return pa.table({"pk": pa.array(lp[starts]),
+                         "sq": pa.array(csum[ends] - csum[starts]),
+                         "cnt": pa.array((ends - starts).astype(np.int64))})
+
+    g = (ds1.map_batches(partial, batch_format="pyarrow")
+         .groupby("pk").aggregate(Sum("sq"), Sum("cnt")).to_pandas())
+    gk = g["pk"].to_numpy().astype(np.int64)
+    o = np.argsort(gk, kind="stable")
+    stats_ref = ray.put((gk[o],
+                         g["sum(sq)"].to_numpy().astype(np.int64)[o],
+                         g["sum(cnt)"].to_numpy().astype(np.int64)[o]))
+
+    # pass 2: qualify rows with 5*cnt*qty < sum_qty, sum price cents
+    ds2 = _pq(sf_dir, "lineitem",
+              columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def qualify(t: pa.Table) -> pa.Table:
+        t, lp = _branded(t)
+        if len(t) == 0:
+            return pa.table({"sum_price_c": pa.array([], pa.int64()),
+                             "n_rows": pa.array([], pa.int64())})
+        k, sq, cnt = ray.get(stats_ref) \
+            if isinstance(stats_ref, ray.ObjectRef) else stats_ref
+        pos = np.searchsorted(k, lp)
+        qi = _qint(t)
+        keep = 5 * cnt[pos] * qi < sq[pos]
+        pcents = _cents(t["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        return pa.table({"sum_price_c": pa.array([int(pcents[keep].sum())]),
+                         "n_rows": pa.array([int(keep.sum())])})
+
+    parts = ds2.map_batches(qualify, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({"sum_price_c": [np.int64(parts["sum_price_c"].sum())],
+                         "n_rows": [np.int64(parts["n_rows"].sum())]})
+
+
+SQL_TPCH_Q17 = f"""
+WITH g AS (
+  SELECT l_partkey AS pk,
+         sum(CAST(round(l_quantity) AS BIGINT)) AS sq,
+         count(*)::BIGINT AS cnt
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = '{_Q17_BRAND}'
+  GROUP BY 1)
+SELECT coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)), 0)::BIGINT
+         AS sum_price_c,
+       count(*)::BIGINT AS n_rows
+FROM lineitem l JOIN g ON g.pk = l.l_partkey
+WHERE 5 * g.cnt * CAST(round(l.l_quantity) AS BIGINT) < g.sq
+"""
+
+
+QUERIES18: dict[str, tuple] = {
+    "tpch_q14_like": (q_tpch_q14_like, SQL_TPCH_Q14),
+    "tpch_q19_like": (q_tpch_q19_like, SQL_TPCH_Q19),
+    "tpch_q17_like": (q_tpch_q17_like, SQL_TPCH_Q17),
+}

@@ -121,6 +121,9 @@ SUBSET = [
     "tpch_q15_like",
     "tpch_q5_like",
     "cov_matrix_lineitem",
+    "tpch_q14_like",
+    "tpch_q19_like",
+    "tpch_q17_like",
 ]
 
 
