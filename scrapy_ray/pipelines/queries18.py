@@ -1,4 +1,4 @@
-"""Eighteenth oracle-query batch — the three remaining expressible TPC-H
+"""Eighteenth oracle-query batch — the remaining expressible TPC-H
 shapes (the testdata lacks l_shipmode/commitdate/receiptdate and
 p_container, so Q12/Q21 cannot be stated faithfully; Q2/Q11/Q16/Q20 need
 partsupp, which the driver does not generate):
@@ -37,7 +37,7 @@ import pyarrow.compute as pc
 import ray
 from ray.data.aggregate import Sum
 
-from scrapy_ray.pipelines.queries import _cents, _pq
+from scrapy_ray.pipelines.queries import _cents, _nrows, _pq
 
 _Q14_LO = pd.Timestamp("1996-03-01")
 _Q14_HI = pd.Timestamp("1996-04-01")
@@ -258,8 +258,168 @@ WHERE 5 * g.cnt * CAST(round(l.l_quantity) AS BIGINT) < g.sq
 """
 
 
+# ---------------------------------------------------------------------------
+# Q10: returned-item revenue, top-20 customers
+# ---------------------------------------------------------------------------
+
+_Q10_LO = pd.Timestamp("1996-10-01")
+_Q10_HI = pd.Timestamp("1997-01-01")
+
+
+def q_tpch_q10_like(sf_dir: str):
+    """TPC-H Q10 (returned-item revenue): top-20 customers by revenue from
+    RETURNED lineitems of orders in a 3-month window, enriched with
+    customer name / account balance / nation.
+
+    Plan (no O(fact) driver structure anywhere):
+    1. one streaming pass over orders builds a mergeable Bloom over the
+       WINDOWED orderkeys and keeps the windowed (o_orderkey, o_custkey)
+       Dataset (~1/26 of orders) — the window rides the bloom build;
+    2. lineitem pruned to 4 columns, filtered returnflag='R' AND
+       bloom(l_orderkey), per-batch partial groupby(l_orderkey), then the
+       small groupby Sum -> per-order revenue (bloom FPs still present);
+    3. native Dataset.join per-order-revenue x windowed-orders (inner, on
+       orderkey) — kills the FPs EXACTLY (an FP key is outside the window
+       by construction) and carries o_custkey, the attribute a semi-join
+       cannot: this is the general fact-fact edge, per queries4's measured
+       native-join notes;
+    4. groupby(o_custkey) Sum -> per-customer revenue; per-block partial
+       top-20 (exact after the groupby: one row per key globally) + tiny
+       driver merge;
+    5. only the 20 WINNERS are enriched with the customer/nation dims
+       (driver-side dim reads — 20 rows, never the fact tables).
+    """
+    import pyarrow.parquet as pq_
+
+    from scrapy_ray.state.bloom import BloomFilter
+
+    orders = _pq(sf_dir, "orders",
+                 columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    bloom_cap = max(1024, _nrows(sf_dir, "orders") // 8)
+
+    def window_filter(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(_Q10_LO)),
+            pc.less(t["o_orderdate"], pa.scalar(_Q10_HI))))
+        return pa.table({
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "o_custkey": pc.cast(t["o_custkey"], pa.int64())})
+
+    windowed = orders.map_batches(window_filter, batch_format="pyarrow")
+
+    def order_bloom(t: pa.Table) -> pa.Table:
+        bf = BloomFilter(bloom_cap, 12)
+        bf.add_many(t["o_orderkey"].to_numpy(zero_copy_only=False)
+                    .astype(np.uint64))
+        return pa.table({"words": pa.array([bf.words.tobytes()],
+                                           type=pa.binary())})
+
+    merged_bf = BloomFilter(bloom_cap, 12)
+    for b in windowed.map_batches(order_bloom, batch_format="pyarrow") \
+                     .iter_batches(batch_size=None, batch_format="pyarrow"):
+        for w in b["words"].to_pylist():
+            merged_bf.words |= np.frombuffer(w, dtype=np.uint64)
+    bloom_ref = ray.put(merged_bf)
+
+    li = _pq(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                      "l_discount"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        bf = ray.get(bloom_ref) if isinstance(bloom_ref, ray.ObjectRef) \
+            else bloom_ref
+        t = t.filter(pc.equal(t["l_returnflag"], pa.scalar("R")))
+        keep = bf.contains_many(
+            t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        t = t.filter(pa.array(keep))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        df = pa.table({"o_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                       "rc": _cents(rev)}).to_pandas()
+        g = df.groupby("o_orderkey").agg(revenue_c=("rc", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    per_order = (li.map_batches(li_partial, batch_format="pyarrow")
+                   .groupby("o_orderkey")
+                   .aggregate(Sum("revenue_c", alias_name="revenue_c")))
+
+    joined = windowed.join(per_order, join_type="inner", num_partitions=8,
+                           on=("o_orderkey",))
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        df = pa.table({"c_custkey": t["o_custkey"],
+                       "revenue_c": t["revenue_c"]}).to_pandas()
+        g = df.groupby("c_custkey").agg(revenue_c=("revenue_c", "sum")) \
+            .reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    per_cust = (joined.map_batches(cust_partial, batch_format="pyarrow")
+                      .groupby("c_custkey")
+                      .aggregate(Sum("revenue_c", alias_name="revenue_c")))
+
+    def part_top(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("revenue_c", "descending"),
+                                            ("c_custkey", "ascending")])[:20]
+        return t.take(idx)
+
+    parts = list(per_cust.map_batches(part_top, batch_format="pyarrow")
+                         .iter_batches(batch_size=None,
+                                       batch_format="pyarrow"))
+    merged = pa.concat_tables(parts) if parts else pa.table(
+        {"c_custkey": pa.array([], pa.int64()),
+         "revenue_c": pa.array([], pa.int64())})
+    idx = pc.sort_indices(merged, sort_keys=[("revenue_c", "descending"),
+                                             ("c_custkey", "ascending")])[:20]
+    top = merged.take(idx)
+
+    # enrich ONLY the winners (20 rows) with the customer/nation dims
+    import pyarrow.parquet as pq2
+    cust = pq2.read_table(os.path.join(sf_dir, "customer.parquet"),
+                          columns=["c_custkey", "c_name", "c_acctbal",
+                                   "c_nationkey"])
+    nation = pq2.read_table(os.path.join(sf_dir, "nation.parquet"),
+                            columns=["n_nationkey", "n_name"])
+    ck = cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    co = np.argsort(ck, kind="stable")
+    pos = co[np.searchsorted(ck[co],
+                             top["c_custkey"].to_numpy(zero_copy_only=False))]
+    nk = cust["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)[pos]
+    nnk = nation["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    no = np.argsort(nnk, kind="stable")
+    npos = no[np.searchsorted(nnk[no], nk)]
+    return pa.table({
+        "c_custkey": top["c_custkey"],
+        "c_name": cust["c_name"].take(pa.array(pos)),
+        "revenue_c": top["revenue_c"],
+        "acctbal_c": _cents(cust["c_acctbal"].take(pa.array(pos))),
+        "n_name": nation["n_name"].take(pa.array(npos)),
+    })
+
+
+SQL_TPCH_Q10 = """
+WITH rev AS (
+  SELECT o_custkey AS c_custkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           ::BIGINT AS revenue_c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= DATE '1996-10-01' AND o_orderdate < DATE '1997-01-01'
+  GROUP BY 1)
+SELECT r.c_custkey, c.c_name, r.revenue_c,
+       CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_c, n.n_name
+FROM rev r
+JOIN customer c ON c.c_custkey = r.c_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+ORDER BY r.revenue_c DESC, r.c_custkey ASC
+LIMIT 20
+"""
+
+
 QUERIES18: dict[str, tuple] = {
     "tpch_q14_like": (q_tpch_q14_like, SQL_TPCH_Q14),
     "tpch_q19_like": (q_tpch_q19_like, SQL_TPCH_Q19),
     "tpch_q17_like": (q_tpch_q17_like, SQL_TPCH_Q17),
+    "tpch_q10_like": (q_tpch_q10_like, SQL_TPCH_Q10),
 }

@@ -124,6 +124,7 @@ SUBSET = [
     "tpch_q14_like",
     "tpch_q19_like",
     "tpch_q17_like",
+    "tpch_q10_like",
 ]
 
 
