@@ -417,9 +417,221 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# Q8: national market share by year
+# ---------------------------------------------------------------------------
+
+_Q8_LO = pd.Timestamp("1995-01-01")
+_Q8_HI = pd.Timestamp("1997-01-01")
+_Q8_TYPE = "ECONOMY"
+
+
+def q_tpch_q8_like(sf_dir: str):
+    """TPC-H Q8 (national market share): for orders from customers of the
+    alphabetically-first region over 1995-1996 and lineitems of one part
+    type, the per-YEAR exact integer numerator (revenue via suppliers of
+    the region's alphabetically-first nation) and denominator (all
+    suppliers) of the market-share ratio — the ratio itself is a trivial
+    division for a consumer; emitting both keeps the compare exact.
+
+    Same no-fact-shuffle plan as Q5 (queries17): part-type keys and the
+    supplier->nation map are broadcast dims; the orders fact edge is the
+    coded Bloom where the CODE IS THE ORDER YEAR (region membership and
+    the window fold into the build, so non-qualifying orders never leave
+    the probe); unique hits aggregate per (year, is_target_supplier),
+    the ~fpr multi-hit remainder resolves exactly via chunked pruned
+    probes. Only shuffle: a groupby over 2 years x 2 flags + ambiguous
+    partials."""
+    import pyarrow.parquet as pq_
+
+    from scrapy_ray.pipelines.bloomjoin import (build_coded_blooms,
+                                                probe_codes, resolve_exact)
+
+    region = pq_.read_table(os.path.join(sf_dir, "region.parquet"))
+    nation = pq_.read_table(os.path.join(sf_dir, "nation.parquet"))
+    rk = sorted(zip(region["r_name"].to_pylist(),
+                    region["r_regionkey"].to_pylist()))[0][1]
+    reg_nations = sorted(
+        (n, int(k)) for k, n, g in zip(nation["n_nationkey"].to_pylist(),
+                                       nation["n_name"].to_pylist(),
+                                       nation["n_regionkey"].to_pylist())
+        if int(g) == int(rk))
+    cust_nat_codes = np.array(sorted(k for _, k in reg_nations),
+                              dtype=np.int64)
+    tgt_nation = reg_nations[0][1]      # alphabetically-first nation
+
+    supp = pq_.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                          columns=["s_suppkey", "s_nationkey"])
+    sk = supp["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sn = supp["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    so = np.argsort(sk, kind="stable")
+    supp_ref = ray.put((sk[so], sn[so]))
+
+    part = _part_arrays(sf_dir, ["p_partkey", "p_type"])
+    tpk = np.sort(part["p_partkey"].to_numpy(zero_copy_only=False)
+                  .astype(np.int64)[
+                      pc.equal(part["p_type"], pa.scalar(_Q8_TYPE))
+                      .to_numpy(zero_copy_only=False)])
+    tpk_ref = ray.put(tpk)
+
+    cust = pq_.read_table(os.path.join(sf_dir, "customer.parquet"),
+                          columns=["c_custkey", "c_nationkey"])
+    ck = cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cn = cust["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    co = np.argsort(ck, kind="stable")
+    cust_ref = ray.put((ck[co], cn[co]))
+
+    orders = _pq(sf_dir, "orders",
+                 columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    years = np.array([1995, 1996], dtype=np.int64)
+
+    def order_code(t: pa.Table) -> np.ndarray:
+        """Order YEAR for qualifying orders (region customer AND inside
+        the two-year window), -1 otherwise."""
+        k, n = ray.get(cust_ref) if isinstance(cust_ref, ray.ObjectRef) \
+            else cust_ref
+        oc = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nat = n[np.searchsorted(k, oc)]
+        yr = pc.year(t["o_orderdate"]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ind = pc.and_(pc.greater_equal(t["o_orderdate"], pa.scalar(_Q8_LO)),
+                      pc.less(t["o_orderdate"], pa.scalar(_Q8_HI))) \
+            .to_numpy(zero_copy_only=False)
+        return np.where(ind & np.isin(nat, cust_nat_codes), yr, -1)
+
+    cap = max(1024, _nrows(sf_dir, "orders") // 6)
+    blooms_ref = ray.put(build_coded_blooms(orders, "o_orderkey", order_code,
+                                            years, cap))
+
+    li = _pq(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_partkey", "l_suppkey",
+                      "l_extendedprice", "l_discount"])
+
+    _EMPTY18 = {"kind": pa.array([], pa.int32()),
+                "key": pa.array([], pa.int64()),
+                "is_tgt": pa.array([], pa.int32()),
+                "revenue_c": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64())}
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        tp = ray.get(tpk_ref) if isinstance(tpk_ref, ray.ObjectRef) \
+            else tpk_ref
+        skk, snn = ray.get(supp_ref) if isinstance(supp_ref, ray.ObjectRef) \
+            else supp_ref
+        bfs = ray.get(blooms_ref) if isinstance(blooms_ref, ray.ObjectRef) \
+            else blooms_ref
+        lp = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(tp, lp)
+        keep = (pos < len(tp)) & (tp[np.minimum(pos, len(tp) - 1)] == lp)
+        t = t.filter(pa.array(keep))
+        if len(t) == 0:
+            return pa.table(_EMPTY18)
+        ls = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_tgt = (snn[np.searchsorted(skk, ls)] == tgt_nation) \
+            .astype(np.int32)
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        one, yr_code, amb = probe_codes(bfs, years, ok)
+        rc = _cents(pc.multiply(t["l_extendedprice"],
+                                pc.subtract(pa.scalar(1.0), t["l_discount"]))) \
+            .to_numpy(zero_copy_only=False)
+        frames = []
+        if one.any():
+            g = pd.DataFrame({"key": yr_code[one], "is_tgt": is_tgt[one],
+                              "rc": rc[one]}) \
+                .groupby(["key", "is_tgt"]) \
+                .agg(revenue_c=("rc", "sum"), n=("rc", "count")).reset_index()
+            g.insert(0, "kind", np.int32(0))
+            frames.append(g)
+        if amb.any():
+            g = pd.DataFrame({"key": ok[amb], "is_tgt": is_tgt[amb],
+                              "rc": rc[amb]}) \
+                .groupby(["key", "is_tgt"]) \
+                .agg(revenue_c=("rc", "sum"), n=("rc", "count")).reset_index()
+            g.insert(0, "kind", np.int32(1))
+            frames.append(g)
+        if not frames:
+            return pa.table(_EMPTY18)
+        g = pd.concat(frames, ignore_index=True)
+        return pa.table({"kind": pa.array(g["kind"].to_numpy(np.int32)),
+                         "key": pa.array(g["key"].to_numpy(np.int64)),
+                         "is_tgt": pa.array(g["is_tgt"].to_numpy(np.int32)),
+                         "revenue_c": pa.array(g["revenue_c"].to_numpy(np.int64)),
+                         "n": pa.array(g["n"].to_numpy(np.int64))})
+
+    agg = (li.map_batches(li_partial, batch_format="pyarrow")
+             .groupby(["kind", "key", "is_tgt"]).aggregate(
+                 Sum("revenue_c", alias_name="revenue_c"),
+                 Sum("n", alias_name="n")))
+
+    acc: dict[int, list] = {int(y): [0, 0, 0] for y in years}   # tgt, tot, n
+    amb_rows: list[tuple] = []
+    for b in agg.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for kind, key, tgt, rv, n in zip(
+                b["kind"].to_pylist(), b["key"].to_pylist(),
+                b["is_tgt"].to_pylist(), b["revenue_c"].to_pylist(),
+                b["n"].to_pylist()):
+            if kind == 0:
+                a = acc[key]
+                a[0] += rv if tgt else 0
+                a[1] += rv
+                a[2] += n
+            else:
+                amb_rows.append((key, tgt, rv, n))
+
+    if amb_rows:
+        amb_keys = sorted({k for k, _, _, _ in amb_rows})
+        code_of = resolve_exact(orders, "o_orderkey", order_code, amb_keys)
+        for key, tgt, rv, n in amb_rows:
+            yr = code_of.get(key, -1)
+            if yr in acc:
+                a = acc[yr]
+                a[0] += rv if tgt else 0
+                a[1] += rv
+                a[2] += n
+
+    ys = sorted(acc)
+    return pa.table({
+        "o_year": pa.array(ys, pa.int64()),
+        "tgt_rev_c": pa.array([acc[y][0] for y in ys], pa.int64()),
+        "total_rev_c": pa.array([acc[y][1] for y in ys], pa.int64()),
+        "n": pa.array([acc[y][2] for y in ys], pa.int64()),
+    })
+
+
+SQL_TPCH_Q8 = f"""
+WITH reg AS (SELECT r_regionkey FROM region ORDER BY r_name LIMIT 1),
+nat AS (SELECT n_nationkey, n_name FROM nation, reg
+        WHERE n_regionkey = reg.r_regionkey),
+tgt AS (SELECT n_nationkey FROM nat ORDER BY n_name LIMIT 1),
+base AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           AS rc,
+         s_nationkey
+  FROM lineitem
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey  = o_custkey
+  JOIN supplier ON s_suppkey  = l_suppkey
+  JOIN part     ON p_partkey  = l_partkey
+  JOIN nat      ON nat.n_nationkey = c_nationkey
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate <  TIMESTAMP '1997-01-01'
+    AND p_type = '{_Q8_TYPE}')
+SELECT y.o_year,
+       coalesce(sum(CASE WHEN s_nationkey = (SELECT n_nationkey FROM tgt)
+                         THEN rc ELSE 0 END), 0)::BIGINT AS tgt_rev_c,
+       coalesce(sum(rc), 0)::BIGINT AS total_rev_c,
+       count(base.o_year)::BIGINT AS n
+FROM (VALUES (1995), (1996)) AS y(o_year)
+LEFT JOIN base ON base.o_year = y.o_year
+GROUP BY y.o_year ORDER BY y.o_year
+"""
+
+
 QUERIES18: dict[str, tuple] = {
     "tpch_q14_like": (q_tpch_q14_like, SQL_TPCH_Q14),
     "tpch_q19_like": (q_tpch_q19_like, SQL_TPCH_Q19),
     "tpch_q17_like": (q_tpch_q17_like, SQL_TPCH_Q17),
     "tpch_q10_like": (q_tpch_q10_like, SQL_TPCH_Q10),
+    "tpch_q8_like": (q_tpch_q8_like, SQL_TPCH_Q8),
 }

@@ -125,6 +125,7 @@ SUBSET = [
     "tpch_q19_like",
     "tpch_q17_like",
     "tpch_q10_like",
+    "tpch_q8_like",
 ]
 
 
