@@ -678,6 +678,24 @@ _ANN_K = 5
 _ANN_NQ = 8
 
 
+def _merge_topk(part) -> pa.Table:
+    """Driver merge of per-block ANN partials (each <= nq*k rows): global
+    per-query top-k by (sim desc, neighbor asc). Driver payload is
+    O(nq * k * n_blocks) — bounded by block count, never by corpus rows
+    (the tpch_q3 partial-top-k discipline)."""
+    blocks = list(part.iter_batches(batch_size=None, batch_format="pyarrow"))
+    merged = pa.concat_tables(blocks) if blocks else pa.table(
+        {"query_id": pa.array([], pa.int64()),
+         "neighbor_id": pa.array([], pa.int64()),
+         "sim": pa.array([], pa.float64())})
+    df = merged.to_pandas()
+    df = (df.sort_values(["query_id", "sim", "neighbor_id"],
+                         ascending=[True, False, True], kind="mergesort")
+            .groupby("query_id").head(_ANN_K).reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False) \
+        .replace_schema_metadata(None)
+
+
 def q_ann_cosine_topk(sf_dir: str):
     """Brute-force cosine top-k: broadcast the (tiny) query matrix once,
     per-batch numpy matmul partial top-k over the corpus, final merge —
@@ -717,12 +735,10 @@ def q_ann_cosine_topk(sf_dir: str):
 
     part = ds.map_batches(partial_topk, batch_format="pyarrow")
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(_ANN_K)
-        return g
-
-    out = part.groupby("query_id").map_groups(final, batch_format="pandas")
-    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
+    # per-block partial top-k is already <= nq*k rows per block — merge on
+    # the driver like tpch_q3's partial-top-k (no groupby shuffle; also
+    # kills the empty-partition RefBundle-schema warnings map_groups emits)
+    t = _merge_topk(part)
     return t.set_column(t.schema.get_field_index("sim"), "sim",
                         pa.array(_round4(t["sim"].to_numpy()), type=pa.float64()))
 
@@ -892,11 +908,8 @@ def q_ann_ivf_topk(sf_dir: str, n_clusters: int = 16, nprobe: int = 4,
 
     part = ds.map_batches(bucketed_topk, batch_format="pyarrow")
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(_ANN_K)
-
-    out = part.groupby("query_id").map_groups(final, batch_format="pandas")
-    t2 = pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
+    # tiny driver merge of per-block partial top-k — see q_ann_cosine_topk
+    t2 = _merge_topk(part)
     return t2.set_column(t2.schema.get_field_index("sim"), "sim",
                          pa.array(_round4(t2["sim"].to_numpy()), type=pa.float64()))
 
