@@ -126,6 +126,12 @@ SUBSET = [
     "tpch_q17_like",
     "tpch_q10_like",
     "tpch_q8_like",
+    "tpch_q6_like",
+    "tpch_q11_like",
+    "tpch_q12_like",
+    "tpch_q16_like",
+    "tpch_q20_like",
+    "tpch_q21_like",
 ]
 
 
