@@ -132,6 +132,24 @@ SUBSET = [
     "tpch_q16_like",
     "tpch_q20_like",
     "tpch_q21_like",
+    "tpch_q2_like",
+    "tpch_q9_like",
+    "bootstrap_mean_value",
+    "percent_rank_orders",
+    # early-round queries previously covered only by driver sampling —
+    # pinned here too so the full oracled set is pytest-checked
+    "asof_purchase_last_view",
+    "between_dates",
+    "distinct_langs",
+    "doc_fingerprint",
+    "groupby_count_source",
+    "heavy_users_having",
+    "join_lineitem_part_brand",
+    "json_extract_props",
+    "range_join_clicks_before_error",
+    "token_count_by_lang",
+    "ts_bucket_hourly",
+    "union_filtered",
 ]
 
 
