@@ -55,6 +55,7 @@ def _registry() -> dict[str, tuple]:
     from scrapy_ray.pipelines.queries18 import QUERIES18
     from scrapy_ray.pipelines.queries19 import QUERIES19
     from scrapy_ray.pipelines.queries20 import QUERIES20
+    from scrapy_ray.pipelines.queries21 import QUERIES21
     from scrapy_ray.pipelines.skew import SKEW_QUERIES
     from scrapy_ray.pipelines.textqual import TEXTQUAL_QUERIES
     from scrapy_ray.pipelines.training import TRAINING_QUERIES
@@ -80,6 +81,7 @@ def _registry() -> dict[str, tuple]:
     reg.update(QUERIES18)
     reg.update(QUERIES19)
     reg.update(QUERIES20)
+    reg.update(QUERIES21)
     reg.update(TRAINING_QUERIES)
     reg.update(TEXTQUAL_QUERIES)
     reg.update(MULTIMODAL_QUERIES)

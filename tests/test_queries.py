@@ -136,6 +136,8 @@ SUBSET = [
     "tpch_q9_like",
     "bootstrap_mean_value",
     "percent_rank_orders",
+    "pmi_top_collocations",
+    "train_valid_test_split",
     # early-round queries previously covered only by driver sampling —
     # pinned here too so the full oracled set is pytest-checked
     "asof_purchase_last_view",
