@@ -56,6 +56,8 @@ def _registry() -> dict[str, tuple]:
     from scrapy_ray.pipelines.queries19 import QUERIES19
     from scrapy_ray.pipelines.queries20 import QUERIES20
     from scrapy_ray.pipelines.queries21 import QUERIES21
+    from scrapy_ray.pipelines.queries22 import QUERIES22
+    from scrapy_ray.pipelines.queries23 import QUERIES23
     from scrapy_ray.pipelines.skew import SKEW_QUERIES
     from scrapy_ray.pipelines.textqual import TEXTQUAL_QUERIES
     from scrapy_ray.pipelines.training import TRAINING_QUERIES
@@ -82,6 +84,8 @@ def _registry() -> dict[str, tuple]:
     reg.update(QUERIES19)
     reg.update(QUERIES20)
     reg.update(QUERIES21)
+    reg.update(QUERIES22)
+    reg.update(QUERIES23)
     reg.update(TRAINING_QUERIES)
     reg.update(TEXTQUAL_QUERIES)
     reg.update(MULTIMODAL_QUERIES)

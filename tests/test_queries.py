@@ -138,6 +138,12 @@ SUBSET = [
     "percent_rank_orders",
     "pmi_top_collocations",
     "train_valid_test_split",
+    "ohlc_hourly",
+    "rolling_median_value",
+    "assoc_rules_events",
+    "trending_daily_topk",
+    "js_divergence_sources",
+    "type_cardinality_distribution",
     # early-round queries previously covered only by driver sampling —
     # pinned here too so the full oracled set is pytest-checked
     "asof_purchase_last_view",
