@@ -33,65 +33,9 @@ def entry() -> Any:
 
 
 def _registry() -> dict[str, tuple]:
-    from scrapy_ray.pipelines.crawl_queries import CRAWL_QUERIES
-    from scrapy_ray.pipelines.multimodal import MULTIMODAL_QUERIES
-    from scrapy_ray.pipelines.queries import QUERIES
-    from scrapy_ray.pipelines.queries2 import QUERIES2
-    from scrapy_ray.pipelines.queries3 import QUERIES3
-    from scrapy_ray.pipelines.queries4 import QUERIES4
-    from scrapy_ray.pipelines.queries5 import QUERIES5
-    from scrapy_ray.pipelines.queries6 import QUERIES6
-    from scrapy_ray.pipelines.queries7 import QUERIES7
-    from scrapy_ray.pipelines.queries8 import QUERIES8
-    from scrapy_ray.pipelines.queries9 import QUERIES9
-    from scrapy_ray.pipelines.queries10 import QUERIES10
-    from scrapy_ray.pipelines.queries11 import QUERIES11
-    from scrapy_ray.pipelines.queries12 import QUERIES12
-    from scrapy_ray.pipelines.queries13 import QUERIES13
-    from scrapy_ray.pipelines.queries14 import QUERIES14
-    from scrapy_ray.pipelines.queries15 import QUERIES15
-    from scrapy_ray.pipelines.queries16 import QUERIES16
-    from scrapy_ray.pipelines.queries17 import QUERIES17
-    from scrapy_ray.pipelines.queries18 import QUERIES18
-    from scrapy_ray.pipelines.queries19 import QUERIES19
-    from scrapy_ray.pipelines.queries20 import QUERIES20
-    from scrapy_ray.pipelines.queries21 import QUERIES21
-    from scrapy_ray.pipelines.queries22 import QUERIES22
-    from scrapy_ray.pipelines.queries23 import QUERIES23
-    from scrapy_ray.pipelines.skew import SKEW_QUERIES
-    from scrapy_ray.pipelines.textqual import TEXTQUAL_QUERIES
-    from scrapy_ray.pipelines.training import TRAINING_QUERIES
+    from scrapy_ray.pipelines.registry_all import full_registry
 
-    reg: dict[str, tuple] = {}
-    reg.update(QUERIES)
-    reg.update(QUERIES2)
-    reg.update(QUERIES3)
-    reg.update(QUERIES4)
-    reg.update(QUERIES5)
-    reg.update(QUERIES6)
-    reg.update(QUERIES7)
-    reg.update(QUERIES8)
-    reg.update(QUERIES9)
-    reg.update(QUERIES10)
-    reg.update(QUERIES11)
-    reg.update(QUERIES12)
-    reg.update(QUERIES13)
-    reg.update(QUERIES14)
-    reg.update(QUERIES15)
-    reg.update(QUERIES16)
-    reg.update(QUERIES17)
-    reg.update(QUERIES18)
-    reg.update(QUERIES19)
-    reg.update(QUERIES20)
-    reg.update(QUERIES21)
-    reg.update(QUERIES22)
-    reg.update(QUERIES23)
-    reg.update(TRAINING_QUERIES)
-    reg.update(TEXTQUAL_QUERIES)
-    reg.update(MULTIMODAL_QUERIES)
-    reg.update(SKEW_QUERIES)
-    reg.update(CRAWL_QUERIES)
-    return reg
+    return full_registry()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

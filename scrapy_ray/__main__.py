@@ -143,6 +143,22 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--corpus", required=True)
     v.add_argument("--num-cpus", type=int, default=None)
 
+    qr = sub.add_parser("query", help="run any registry query/pipeline over "
+                                      "a testdata dir (the queries() surface "
+                                      "from the CLI)")
+    qr.add_argument("name", nargs="?", default=None,
+                    help="query name (see --list)")
+    qr.add_argument("--sf-dir", default="/root/testdata/sf0.001",
+                    help="directory of testdata parquet tables")
+    qr.add_argument("--out", default=None, metavar="FILE",
+                    help="write the full result to this parquet file "
+                         "instead of printing a head")
+    qr.add_argument("--head", type=int, default=10,
+                    help="rows to print when --out is not given")
+    qr.add_argument("--list", action="store_true", dest="list_queries",
+                    help="list available query names (o = oracle-checked)")
+    qr.add_argument("--num-cpus", type=int, default=None)
+
     args = p.parse_args(argv)
 
     import ray
@@ -213,6 +229,38 @@ def main(argv: list[str] | None = None) -> int:
             for r in results:
                 print(json.dumps(r))
             return 0 if results and all(r["ok"] for r in results) else 1
+        elif args.cmd == "query":
+            import time
+
+            from scrapy_ray.pipelines.oracle import to_pandas
+            from scrapy_ray.pipelines.registry_all import full_registry
+
+            reg = full_registry()
+            if args.list_queries or args.name is None:
+                for name in sorted(reg):
+                    print(("o " if reg[name][1] is not None else "  ") + name)
+                return 0
+            if args.name not in reg:
+                print(json.dumps({"error": f"unknown query {args.name!r}",
+                                  "hint": "use --list"}))
+                return 1
+            t0 = time.time()
+            df = to_pandas(reg[args.name][0](args.sf_dir))
+            secs = round(time.time() - t0, 3)
+            if args.out:
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+
+                pq.write_table(
+                    pa.Table.from_pandas(df, preserve_index=False)
+                    .replace_schema_metadata(None), args.out)
+                print(json.dumps({"query": args.name, "rows": len(df),
+                                  "cols": list(df.columns), "secs": secs,
+                                  "out": args.out}))
+            else:
+                print(json.dumps({"query": args.name, "rows": len(df),
+                                  "cols": list(df.columns), "secs": secs}))
+                print(df.head(args.head).to_string())
         elif args.cmd == "compact":
             from scrapy_ray.sources.compact import (compact_parquet_dir,
                                                     verify_compaction)

@@ -1,0 +1,54 @@
+"""The full query registry — every implemented pipeline/operator from
+SURVEY.md §2 + the training-data suite, as ``name -> (callable, oracle_sql)``.
+
+Shared by the driver contract (``__ray_entry__.py``) and the CLI
+(``python -m scrapy_ray query``). The callable takes an sf_dir (a directory
+of testdata parquet tables) and returns a Dataset / DataFrame / Table;
+``oracle_sql`` is the equivalent DuckDB SQL (None for non-SQL-expressible
+ops — stateful crawl semantics, sketch bounds, recall-pinned ANN paths).
+"""
+
+from __future__ import annotations
+
+
+def full_registry() -> dict[str, tuple]:
+    from scrapy_ray.pipelines.crawl_queries import CRAWL_QUERIES
+    from scrapy_ray.pipelines.multimodal import MULTIMODAL_QUERIES
+    from scrapy_ray.pipelines.queries import QUERIES
+    from scrapy_ray.pipelines.queries2 import QUERIES2
+    from scrapy_ray.pipelines.queries3 import QUERIES3
+    from scrapy_ray.pipelines.queries4 import QUERIES4
+    from scrapy_ray.pipelines.queries5 import QUERIES5
+    from scrapy_ray.pipelines.queries6 import QUERIES6
+    from scrapy_ray.pipelines.queries7 import QUERIES7
+    from scrapy_ray.pipelines.queries8 import QUERIES8
+    from scrapy_ray.pipelines.queries9 import QUERIES9
+    from scrapy_ray.pipelines.queries10 import QUERIES10
+    from scrapy_ray.pipelines.queries11 import QUERIES11
+    from scrapy_ray.pipelines.queries12 import QUERIES12
+    from scrapy_ray.pipelines.queries13 import QUERIES13
+    from scrapy_ray.pipelines.queries14 import QUERIES14
+    from scrapy_ray.pipelines.queries15 import QUERIES15
+    from scrapy_ray.pipelines.queries16 import QUERIES16
+    from scrapy_ray.pipelines.queries17 import QUERIES17
+    from scrapy_ray.pipelines.queries18 import QUERIES18
+    from scrapy_ray.pipelines.queries19 import QUERIES19
+    from scrapy_ray.pipelines.queries20 import QUERIES20
+    from scrapy_ray.pipelines.queries21 import QUERIES21
+    from scrapy_ray.pipelines.queries22 import QUERIES22
+    from scrapy_ray.pipelines.queries23 import QUERIES23
+    from scrapy_ray.pipelines.queries24 import QUERIES24
+    from scrapy_ray.pipelines.skew import SKEW_QUERIES
+    from scrapy_ray.pipelines.textqual import TEXTQUAL_QUERIES
+    from scrapy_ray.pipelines.training import TRAINING_QUERIES
+
+    reg: dict[str, tuple] = {}
+    for part in (QUERIES, QUERIES2, QUERIES3, QUERIES4, QUERIES5, QUERIES6,
+                 QUERIES7, QUERIES8, QUERIES9, QUERIES10, QUERIES11,
+                 QUERIES12, QUERIES13, QUERIES14, QUERIES15, QUERIES16,
+                 QUERIES17, QUERIES18, QUERIES19, QUERIES20, QUERIES21,
+                 QUERIES22, QUERIES23, QUERIES24,
+                 TRAINING_QUERIES, TEXTQUAL_QUERIES, MULTIMODAL_QUERIES,
+                 SKEW_QUERIES, CRAWL_QUERIES):
+        reg.update(part)
+    return reg

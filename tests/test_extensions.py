@@ -537,3 +537,37 @@ def test_jobdir_cli_pause_resume(tmp_path):
     assert done["pages_fetched"] == full["pages_fetched"]
     assert done["items"] == full["items"]
     assert done["url_seen"] == full["url_seen"]
+
+
+def test_query_cli(tmp_path):
+    """CLI surface: `scrapy_ray query` lists the registry and runs a named
+    query over a testdata dir (subprocess owns its Ray session); --out
+    writes the full result parquet."""
+    r = subprocess.run(
+        [sys.executable, "-m", "scrapy_ray", "query", "--list",
+         "--num-cpus", "2"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stdout + r.stderr[-2000:]
+    names = [ln[2:] for ln in r.stdout.strip().splitlines()]
+    assert "groupby_count_source" in names and len(names) >= 150
+    assert "o groupby_count_source" in r.stdout   # oracled marker
+
+    out = str(tmp_path / "res.parquet")
+    r2 = subprocess.run(
+        [sys.executable, "-m", "scrapy_ray", "query", "groupby_count_source",
+         "--sf-dir", "/root/testdata/sf0.001", "--out", out,
+         "--num-cpus", "2"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r2.returncode == 0, r2.stdout + r2.stderr[-2000:]
+    meta = json.loads([x for x in r2.stdout.splitlines()
+                       if x.startswith("{")][0])
+    assert meta["rows"] > 0 and meta["out"] == out
+    import pyarrow.parquet as pq
+
+    assert pq.read_table(out).num_rows == meta["rows"]
+
+    r3 = subprocess.run(
+        [sys.executable, "-m", "scrapy_ray", "query", "no_such_query",
+         "--num-cpus", "2"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r3.returncode == 1 and "unknown query" in r3.stdout

@@ -144,6 +144,9 @@ SUBSET = [
     "trending_daily_topk",
     "js_divergence_sources",
     "type_cardinality_distribution",
+    "cusum_daily_drift",
+    "hampel_outliers",
+    "autocorr_daily_lag1",
     # early-round queries previously covered only by driver sampling —
     # pinned here too so the full oracled set is pytest-checked
     "asof_purchase_last_view",
