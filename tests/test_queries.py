@@ -147,6 +147,9 @@ SUBSET = [
     "cusum_daily_drift",
     "hampel_outliers",
     "autocorr_daily_lag1",
+    "mutual_info_source_lang",
+    "linear_interp_fill_daily",
+    "apriori_frequent_itemsets",
     # early-round queries previously covered only by driver sampling —
     # pinned here too so the full oracled set is pytest-checked
     "asof_purchase_last_view",
