@@ -150,6 +150,9 @@ SUBSET = [
     "mutual_info_source_lang",
     "linear_interp_fill_daily",
     "apriori_frequent_itemsets",
+    "survival_km_purchase_gaps",
+    "rfm_segments",
+    "holt_linear_daily",
     # early-round queries previously covered only by driver sampling —
     # pinned here too so the full oracled set is pytest-checked
     "asof_purchase_last_view",
