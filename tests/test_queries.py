@@ -153,6 +153,9 @@ SUBSET = [
     "survival_km_purchase_gaps",
     "rfm_segments",
     "holt_linear_daily",
+    "benford_price_digits",
+    "mannwhitney_click_vs_view",
+    "kcore_docs",
     # early-round queries previously covered only by driver sampling —
     # pinned here too so the full oracled set is pytest-checked
     "asof_purchase_last_view",
