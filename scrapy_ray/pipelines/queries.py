@@ -59,6 +59,25 @@ def _nrows(sf_dir: str, table: str) -> int:
     return pq_.read_metadata(os.path.join(sf_dir, f"{table}.parquet")).num_rows
 
 
+def _ts_minmax_us(sf_dir: str, table: str, col: str = "ts") -> tuple[int, int]:
+    """Exact (min, max) of a timestamp column in epoch-microseconds from
+    parquet footer row-group statistics — no Dataset pass (the _nrows
+    trick extended to column stats; plain-encoded timestamps carry exact
+    min/max)."""
+    import pandas as pd_
+    import pyarrow.parquet as pq_
+    md = pq_.read_metadata(os.path.join(sf_dir, f"{table}.parquet"))
+    ci = md.schema.to_arrow_schema().get_field_index(col)
+    mins, maxs = [], []
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(ci).statistics
+        assert st is not None and st.has_min_max, f"{col} stats missing"
+        mins.append(st.min)
+        maxs.append(st.max)
+    return (int(pd_.Timestamp(min(mins)).value // 1000),
+            int(pd_.Timestamp(max(maxs)).value // 1000))
+
+
 def _round(t: pa.Table, cols: list[str]) -> pa.Table:
     # half_towards_infinity == "round half away from zero" == DuckDB's ROUND
     for c in cols:

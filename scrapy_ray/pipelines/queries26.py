@@ -56,15 +56,13 @@ def q_survival_km_purchase_gaps(sf_dir: str):
     at-risk n_i (= #durations ≥ t_i) come from one cumsum over the merged
     histogram. surv6 = exp of the exact int64 cumulative of quantized
     ln(1 − d/n) steps."""
-    import ray
+    from scrapy_ray.pipelines.queries import _ts_minmax_us
 
     ds = _pq(sf_dir, "events",
              columns=["event_id", "ts", "user_id", "event_type"])
 
-    # global horizon for censoring — tiny exact aggregate on a pruned read
-    mx = _pq(sf_dir, "events", columns=["ts"]) \
-        .aggregate(ray.data.aggregate.Max("ts"))["max(ts)"]
-    mx_us = int(pd.Timestamp(mx).value // 1000)
+    # global horizon for censoring — parquet footer stats, no Dataset pass
+    mx_us = _ts_minmax_us(sf_dir, "events")[1]
 
     def partial(t: pa.Table) -> pa.Table:
         df = pd.DataFrame({
@@ -163,13 +161,11 @@ def q_rfm_segments(sf_dir: str):
     its quantile_disc(0.2/0.4/0.6/0.8) thresholds (score = 1 + #thresholds
     strictly below the value — ties share a score); output = per-segment
     user counts + exact monetary totals."""
-    import ray
+    from scrapy_ray.pipelines.queries import _ts_minmax_us
 
     ds = _pq(sf_dir, "events",
              columns=["ts", "user_id", "value"])
-    mx = _pq(sf_dir, "events", columns=["ts"]) \
-        .aggregate(ray.data.aggregate.Max("ts"))["max(ts)"]
-    mx_us = int(pd.Timestamp(mx).value // 1000)
+    mx_us = _ts_minmax_us(sf_dir, "events")[1]
 
     def partial(t: pa.Table) -> pa.Table:
         df = pd.DataFrame({

@@ -156,6 +156,9 @@ SUBSET = [
     "benford_price_digits",
     "mannwhitney_click_vs_view",
     "kcore_docs",
+    "rrf_fusion_docs",
+    "psi_value_drift",
+    "readability_by_lang",
     # early-round queries previously covered only by driver sampling —
     # pinned here too so the full oracled set is pytest-checked
     "asof_purchase_last_view",
