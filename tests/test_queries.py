@@ -159,6 +159,12 @@ SUBSET = [
     "rrf_fusion_docs",
     "psi_value_drift",
     "readability_by_lang",
+    "ks_test_click_view",
+    "naive_bayes_lang",
+    "dq_expectations",
+    "clustering_coeff_docs",
+    "adamic_adar_linkpred",
+    "seasonal_dow_anomaly",
     # early-round queries previously covered only by driver sampling —
     # pinned here too so the full oracled set is pytest-checked
     "asof_purchase_last_view",
