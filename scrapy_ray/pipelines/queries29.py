@@ -328,37 +328,45 @@ def q_dq_expectations(sf_dir: str):
         columns=["c_custkey"])["c_custkey"].to_numpy())
     ckeys_ref = ray.put(ckeys)
 
-    def orders_checks(t: pa.Table) -> pa.Table:
+    # ONE orders pipeline: FK + positivity violation partials ride the
+    # uniqueness shuffle as sentinel rows (salt -1/-2 carry the per-batch
+    # counts; real salts carry in-batch-unique orderkeys for the exact
+    # distinct)
+    def orders_partial(t: pa.Table) -> pa.Table:
         ck = _get(ckeys_ref)
         okey = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         price_c = _cents(t["o_totalprice"]).to_numpy(zero_copy_only=False)
         fk_viol = int((~np.isin(okey, ck)).sum())
         pos_viol = int((price_c <= 0).sum())
-        return pa.table({
-            "check": pa.array(["orders_custkey_fk", "orders_price_positive"]),
-            "n_checked": pa.array([len(okey)] * 2, pa.int64()),
-            "n_violations": pa.array([fk_viol, pos_viol], pa.int64())})
-
-    orders = _pq(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    o_cells = orders.map_batches(orders_checks, batch_format="pyarrow") \
-        .to_pandas()
-
-    # orderkey uniqueness: in-batch unique -> salted partitions -> nunique
-    def uniq_partial(t: pa.Table) -> pa.Table:
         k = np.unique(t["o_orderkey"].to_numpy(zero_copy_only=False)
                       .astype(np.int64))
-        return pa.table({"k": pa.array(k),
-                         "salt": pa.array((k % _DQ_SALT).astype(np.int64))})
+        return pa.table({
+            "k": pa.array(np.concatenate([k, [fk_viol, pos_viol]])),
+            "salt": pa.array(np.concatenate(
+                [(k % _DQ_SALT), [-1, -2]]).astype(np.int64))})
 
-    def uniq_count(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"nuniq": np.array([df["k"].nunique()], np.int64)})
+    def orders_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        salt = int(df["salt"].iloc[0])
+        if salt < 0:    # sentinel group: per-batch violation counts
+            return pd.DataFrame({"salt": np.array([salt], np.int64),
+                                 "v": np.array([df["k"].sum()], np.int64)})
+        return pd.DataFrame({"salt": np.array([salt], np.int64),
+                             "v": np.array([df["k"].nunique()], np.int64)})
 
-    nuniq = int(_pq(sf_dir, "orders", columns=["o_orderkey"])
-                .map_batches(uniq_partial, batch_format="pyarrow")
-                .groupby("salt").map_groups(uniq_count, batch_format="pandas")
-                .to_pandas()["nuniq"].sum())
+    ored = (_pq(sf_dir, "orders",
+                columns=["o_custkey", "o_totalprice", "o_orderkey"])
+            .map_batches(orders_partial, batch_format="pyarrow")
+            .groupby("salt").map_groups(orders_reduce, batch_format="pandas")
+            .to_pandas())
+    nuniq = int(ored[ored["salt"] >= 0]["v"].sum())
+    fk_viol = int(ored[ored["salt"] == -1]["v"].sum())
+    pos_viol = int(ored[ored["salt"] == -2]["v"].sum())
     from scrapy_ray.pipelines.queries import _nrows
     n_orders = _nrows(sf_dir, "orders")
+    o_cells = pd.DataFrame({
+        "check": ["orders_custkey_fk", "orders_price_positive"],
+        "n_checked": np.array([n_orders] * 2, np.int64),
+        "n_violations": np.array([fk_viol, pos_viol], np.int64)})
     u_cells = pd.DataFrame({
         "check": ["orders_orderkey_unique"],
         "n_checked": np.array([n_orders], np.int64),

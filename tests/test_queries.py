@@ -165,6 +165,9 @@ SUBSET = [
     "clustering_coeff_docs",
     "adamic_adar_linkpred",
     "seasonal_dow_anomaly",
+    "welch_ttest_click_purchase",
+    "theil_sen_daily",
+    "phrase_search_top_bigram",
     # early-round queries previously covered only by driver sampling —
     # pinned here too so the full oracled set is pytest-checked
     "asof_purchase_last_view",
