@@ -168,6 +168,9 @@ SUBSET = [
     "welch_ttest_click_purchase",
     "theil_sen_daily",
     "phrase_search_top_bigram",
+    "item_cooccurrence_cf",
+    "weighted_median_price_by_status",
+    "stl_weekly_decomposition",
     # early-round queries previously covered only by driver sampling —
     # pinned here too so the full oracled set is pytest-checked
     "asof_purchase_last_view",
