@@ -75,7 +75,11 @@ def _cf_baskets(sf_dir: str):
             .drop_duplicates(["cust", "part"])
         return _strip(df)
 
-    return j.map_batches(cp_partial, batch_format="pyarrow")
+    # Materialize the (cust, part) edge table ONCE — both CF passes
+    # (marginals, pair codes) consume it; without this the lazy join
+    # would execute twice (measured 8.1 s -> 4.4 s warm at sf0.1).
+    # O(edges) object-store residency; Ray spills to disk at scale.
+    return j.map_batches(cp_partial, batch_format="pyarrow").materialize()
 
 
 def q_item_cooccurrence_cf(sf_dir: str):
@@ -210,11 +214,20 @@ def q_weighted_median_price_by_status(sf_dir: str):
         g = df.groupby(["status", "cent"], sort=False)["w"].sum() \
             .reset_index()
         g["w"] = g["w"].astype(np.int64)
+        g["sk"] = (g["cent"] % _CF_SALT).astype(np.int64)
         return _strip(g)
 
+    # Salted coarse partitions + in-partition pandas sum — Ray's sort-based
+    # multi-key aggregate over ~1M (status, cent) cells costs 6.8 s at
+    # sf0.1; this shape is the CLAUDE.md salted-partition rule (3.3 s).
+    def csum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["status", "cent"], sort=False)["w"].sum() \
+            .reset_index()
+        g["w"] = g["w"].astype(np.int64)
+        return g
+
     cells = (ds.map_batches(cpart, batch_format="pyarrow")
-               .groupby(["status", "cent"])
-               .aggregate(Sum("w", alias_name="w"))
+               .groupby("sk").map_groups(csum, batch_format="pandas")
                .to_pandas())
     rows = []
     for st in sorted(cells["status"].unique()):
