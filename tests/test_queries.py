@@ -171,6 +171,9 @@ SUBSET = [
     "item_cooccurrence_cf",
     "weighted_median_price_by_status",
     "stl_weekly_decomposition",
+    "decision_stump_price",
+    "ols_two_feature",
+    "quantile_normalize_chars",
     # early-round queries previously covered only by driver sampling —
     # pinned here too so the full oracled set is pytest-checked
     "asof_purchase_last_view",
