@@ -174,6 +174,9 @@ SUBSET = [
     "decision_stump_price",
     "ols_two_feature",
     "quantile_normalize_chars",
+    "cuped_adjusted_ab",
+    "ndcg_by_source",
+    "binseg_changepoint_daily",
     # early-round queries previously covered only by driver sampling —
     # pinned here too so the full oracled set is pytest-checked
     "asof_purchase_last_view",
