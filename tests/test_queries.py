@@ -177,6 +177,9 @@ SUBSET = [
     "cuped_adjusted_ab",
     "ndcg_by_source",
     "binseg_changepoint_daily",
+    "twap_user_value",
+    "wilson_topk_days",
+    "attribution_credit",
     # early-round queries previously covered only by driver sampling —
     # pinned here too so the full oracled set is pytest-checked
     "asof_purchase_last_view",
