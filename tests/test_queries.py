@@ -180,6 +180,9 @@ SUBSET = [
     "twap_user_value",
     "wilson_topk_days",
     "attribution_credit",
+    "haar_energy_daily",
+    "hurst_rs_daily",
+    "xcorr_click_purchase",
     # early-round queries previously covered only by driver sampling —
     # pinned here too so the full oracled set is pytest-checked
     "asof_purchase_last_view",
