@@ -50,6 +50,7 @@ def full_registry() -> dict[str, tuple]:
     from scrapy_ray.pipelines.queries34 import QUERIES34
     from scrapy_ray.pipelines.queries35 import QUERIES35
     from scrapy_ray.pipelines.queries36 import QUERIES36
+    from scrapy_ray.pipelines.queries37 import QUERIES37
     from scrapy_ray.pipelines.skew import SKEW_QUERIES
     from scrapy_ray.pipelines.textqual import TEXTQUAL_QUERIES
     from scrapy_ray.pipelines.training import TRAINING_QUERIES
@@ -62,6 +63,7 @@ def full_registry() -> dict[str, tuple]:
                  QUERIES22, QUERIES23, QUERIES24, QUERIES25, QUERIES26,
                  QUERIES27, QUERIES28, QUERIES29, QUERIES30, QUERIES31,
                  QUERIES32, QUERIES33, QUERIES34, QUERIES35, QUERIES36,
+                 QUERIES37,
                  TRAINING_QUERIES, TEXTQUAL_QUERIES, MULTIMODAL_QUERIES,
                  SKEW_QUERIES, CRAWL_QUERIES):
         reg.update(part)

@@ -183,6 +183,9 @@ SUBSET = [
     "haar_energy_daily",
     "hurst_rs_daily",
     "xcorr_click_purchase",
+    "mase_seasonal_naive",
+    "did_estimator",
+    "ece_calibration",
     # early-round queries previously covered only by driver sampling —
     # pinned here too so the full oracled set is pytest-checked
     "asof_purchase_last_view",
