@@ -186,6 +186,12 @@ SUBSET = [
     "mase_seasonal_naive",
     "did_estimator",
     "ece_calibration",
+    "anova_value_by_type",
+    "ar2_yule_walker_daily",
+    "zipf_slope_words",
+    "pca_power_iteration",
+    "kendall_tau_qty_discount",
+    "mrr_first_relevant",
     # early-round queries previously covered only by driver sampling —
     # pinned here too so the full oracled set is pytest-checked
     "asof_purchase_last_view",
