@@ -192,6 +192,9 @@ SUBSET = [
     "pca_power_iteration",
     "kendall_tau_qty_discount",
     "mrr_first_relevant",
+    "logreg_purchase_gd",
+    "seq_pattern_pairs",
+    "kappa_event_vs_user_mode",
     # early-round queries previously covered only by driver sampling —
     # pinned here too so the full oracled set is pytest-checked
     "asof_purchase_last_view",
