@@ -195,6 +195,9 @@ SUBSET = [
     "logreg_purchase_gd",
     "seq_pattern_pairs",
     "kappa_event_vs_user_mode",
+    "kruskal_wallis_value_by_type",
+    "modularity_by_lang",
+    "huber_location_value",
     # early-round queries previously covered only by driver sampling —
     # pinned here too so the full oracled set is pytest-checked
     "asof_purchase_last_view",
