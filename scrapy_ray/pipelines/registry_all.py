@@ -55,6 +55,7 @@ def full_registry() -> dict[str, tuple]:
     from scrapy_ray.pipelines.queries39 import QUERIES39
     from scrapy_ray.pipelines.queries40 import QUERIES40
     from scrapy_ray.pipelines.queries41 import QUERIES41
+    from scrapy_ray.pipelines.queries42 import QUERIES42
     from scrapy_ray.pipelines.skew import SKEW_QUERIES
     from scrapy_ray.pipelines.textqual import TEXTQUAL_QUERIES
     from scrapy_ray.pipelines.training import TRAINING_QUERIES
@@ -67,7 +68,7 @@ def full_registry() -> dict[str, tuple]:
                  QUERIES22, QUERIES23, QUERIES24, QUERIES25, QUERIES26,
                  QUERIES27, QUERIES28, QUERIES29, QUERIES30, QUERIES31,
                  QUERIES32, QUERIES33, QUERIES34, QUERIES35, QUERIES36,
-                 QUERIES37, QUERIES38, QUERIES39, QUERIES40, QUERIES41,
+                 QUERIES37, QUERIES38, QUERIES39, QUERIES40, QUERIES41, QUERIES42,
                  TRAINING_QUERIES, TEXTQUAL_QUERIES, MULTIMODAL_QUERIES,
                  SKEW_QUERIES, CRAWL_QUERIES):
         reg.update(part)

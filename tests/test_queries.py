@@ -198,6 +198,9 @@ SUBSET = [
     "kruskal_wallis_value_by_type",
     "modularity_by_lang",
     "huber_location_value",
+    "roc_auc_purchase_value",
+    "heaps_law_sources",
+    "brier_decomposition",
     # early-round queries previously covered only by driver sampling —
     # pinned here too so the full oracled set is pytest-checked
     "asof_purchase_last_view",
