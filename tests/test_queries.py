@@ -201,6 +201,9 @@ SUBSET = [
     "roc_auc_purchase_value",
     "heaps_law_sources",
     "brier_decomposition",
+    "degree_assortativity_docs",
+    "simpsons_paradox_audit",
+    "source_tf_cosine",
     # early-round queries previously covered only by driver sampling —
     # pinned here too so the full oracled set is pytest-checked
     "asof_purchase_last_view",
