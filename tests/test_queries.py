@@ -204,6 +204,9 @@ SUBSET = [
     "degree_assortativity_docs",
     "simpsons_paradox_audit",
     "source_tf_cosine",
+    "max_drawdown_daily",
+    "markov_stationary",
+    "gumbel_weekly_maxima",
     # early-round queries previously covered only by driver sampling —
     # pinned here too so the full oracled set is pytest-checked
     "asof_purchase_last_view",
