@@ -207,6 +207,9 @@ SUBSET = [
     "max_drawdown_daily",
     "markov_stationary",
     "gumbel_weekly_maxima",
+    "jarque_bera_value",
+    "word_dispersion_dp",
+    "hhi_revenue_concentration",
     # early-round queries previously covered only by driver sampling —
     # pinned here too so the full oracled set is pytest-checked
     "asof_purchase_last_view",
