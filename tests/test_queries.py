@@ -210,6 +210,9 @@ SUBSET = [
     "jarque_bera_value",
     "word_dispersion_dp",
     "hhi_revenue_concentration",
+    "fano_overdispersion_by_type",
+    "lorenz_decile_shares",
+    "sprt_conversion_days",
     # early-round queries previously covered only by driver sampling —
     # pinned here too so the full oracled set is pytest-checked
     "asof_purchase_last_view",
