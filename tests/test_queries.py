@@ -213,6 +213,9 @@ SUBSET = [
     "fano_overdispersion_by_type",
     "lorenz_decile_shares",
     "sprt_conversion_days",
+    "durbin_watson_daily_revenue",
+    "mann_kendall_daily_revenue",
+    "grubbs_order_value",
     # early-round queries previously covered only by driver sampling —
     # pinned here too so the full oracled set is pytest-checked
     "asof_purchase_last_view",
