@@ -216,6 +216,9 @@ SUBSET = [
     "durbin_watson_daily_revenue",
     "mann_kendall_daily_revenue",
     "grubbs_order_value",
+    "runs_test_daily_revenue",
+    "ljung_box_daily_revenue",
+    "yule_k_by_source",
     # early-round queries previously covered only by driver sampling —
     # pinned here too so the full oracled set is pytest-checked
     "asof_purchase_last_view",
