@@ -219,6 +219,9 @@ SUBSET = [
     "runs_test_daily_revenue",
     "ljung_box_daily_revenue",
     "yule_k_by_source",
+    "brown_forsythe_value_by_type",
+    "mcnemar_click_purchase_daily",
+    "cochran_armitage_segment_orders",
     # early-round queries previously covered only by driver sampling —
     # pinned here too so the full oracled set is pytest-checked
     "asof_purchase_last_view",
