@@ -222,6 +222,9 @@ SUBSET = [
     "brown_forsythe_value_by_type",
     "mcnemar_click_purchase_daily",
     "cochran_armitage_segment_orders",
+    "logrank_purchase_gaps",
+    "cronbach_alpha_event_types",
+    "burrows_delta_sources",
     # early-round queries previously covered only by driver sampling —
     # pinned here too so the full oracled set is pytest-checked
     "asof_purchase_last_view",
