@@ -225,6 +225,9 @@ SUBSET = [
     "logrank_purchase_gaps",
     "cronbach_alpha_event_types",
     "burrows_delta_sources",
+    "friedman_event_value_ranks",
+    "dixon_q_order_value",
+    "markov_entropy_rate",
     # early-round queries previously covered only by driver sampling —
     # pinned here too so the full oracled set is pytest-checked
     "asof_purchase_last_view",
