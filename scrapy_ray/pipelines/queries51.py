@@ -57,9 +57,11 @@ def _strip(df: pd.DataFrame) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 
-def q_friedman_event_value_ranks(sf_dir: str):
-    """Friedman chi² (tie-corrected) + Kendall's W on per-user type
-    value totals (docstring above)."""
+def friedman_rank_sums(sf_dir: str) -> tuple[list[str], dict]:
+    """Shared within-block doubled-rank machinery: per-type doubled rank
+    sums R'_j plus block count and tie mass over the users x event-types
+    cents-total grid. Used by the Friedman test here and Page's trend
+    test (queries52)."""
     ds = _pq(sf_dir, "events", columns=["user_id", "event_type", "value"])
 
     def cell_partial(t: pa.Table) -> pa.Table:
@@ -118,6 +120,14 @@ def q_friedman_event_value_ranks(sf_dir: str):
                 .groupby("key").aggregate(Sum("val", alias_name="val"))
                 .to_pandas())
     vals = {r.key: int(r.val) for r in agg.itertuples(index=False)}
+    return types, vals
+
+
+def q_friedman_event_value_ranks(sf_dir: str):
+    """Friedman chi² (tie-corrected) + Kendall's W on per-user type
+    value totals (docstring above)."""
+    types, vals = friedman_rank_sums(sf_dir)
+    k = len(types)
     b = vals["__b"]
     ties = vals["__ties"]
     sr2sq = sum(vals[t] * vals[t] for t in types)

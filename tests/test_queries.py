@@ -228,6 +228,9 @@ SUBSET = [
     "friedman_event_value_ranks",
     "dixon_q_order_value",
     "markov_entropy_rate",
+    "page_trend_event_types",
+    "wilcoxon_signed_rank_click_view",
+    "partial_corr_lineitem",
     # early-round queries previously covered only by driver sampling —
     # pinned here too so the full oracled set is pytest-checked
     "asof_purchase_last_view",
