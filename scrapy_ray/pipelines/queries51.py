@@ -262,9 +262,11 @@ FROM s
 _ME_SALT = 64
 
 
-def q_markov_entropy_rate(sf_dir: str):
-    """Entropy rate of the event-type Markov chain from exact transition
-    counts (docstring above)."""
+def transition_cells(sf_dir: str) -> pd.DataFrame:
+    """Exact (prev, next, count) transition cells of the user event-type
+    chain — event_transitions pairing semantics (per-user (ts, event_id)
+    order), user-salted partitions with vectorized shift. Shared by
+    markov_entropy_rate and the Markov-dependence chi² (queries53)."""
     ds = _pq(sf_dir, "events",
              columns=["user_id", "event_type", "ts", "event_id"])
 
@@ -285,11 +287,17 @@ def q_markov_entropy_rate(sf_dir: str):
         g["n"] = g["n"].astype(np.int64)
         return g
 
-    cells = (ds.map_batches(with_key, batch_format="pyarrow")
-               .groupby("gkey")
-               .map_groups(transitions, batch_format="pandas")
-               .groupby(["a", "b"]).aggregate(Sum("n", alias_name="n"))
-               .to_pandas())
+    return (ds.map_batches(with_key, batch_format="pyarrow")
+              .groupby("gkey")
+              .map_groups(transitions, batch_format="pandas")
+              .groupby(["a", "b"]).aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+
+
+def q_markov_entropy_rate(sf_dir: str):
+    """Entropy rate of the event-type Markov chain from exact transition
+    counts (docstring above)."""
+    cells = transition_cells(sf_dir)
     nn = cells["n"].to_numpy(np.int64)
     t_pairs = int(nn.sum())
     rowt = cells.groupby("a")["n"].transform("sum").to_numpy(np.int64)

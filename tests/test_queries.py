@@ -231,6 +231,9 @@ SUBSET = [
     "page_trend_event_types",
     "wilcoxon_signed_rank_click_view",
     "partial_corr_lineitem",
+    "mood_median_value_by_type",
+    "cohens_d_click_purchase",
+    "markov_dependence_chi2",
     # early-round queries previously covered only by driver sampling —
     # pinned here too so the full oracled set is pytest-checked
     "asof_purchase_last_view",
