@@ -234,6 +234,9 @@ SUBSET = [
     "mood_median_value_by_type",
     "cohens_d_click_purchase",
     "markov_dependence_chi2",
+    "icc_value_by_user",
+    "neweywest_daily_revenue",
+    "odds_ratio_click_purchase_daily",
     # early-round queries previously covered only by driver sampling —
     # pinned here too so the full oracled set is pytest-checked
     "asof_purchase_last_view",
