@@ -237,6 +237,9 @@ SUBSET = [
     "icc_value_by_user",
     "neweywest_daily_revenue",
     "odds_ratio_click_purchase_daily",
+    "cramer_von_mises_click_view",
+    "cox_stuart_daily_revenue",
+    "theil_u2_daily_revenue",
     # early-round queries previously covered only by driver sampling —
     # pinned here too so the full oracled set is pytest-checked
     "asof_purchase_last_view",
