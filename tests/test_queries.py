@@ -240,6 +240,9 @@ SUBSET = [
     "cramer_von_mises_click_view",
     "cox_stuart_daily_revenue",
     "theil_u2_daily_revenue",
+    "weekly_periodogram_power",
+    "bowley_moors_order_value",
+    "graph_reciprocity_docs",
     # early-round queries previously covered only by driver sampling —
     # pinned here too so the full oracled set is pytest-checked
     "asof_purchase_last_view",
