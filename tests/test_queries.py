@@ -243,6 +243,9 @@ SUBSET = [
     "weekly_periodogram_power",
     "bowley_moors_order_value",
     "graph_reciprocity_docs",
+    "theil_atkinson_order_value",
+    "duncan_segregation_dow",
+    "confusion_metrics_purchase",
     # early-round queries previously covered only by driver sampling —
     # pinned here too so the full oracled set is pytest-checked
     "asof_purchase_last_view",
