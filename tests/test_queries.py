@@ -246,6 +246,9 @@ SUBSET = [
     "theil_atkinson_order_value",
     "duncan_segregation_dow",
     "confusion_metrics_purchase",
+    "permutation_entropy_daily",
+    "chao1_bigram_richness",
+    "dickey_fuller_daily",
     # early-round queries previously covered only by driver sampling —
     # pinned here too so the full oracled set is pytest-checked
     "asof_purchase_last_view",
