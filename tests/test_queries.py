@@ -249,6 +249,9 @@ SUBSET = [
     "permutation_entropy_daily",
     "chao1_bigram_richness",
     "dickey_fuller_daily",
+    "distance_corr_qty_discount",
+    "engle_granger_rev_orders",
+    "pacf_daily_revenue",
     # early-round queries previously covered only by driver sampling —
     # pinned here too so the full oracled set is pytest-checked
     "asof_purchase_last_view",
