@@ -252,6 +252,9 @@ SUBSET = [
     "distance_corr_qty_discount",
     "engle_granger_rev_orders",
     "pacf_daily_revenue",
+    "hbos_order_outliers",
+    "pettitt_changepoint_daily",
+    "yuen_trimmed_ttest",
     # early-round queries previously covered only by driver sampling —
     # pinned here too so the full oracled set is pytest-checked
     "asof_purchase_last_view",
