@@ -255,6 +255,9 @@ SUBSET = [
     "hbos_order_outliers",
     "pettitt_changepoint_daily",
     "yuen_trimmed_ttest",
+    "dominant_period_scan",
+    "holt_winters_weekly",
+    "rbo_chars_vs_hash",
     # early-round queries previously covered only by driver sampling —
     # pinned here too so the full oracled set is pytest-checked
     "asof_purchase_last_view",
