@@ -258,6 +258,9 @@ SUBSET = [
     "dominant_period_scan",
     "holt_winters_weekly",
     "rbo_chars_vs_hash",
+    "anderson_darling_click_view",
+    "burstiness_memory_gaps",
+    "seasonal_mann_kendall_dow",
     # early-round queries previously covered only by driver sampling —
     # pinned here too so the full oracled set is pytest-checked
     "asof_purchase_last_view",
