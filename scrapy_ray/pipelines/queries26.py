@@ -48,14 +48,12 @@ def _strip(df: pd.DataFrame) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 
-def q_survival_km_purchase_gaps(sf_dir: str):
-    """KM estimator over per-user inter-purchase gaps (seconds). Complete
-    durations = consecutive-purchase diffs in (ts, event_id) order;
-    censored = last purchase → global max event ts. One user-co-
-    partitioned pass emits (gap, complete?) histogram cells; d_i and the
-    at-risk n_i (= #durations ≥ t_i) come from one cumsum over the merged
-    histogram. surv6 = exp of the exact int64 cumulative of quantized
-    ln(1 − d/n) steps."""
+def _gap_hist(sf_dir: str) -> pd.DataFrame:
+    """Right-censored inter-purchase gap histogram: (gap_s, d, cnt) rows
+    sorted by gap — the shared base of the KM / Nelson-Aalen / Greenwood
+    / RMST family. Complete durations = consecutive-purchase diffs in
+    (ts, event_id) order; censored = last purchase → global max event
+    ts. One user-co-partitioned pass."""
     from scrapy_ray.pipelines.queries import _ts_minmax_us
 
     ds = _pq(sf_dir, "events",
@@ -91,10 +89,18 @@ def q_survival_km_purchase_gaps(sf_dir: str):
             d=("d", "sum"), cnt=("cnt", "sum")).reset_index()
         return g
 
-    hist = (ds.map_batches(partial, batch_format="pyarrow")
+    return (ds.map_batches(partial, batch_format="pyarrow")
               .groupby("gkey").map_groups(gaps, batch_format="pandas")
               .to_pandas()
               .groupby("gap").sum().reset_index().sort_values("gap"))
+
+
+def q_survival_km_purchase_gaps(sf_dir: str):
+    """KM estimator over per-user inter-purchase gaps (seconds): d_i and
+    the at-risk n_i (= #durations ≥ t_i) come from one cumsum over the
+    merged _gap_hist histogram. surv6 = exp of the exact int64
+    cumulative of quantized ln(1 − d/n) steps."""
+    hist = _gap_hist(sf_dir)
     cnt = hist["cnt"].to_numpy().astype(np.int64)
     d = hist["d"].to_numpy().astype(np.int64)
     total = int(cnt.sum())
