@@ -150,7 +150,10 @@ def q_cohort_ltv_curve(sf_dir: str):
     ds = _pq(sf_dir, "orders",
              columns=["o_custkey", "o_orderdate", "o_totalprice"])
 
-    # two-stage: true first month needs a global Min per customer
+    # two-stage: true first month needs a global reduction per customer;
+    # ~140k (cust, month) groups — salt to 64 partitions and finish the
+    # groupby vectorized inside the partition (the incremental_user_state
+    # lesson; a direct 2-key groupby measured 27.6 s vs ~3 s salted)
     def base(df: pd.DataFrame) -> pd.DataFrame:
         from scrapy_ray.pipelines.queries import _cents_np
         mi = (df["o_orderdate"].dt.year.to_numpy() * 12
@@ -161,10 +164,16 @@ def q_cohort_ltv_curve(sf_dir: str):
             "rc": _cents_np(df["o_totalprice"].to_numpy())})
         out = g.groupby(["cust", "mi"])["rc"].sum().reset_index()
         out["rc"] = out["rc"].astype(np.int64)
+        out["gkey"] = (out["cust"] % 64).astype(np.int32)
         return out
 
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["cust", "mi"])["rc"].sum().reset_index()
+        g["rc"] = g["rc"].astype(np.int64)
+        return g
+
     cm = (ds.map_batches(base, batch_format="pandas")
-            .groupby(["cust", "mi"]).aggregate(Sum("rc", alias_name="rc"))
+            .groupby("gkey").map_groups(finish, batch_format="pandas")
             .to_pandas())
     fm = cm.groupby("cust")["mi"].min().rename("fm")
     cm = cm.join(fm, on="cust")
