@@ -80,10 +80,20 @@ def q_split_conformal_orders(sf_dir: str):
                            "c": np.int64(1)})
         g = df.groupby(["fold", "res"], sort=False).sum().reset_index()
         g["c"] = g["c"].astype(np.int64)
+        # near-distinct residual cents => ~row-count cells: the
+        # salted-partition rule (direct 2-key Aggregate measured ~2.5 s
+        # slower at sf0.1)
+        g["gkey"] = (g["res"] % 64).astype(np.int32)
         return _strip(g)
 
+    def rfinish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["fold", "res"], sort=False)["c"].sum() \
+            .reset_index()
+        g["c"] = g["c"].astype(np.int64)
+        return g
+
     cells = (ds.map_batches(rpart, batch_format="pyarrow")
-               .groupby(["fold", "res"]).aggregate(Sum("c", alias_name="c"))
+               .groupby("gkey").map_groups(rfinish, batch_format="pandas")
                .to_pandas())
     cal = cells[cells["fold"] == 1].sort_values("res")
     n_cal = int(cal["c"].sum())

@@ -249,44 +249,42 @@ def q_price_elasticity_parts(sf_dir: str):
         g = df.groupby("k", sort=False).sum().reset_index()
         for col in ("sq", "sp"):
             g[col] = g[col].astype(np.int64)
+        # ~20k part groups: the salted-partition rule (cohort_ltv lesson)
+        # — a direct groupby("k") Aggregate measured 7.3 s vs ~1 s salted
+        g["gkey"] = (g["k"] % 64).astype(np.int32)
         return _strip(g)
 
-    cells = (ds.map_batches(ppart, batch_format="pyarrow")
-               .groupby("k").aggregate(Sum("sq", alias_name="sq"),
-                                       Sum("sp", alias_name="sp")))
-
-    def qpart(t: pa.Table) -> pa.Table:
-        sq = t["sq"].to_numpy(zero_copy_only=False).astype(np.int64)
-        sp = t["sp"].to_numpy(zero_copy_only=False).astype(np.int64)
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        # exact per-part sums, then this partition's quantized ln-term
+        # partial OLS sums (parts are disjoint across partitions, so the
+        # per-part ln quantization happens exactly once per part)
+        g = df.groupby("k", sort=False)[["sq", "sp"]].sum()
+        sq = g["sq"].to_numpy(np.int64)
+        sp = g["sp"].to_numpy(np.int64)
         x = np.log(sp.astype(np.float64) / sq.astype(np.float64))
         y = np.log(sq.astype(np.float64))
-        return pa.table({
-            "g": pa.array([0], pa.int64()),
-            "np": pa.array([len(sq)], pa.int64()),
-            "sxq": pa.array([int(_qint(x).sum())], pa.int64()),
-            "syq": pa.array([int(_qint(y).sum())], pa.int64()),
-            "sxyq": pa.array([int(_qint(x * y).sum())], pa.int64()),
-            "sx2q": pa.array([int(_qint(x * x).sum())], pa.int64())})
+        return pd.DataFrame({
+            "np": [np.int64(len(sq))],
+            "sxq": [np.int64(_qint(x).sum())],
+            "syq": [np.int64(_qint(y).sum())],
+            "sxyq": [np.int64(_qint(x * y).sum())],
+            "sx2q": [np.int64(_qint(x * x).sum())]})
 
-    s = (cells.map_batches(qpart, batch_format="pyarrow")
-              .groupby("g").aggregate(Sum("np", alias_name="np"),
-                                      Sum("sxq", alias_name="sxq"),
-                                      Sum("syq", alias_name="syq"),
-                                      Sum("sxyq", alias_name="sxyq"),
-                                      Sum("sx2q", alias_name="sx2q"))
-              .to_pandas())
-    n = int(s["np"].iloc[0])
-    sx = float(int(s["sxq"].iloc[0])) / 1000000.0
-    sy = float(int(s["syq"].iloc[0])) / 1000000.0
-    sxy = float(int(s["sxyq"].iloc[0])) / 1000000.0
-    sx2 = float(int(s["sx2q"].iloc[0])) / 1000000.0
+    s = (ds.map_batches(ppart, batch_format="pyarrow")
+           .groupby("gkey").map_groups(finish, batch_format="pandas")
+           .to_pandas())
+    n = int(s["np"].sum())
+    sx = float(int(s["sxq"].sum())) / 1000000.0
+    sy = float(int(s["syq"].sum())) / 1000000.0
+    sxy = float(int(s["sxyq"].sum())) / 1000000.0
+    sx2 = float(int(s["sx2q"].sum())) / 1000000.0
     nf = float(n)
     det = nf * sx2 - sx * sx
     slope = (nf * sxy - sx * sy) / det
     icpt = (sy * sx2 - sx * sxy) / det
     out = pd.DataFrame({"n_parts": [n],
-                        "sxq": [int(s["sxq"].iloc[0])],
-                        "syq": [int(s["syq"].iloc[0])],
+                        "sxq": [int(s["sxq"].sum())],
+                        "syq": [int(s["syq"].sum())],
                         "elasticity6": [_round6(np.array([slope]))[0]],
                         "intercept6": [_round6(np.array([icpt]))[0]]})
     for col in ("n_parts", "sxq", "syq"):
