@@ -29,7 +29,7 @@ from ray.data.aggregate import Sum
 
 from scrapy_ray.pipelines.queries import _nrows, _pq
 from scrapy_ray.pipelines.queries8 import _round6
-from scrapy_ray.pipelines.queries47 import _US_PER_DAY
+from scrapy_ray.pipelines.queries47 import _US_PER_DAY, _strip
 
 
 def _rint(x: float) -> int:
@@ -159,7 +159,7 @@ def q_suits_index_tax(sf_dir: str):
             .groupby("b", sort=False).sum().reset_index()
         for col in ("px", "ty"):
             g[col] = g[col].astype(np.int64)
-        return g
+        return _strip(g)
 
     h = (ds.map_batches(bpart, batch_format="pyarrow")
            .groupby("b").aggregate(Sum("px", alias_name="px"),
@@ -229,7 +229,7 @@ def _daily_rev_cnt(sf_dir: str) -> pd.DataFrame:
             .groupby("day", sort=False).sum().reset_index()
         for col in ("c", "cnt"):
             g[col] = g[col].astype(np.int64)
-        return g
+        return _strip(g)
 
     return (ds.map_batches(dpart, batch_format="pyarrow")
               .groupby("day").aggregate(Sum("c", alias_name="c"),
