@@ -273,7 +273,10 @@ def q_gehan_wilcoxon_gaps(sf_dir: str):
             vt = (float(dj) * (float(n1j) / float(nj))
                   * (1.0 - float(n1j) / float(nj))
                   * (float(nj) - float(dj)) / (float(nj) - 1.0))
-            v_u += _rint(float(nj) * float(nj) * vt, 1e6)
+            # quantize the SMALL vt, then scale by integer nj² exactly
+            # — quantizing nj²·vt directly crosses 2^52 at sf0.1 where
+            # floor(x+0.5) ties-to-even diverges from round(x) by 1
+            v_u += nj * nj * _rint(vt, 1e6)
     v = float(v_u) / 1e6
     z = float(u) / math.sqrt(v)
     out = pd.DataFrame({"n_gaps_even": [int(d0.sum())],
@@ -310,8 +313,7 @@ q AS (
   SELECT sum(d0)::BIGINT AS n0s, sum(d1)::BIGINT AS n1s,
          sum(nj * d1 - dj * n1j)::BIGINT AS u,
          sum(CASE WHEN nj > 1 THEN
-           CAST(round(CAST(nj AS DOUBLE) * CAST(nj AS DOUBLE)
-             * (CAST(dj AS DOUBLE)
+           nj * nj * CAST(round((CAST(dj AS DOUBLE)
                 * (CAST(n1j AS DOUBLE) / CAST(nj AS DOUBLE))
                 * (1.0 - CAST(n1j AS DOUBLE) / CAST(nj AS DOUBLE))
                 * (CAST(nj AS DOUBLE) - CAST(dj AS DOUBLE))
