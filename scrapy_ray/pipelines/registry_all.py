@@ -217,6 +217,7 @@ def full_registry() -> dict[str, tuple]:
     from scrapy_ray.pipelines.queries201 import QUERIES201
     from scrapy_ray.pipelines.queries202 import QUERIES202
     from scrapy_ray.pipelines.queries203 import QUERIES203
+    from scrapy_ray.pipelines.queries204 import QUERIES204
     from scrapy_ray.pipelines.skew import SKEW_QUERIES
     from scrapy_ray.pipelines.textqual import TEXTQUAL_QUERIES
     from scrapy_ray.pipelines.training import TRAINING_QUERIES
@@ -234,7 +235,7 @@ def full_registry() -> dict[str, tuple]:
                  QUERIES48, QUERIES49, QUERIES50, QUERIES51, QUERIES52, QUERIES53, QUERIES54, QUERIES55, QUERIES56,
                  QUERIES57, QUERIES58, QUERIES59, QUERIES60, QUERIES61, QUERIES62,
                  QUERIES63, QUERIES64, QUERIES65, QUERIES66, QUERIES67, QUERIES68,
-                 QUERIES69, QUERIES70, QUERIES71, QUERIES72, QUERIES73, QUERIES74, QUERIES75, QUERIES76, QUERIES77, QUERIES78, QUERIES79, QUERIES80, QUERIES81, QUERIES82, QUERIES83, QUERIES84, QUERIES85, QUERIES86, QUERIES87, QUERIES88, QUERIES89, QUERIES90, QUERIES91, QUERIES92, QUERIES93, QUERIES94, QUERIES95, QUERIES96, QUERIES97, QUERIES98, QUERIES99, QUERIES100, QUERIES101, QUERIES102, QUERIES103, QUERIES104, QUERIES105, QUERIES106, QUERIES107, QUERIES108, QUERIES109, QUERIES110, QUERIES111, QUERIES112, QUERIES113, QUERIES114, QUERIES115, QUERIES116, QUERIES117, QUERIES118, QUERIES119, QUERIES120, QUERIES121, QUERIES122, QUERIES123, QUERIES124, QUERIES125, QUERIES126, QUERIES127, QUERIES128, QUERIES129, QUERIES130, QUERIES131, QUERIES132, QUERIES133, QUERIES134, QUERIES135, QUERIES136, QUERIES137, QUERIES138, QUERIES139, QUERIES140, QUERIES141, QUERIES142, QUERIES143, QUERIES144, QUERIES145, QUERIES146, QUERIES147, QUERIES148, QUERIES149, QUERIES150, QUERIES151, QUERIES152, QUERIES153, QUERIES154, QUERIES155, QUERIES156, QUERIES157, QUERIES158, QUERIES159, QUERIES160, QUERIES161, QUERIES162, QUERIES163, QUERIES164, QUERIES165, QUERIES166, QUERIES167, QUERIES168, QUERIES169, QUERIES170, QUERIES171, QUERIES172, QUERIES173, QUERIES174, QUERIES175, QUERIES176, QUERIES177, QUERIES178, QUERIES179, QUERIES180, QUERIES181, QUERIES182, QUERIES183, QUERIES184, QUERIES185, QUERIES186, QUERIES187, QUERIES188, QUERIES189, QUERIES190, QUERIES191, QUERIES192, QUERIES193, QUERIES194, QUERIES195, QUERIES196, QUERIES197, QUERIES198, QUERIES199, QUERIES200, QUERIES201, QUERIES202, QUERIES203,
+                 QUERIES69, QUERIES70, QUERIES71, QUERIES72, QUERIES73, QUERIES74, QUERIES75, QUERIES76, QUERIES77, QUERIES78, QUERIES79, QUERIES80, QUERIES81, QUERIES82, QUERIES83, QUERIES84, QUERIES85, QUERIES86, QUERIES87, QUERIES88, QUERIES89, QUERIES90, QUERIES91, QUERIES92, QUERIES93, QUERIES94, QUERIES95, QUERIES96, QUERIES97, QUERIES98, QUERIES99, QUERIES100, QUERIES101, QUERIES102, QUERIES103, QUERIES104, QUERIES105, QUERIES106, QUERIES107, QUERIES108, QUERIES109, QUERIES110, QUERIES111, QUERIES112, QUERIES113, QUERIES114, QUERIES115, QUERIES116, QUERIES117, QUERIES118, QUERIES119, QUERIES120, QUERIES121, QUERIES122, QUERIES123, QUERIES124, QUERIES125, QUERIES126, QUERIES127, QUERIES128, QUERIES129, QUERIES130, QUERIES131, QUERIES132, QUERIES133, QUERIES134, QUERIES135, QUERIES136, QUERIES137, QUERIES138, QUERIES139, QUERIES140, QUERIES141, QUERIES142, QUERIES143, QUERIES144, QUERIES145, QUERIES146, QUERIES147, QUERIES148, QUERIES149, QUERIES150, QUERIES151, QUERIES152, QUERIES153, QUERIES154, QUERIES155, QUERIES156, QUERIES157, QUERIES158, QUERIES159, QUERIES160, QUERIES161, QUERIES162, QUERIES163, QUERIES164, QUERIES165, QUERIES166, QUERIES167, QUERIES168, QUERIES169, QUERIES170, QUERIES171, QUERIES172, QUERIES173, QUERIES174, QUERIES175, QUERIES176, QUERIES177, QUERIES178, QUERIES179, QUERIES180, QUERIES181, QUERIES182, QUERIES183, QUERIES184, QUERIES185, QUERIES186, QUERIES187, QUERIES188, QUERIES189, QUERIES190, QUERIES191, QUERIES192, QUERIES193, QUERIES194, QUERIES195, QUERIES196, QUERIES197, QUERIES198, QUERIES199, QUERIES200, QUERIES201, QUERIES202, QUERIES203, QUERIES204,
                  TRAINING_QUERIES, TEXTQUAL_QUERIES, MULTIMODAL_QUERIES,
                  SKEW_QUERIES, CRAWL_QUERIES):
         reg.update(part)
