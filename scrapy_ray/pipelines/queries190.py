@@ -77,7 +77,14 @@ def q_jl_projection_audit(sf_dir: str):
     ids, e = _read_vecs(sf_dir, 2 * _N_PAIRS)
     r = np.array([[_sign(d * _JL_K + j) for j in range(_JL_K)]
                   for d in range(_D)], np.float64)
-    proj = (e @ r) / math.sqrt(_JL_K)
+    # explicit left-to-right per-dimension accumulation (NOT a BLAS
+    # matmul, whose blocked summation order differs from the oracle's
+    # sequential list_sum fold — ADVICE r4: a value landing on a .5e-4
+    # quantization boundary could otherwise round apart)
+    proj = np.zeros((e.shape[0], _JL_K), np.float64)
+    for d in range(_D):
+        proj += e[:, d:d + 1] * r[d]
+    proj /= math.sqrt(_JL_K)
     s_q = 0
     mx_q = None
     for i in range(_N_PAIRS):
@@ -142,7 +149,11 @@ def q_srp_cosine_audit(sf_dir: str):
     h = np.array([[_sign(1_000_000 + k * _D + d)
                    for k in range(_SRP_K)] for d in range(_D)],
                  np.float64)
-    s = e @ h                       # (n, K) projections
+    # sequential accumulation, same rationale as q_jl_projection_audit:
+    # sign(s) near 0 must not flip on BLAS reassociation noise
+    s = np.zeros((e.shape[0], _SRP_K), np.float64)
+    for d in range(_D):
+        s += e[:, d:d + 1] * h[d]   # (n, K) projections
     err_q = 0
     agree_tot = 0
     for i in range(_N_PAIRS):

@@ -208,7 +208,7 @@ probes AS (
          bb.ymin + CAST(((2 * j.j + 1) * {_H_MULT} + {_H_STEP})
                         % {_H_MOD} AS BIGINT)
                    % (bb.ymax - bb.ymin + 1) AS py
-  FROM bb, (SELECT unnest(range(1, 31)) AS j) j
+  FROM bb, unnest(range(1, bb.n + 1)) AS j(j)
   WHERE j.j <= bb.n),
 su AS (
   SELECT sum(m)::BIGINT AS su
