@@ -447,6 +447,30 @@ class FrontierShard:
         self.n_robots_denied = 0
         self.n_pushed = 0
 
+    def end_wave(self, rows: pa.Table | None, sess_hosts: list[str] | None,
+                 sess_tokens: list[int] | None, ckpt_dir: str | None,
+                 next_wave_idx: int | None,
+                 epoch: int | None = None) -> pa.Table | None:
+        """End-of-wave combined op (round 5, VERDICT r4 item 3): apply the
+        wave's session updates, enqueue its new rows, optionally write this
+        shard's checkpoint segment, and optionally drain the next wave — in
+        the EXACT order the formerly separate RPCs executed under per-actor
+        FIFO (sessions → pushes → checkpoint → next_wave), so shard state
+        transitions are byte-identical; only the RPC count changes (up to 6
+        submissions per shard per wave become one). The checkpoint segment
+        still captures pre-drain state: it is written before the drain
+        inside this single call."""
+        self._guard(epoch)
+        if sess_hosts:
+            self.update_sessions(sess_hosts, sess_tokens)
+        if rows is not None and len(rows):
+            self.push(rows)
+        if ckpt_dir is not None:
+            self.checkpoint(ckpt_dir)
+        if next_wave_idx is not None:
+            return self.next_wave(next_wave_idx)
+        return None
+
     # --- checkpoint (SURVEY §4.2): queue rows + politeness clocks ---
     def checkpoint(self, dirpath: str, epoch: int | None = None) -> None:
         self._guard(epoch)  # a stale shard must never write a checkpoint
@@ -573,6 +597,41 @@ class ShardedFrontier:
                 futs.append(self.shards[s].update_throttle.remote(
                     [hosts[i] for i in idx], latencies[idx], epoch=self.epoch))
         ray.get(futs)
+
+    def end_wave_async(self, rows: pa.Table | None, sess_hosts: list[str],
+                       sess_tokens: list[int], ckpt_dir: str | None,
+                       next_wave_idx: int | None) -> list:
+        """Submit the merged end-of-wave RPC — ONE submission per shard
+        carrying that shard's new rows + session updates + the optional
+        checkpoint/drain requests (round 5: the per-wave serial driver fan
+        was up to 6 RPC-submission loops over the shard pool; it is now one
+        loop with one hash-partition pass). Shards with no payload and no
+        checkpoint/drain request are skipped entirely. Returns futures; a
+        shard's future resolves to its next-wave part (or None when no
+        drain was requested)."""
+        row_shard = None
+        if rows is not None and len(rows):
+            row_shard = self.shard_of_hosts(rows["host"].to_pylist())
+        sess_shard = self.shard_of_hosts(sess_hosts) if sess_hosts else None
+        futs = []
+        for s in range(self.n_shards):
+            srows = None
+            if row_shard is not None:
+                idx = np.nonzero(row_shard == s)[0]
+                if len(idx):
+                    srows = rows.take(pa.array(idx))
+            sh = st = None
+            if sess_shard is not None:
+                sidx = np.nonzero(sess_shard == s)[0]
+                if len(sidx):
+                    sh = [sess_hosts[i] for i in sidx]
+                    st = [sess_tokens[i] for i in sidx]
+            if (srows is None and sh is None and ckpt_dir is None
+                    and next_wave_idx is None):
+                continue
+            futs.append(self.shards[s].end_wave.remote(
+                srows, sh, st, ckpt_dir, next_wave_idx, epoch=self.epoch))
+        return futs
 
     def next_wave_async(self, wave_idx: int) -> list:
         """Submit every shard's next_wave RPC without waiting. The engine

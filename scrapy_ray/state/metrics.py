@@ -36,6 +36,18 @@ class MetricsActor:
             self._kll[metric] = KLL()
         self._kll[metric].add_many([int(v) for v in values])
 
+    def record_wave(self, deltas: dict[str, int],
+                    host_counts: dict[str, int],
+                    observations: dict[str, list[int]]) -> None:
+        """One merged per-wave RPC (round 5 serial-floor cut): counters +
+        per-host counts + distribution observations in a single submission
+        instead of four — state updates identical to calling inc /
+        inc_hosts / observe in sequence."""
+        self.inc(deltas)
+        self.inc_hosts(host_counts)
+        for metric, values in observations.items():
+            self.observe(metric, values)
+
     def snapshot(self) -> dict:
         out = dict(self.counters)
         if self._kll:
