@@ -75,7 +75,8 @@ def _warm_workers(num_cpus: int) -> None:
     ray.get([_w.remote() for _ in range(num_cpus * 2)])
 
 
-def bench_crawl() -> dict:
+def bench_crawl(actor_scheduling: str | None = None,
+                actor_resources: dict | None = None) -> dict:
     """End-to-end wave-loop crawl (frontier + dedup + fetch-join + parse +
     sinks; politeness budget maxed out so throughput — not the virtual
     pacing clock — is measured) — reports pages/sec and frontier URLs/sec
@@ -96,7 +97,9 @@ def bench_crawl() -> dict:
         shutil.rmtree(sink)
     cfg = CrawlConfig(n_filter_shards=4, n_frontier_shards=4,
                       per_domain_cap=1 << 20, respect_crawl_delay=False,
-                      checkpoint_dir=sink, checkpoint_every=1_000_000)
+                      checkpoint_dir=sink, checkpoint_every=1_000_000,
+                      actor_scheduling=actor_scheduling,
+                      actor_resources=actor_resources)
     eng = CrawlEngine(CRAWL_ROOT, cfg)
     eng.warm()      # shard-actor process startup — untimed, like _warm_workers
     t0 = time.time()
@@ -227,6 +230,133 @@ def run_crawl_mode() -> None:
                       "frontier_urls_per_sec": round(c["frontier_urls_per_sec"], 1)}))
     import ray
     ray.shutdown()
+
+
+N_NODES = int(os.environ.get("RAY_GRAFT_NODES", "1"))
+CPUS_PER_NODE = int(os.environ.get("RAY_GRAFT_CPUS_PER_NODE", "2"))
+
+
+def _init_cluster(n_nodes: int, cpus_per_node: int):
+    """TRUE multi-node Ray cluster on one box (round 5, VERDICT r4 item 2):
+    a 0-CPU head node (driver + GCS only) plus ``n_nodes`` worker raylets,
+    each with its OWN object store, scheduler, and worker pool — shard-actor
+    RPCs, wave-table transfers, and ray.put broadcasts cross real node
+    boundaries (loopback TCP + per-node plasma), unlike the single-raylet
+    ``num_cpus=N`` stand-in used by --scaling. The N vs 4N *node* comparison
+    this enables is the closest this sandbox can get to the north rule's
+    fixed-size-cluster criterion."""
+    import ray
+    from ray.cluster_utils import Cluster
+
+    # memory= sized so object_store/memory >= 0.5 per node — same Ray Data
+    # warning hygiene as _init_ray (the resources are scheduling-only here;
+    # no stage requests memory explicitly)
+    cluster = Cluster(initialize_head=True, head_node_args={
+        "num_cpus": 0, "object_store_memory": 2 << 30,
+        "memory": 2 << 30, "include_dashboard": False})
+    for _ in range(n_nodes):
+        # crawl_node: a worker-only custom resource — shard actors require
+        # a sliver of it, so none can land on the 0-CPU head next to the
+        # driver (every shard RPC then genuinely crosses a node boundary)
+        cluster.add_node(num_cpus=cpus_per_node,
+                         object_store_memory=6 << 30, memory=6 << 30,
+                         resources={"crawl_node": 1024})
+    ray.init(address=cluster.address, logging_level="ERROR")
+    cluster.wait_for_nodes()
+    from scrapy_ray.util import quiet_ray_data
+
+    quiet_ray_data()
+    return cluster
+
+
+def run_crawl_nodes_mode() -> None:
+    """End-to-end crawl on a real multi-node cluster (RAY_GRAFT_NODES worker
+    nodes x RAY_GRAFT_CPUS_PER_NODE CPUs); shard actors SPREAD across nodes
+    so frontier/urlseen RPCs and wave tables cross node boundaries."""
+    import ray
+
+    cluster = _init_cluster(N_NODES, CPUS_PER_NODE)
+    ensure_corpora("crawl")
+    _warm_workers(N_NODES * CPUS_PER_NODE)
+    c = bench_crawl(actor_scheduling="SPREAD",
+                    actor_resources={"crawl_node": 1e-3})
+    alive = [n for n in ray.nodes() if n["Alive"]]
+    print(json.dumps({"metric": "crawl_200k_pages_nodes",
+                      "value": round(c["sec"], 3), "unit": "sec",
+                      "n_worker_nodes": N_NODES,
+                      "cpus_per_node": CPUS_PER_NODE,
+                      "n_alive_nodes": len(alive),
+                      "pages_per_sec": round(c["pages_per_sec"], 1),
+                      "frontier_urls_per_sec": round(c["frontier_urls_per_sec"], 1)}))
+    ray.shutdown()
+    cluster.shutdown()
+
+
+def run_kernel_nodes_mode() -> None:
+    """Featurize kernel on a real multi-node cluster — Ray Data's streaming
+    executor schedules map_batches tasks across the worker raylets; blocks
+    move through per-node object stores."""
+    import ray
+
+    cluster = _init_cluster(N_NODES, CPUS_PER_NODE)
+    ensure_corpora("feat")
+    k = bench_kernel(N_NODES * CPUS_PER_NODE)
+    alive = [n for n in ray.nodes() if n["Alive"]]
+    print(json.dumps({"metric": "featurize_500k_pages_nodes",
+                      "value": round(k["sec"], 3), "unit": "sec",
+                      "n_worker_nodes": N_NODES,
+                      "cpus_per_node": CPUS_PER_NODE,
+                      "n_alive_nodes": len(alive),
+                      "pages_per_sec": round(k["pages_per_sec"], 1)}))
+    ray.shutdown()
+    cluster.shutdown()
+
+
+def _sub_nodes(mode: str, n_nodes: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_NODES=str(n_nodes))
+    out = subprocess.run([sys.executable, os.path.abspath(__file__), mode],
+                         env=env, capture_output=True, text=True, check=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def run_scaling_nodes() -> None:
+    """N -> 4N NODE scaling evidence (round 5): 1 worker node vs 4 worker
+    nodes, 2 CPUs each, on one box — real per-node object stores and
+    inter-node transfer (see _init_cluster). Same protocol as --scaling:
+    interleaved x3, per-level MIN (episodic hypervisor steal), raw samples
+    printed. The 4-node level additionally pays REAL cross-node costs the
+    flat num_cpus pair cannot show, so this is the stricter reading of the
+    north rule's ≥0.8 criterion."""
+    _init_ray(NUM_CPUS)
+    ensure_corpora("both")
+    import ray
+    ray.shutdown()
+
+    lo_n, hi_n = 1, 4
+    c_lo_runs, c_hi_runs, k_lo_runs, k_hi_runs = [], [], [], []
+    for _ in range(3):
+        c_lo_runs.append(_sub_nodes("--crawl-nodes", lo_n))
+        c_hi_runs.append(_sub_nodes("--crawl-nodes", hi_n))
+    for _ in range(2):
+        k_lo_runs.append(_sub_nodes("--kernel-nodes", lo_n))
+        k_hi_runs.append(_sub_nodes("--kernel-nodes", hi_n))
+    c_lo = min(r["value"] for r in c_lo_runs)
+    c_hi = min(r["value"] for r in c_hi_runs)
+    k_lo = min(r["value"] for r in k_lo_runs)
+    k_hi = min(r["value"] for r in k_hi_runs)
+    print(json.dumps({
+        "lo_nodes": lo_n, "hi_nodes": hi_n, "cpus_per_node": CPUS_PER_NODE,
+        "crawl_sec_1node": c_lo, "crawl_sec_4node": c_hi,
+        "crawl_sec_1node_runs": [r["value"] for r in c_lo_runs],
+        "crawl_sec_4node_runs": [r["value"] for r in c_hi_runs],
+        "crawl_node_scaling_efficiency_1_to_4":
+            round(min(1.0, (c_lo / c_hi) / (hi_n / lo_n)), 3),
+        "kernel_sec_1node": k_lo, "kernel_sec_4node": k_hi,
+        "kernel_sec_1node_runs": [r["value"] for r in k_lo_runs],
+        "kernel_sec_4node_runs": [r["value"] for r in k_hi_runs],
+        "kernel_node_scaling_efficiency_1_to_4":
+            round(min(1.0, (k_lo / k_hi) / (hi_n / lo_n)), 3),
+    }))
 
 
 CRAWL1M_ROOT = os.path.join(BENCH_ROOT, "corpus_crawl1m")
@@ -439,12 +569,18 @@ def run_scaling() -> None:
 if __name__ == "__main__":
     if "--scaling-wide" in sys.argv:
         run_scaling_wide()
+    elif "--scaling-nodes" in sys.argv:
+        run_scaling_nodes()
     elif "--scaling" in sys.argv:
         run_scaling()
+    elif "--kernel-nodes" in sys.argv:
+        run_kernel_nodes_mode()
     elif "--kernel" in sys.argv:
         run_kernel_mode()
     elif "--crawl1m" in sys.argv:
         run_crawl1m_mode()
+    elif "--crawl-nodes" in sys.argv:
+        run_crawl_nodes_mode()
     elif "--crawl" in sys.argv:
         run_crawl_mode()
     else:

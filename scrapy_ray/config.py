@@ -163,6 +163,20 @@ class CrawlConfig:
                                      # URLs total, shards scale out (SURVEY §2.3 F1)
     checkpoint_dir: str | None = None
     checkpoint_every: int = 1        # checkpoint every k waves (when dir set)
+    actor_scheduling: str | None = None  # shard-actor scheduling strategy:
+                                     # "SPREAD" on a multi-node cluster so
+                                     # frontier/urlseen shards distribute
+                                     # across nodes (real inter-node RPC +
+                                     # object transfer — bench --crawl-nodes);
+                                     # None = Ray default (single-node local
+                                     # mode is placement-indifferent)
+    actor_resources: dict | None = None  # custom-resource requirement per
+                                     # shard actor (e.g. {"crawl_node": 1e-3}
+                                     # where only WORKER nodes advertise
+                                     # crawl_node) — keeps num_cpus=0 shard
+                                     # actors off the 0-CPU head node in the
+                                     # multi-node bench so every shard RPC
+                                     # genuinely crosses a node boundary
     cache_corpus: bool = False       # pin decoded corpus buckets in the Ray
                                      # object store (zero-copy Arrow, loaded
                                      # lazily once per bucket): the wave

@@ -205,7 +205,9 @@ class CrawlEngine:
             ray.put((dict(PAGE_HANDLERS), list(URL_ROUTES), list(CRAWL_RULES)))
             if (PAGE_HANDLERS or URL_ROUTES or CRAWL_RULES) else None)
         self.urlseen = ShardedUrlSeen(cfg.n_filter_shards, cfg.bloom_capacity,
-                                      cfg.bloom_bits_per_key, exact=cfg.exact_urlseen)
+                                      cfg.bloom_bits_per_key, exact=cfg.exact_urlseen,
+                                      scheduling=cfg.actor_scheduling,
+                                      resources=cfg.actor_resources)
         self.frontier = ShardedFrontier(cfg, robots)
         # driver-side run state (persisted in the manifest)
         self.wave_idx = 0

@@ -531,8 +531,13 @@ class ShardedFrontier:
         # (cfg + its robots partition); the driver restores queue/clock state
         # from the last committed checkpoint (crawl.py recover()).
         actor = ray.remote(FrontierShard)
+        opts = {"num_cpus": 0, "max_restarts": 4}
+        if cfg.actor_scheduling is not None:  # e.g. "SPREAD" across nodes
+            opts["scheduling_strategy"] = cfg.actor_scheduling
+        if cfg.actor_resources:               # e.g. worker-node-only pinning
+            opts["resources"] = dict(cfg.actor_resources)
         self.shards = [
-            actor.options(num_cpus=0, max_restarts=4).remote(i, cfg, parts[i])
+            actor.options(**opts).remote(i, cfg, parts[i])
             for i in range(self.n_shards)
         ]
 

@@ -179,7 +179,8 @@ class ShardedUrlSeen:
     """Driver-side client over the shard actor pool."""
 
     def __init__(self, n_shards: int, capacity: int = 1_000_000, bits_per_key: int = 10,
-                 exact: bool = True):
+                 exact: bool = True, scheduling: str | None = None,
+                 resources: dict | None = None):
         self.n_shards = n_shards
         self.epoch: int | None = None  # engine stamps via set_epoch()
         # num_cpus=0: shards are short-burst RPC servers; reserving CPU slots
@@ -190,8 +191,13 @@ class ShardedUrlSeen:
         # pool from the last committed checkpoint (pipelines/crawl.py
         # recover()) so state stays mutually consistent.
         actor = ray.remote(UrlSeenShard)
+        opts = {"num_cpus": 0, "max_restarts": 4}
+        if scheduling is not None:   # e.g. "SPREAD" across cluster nodes
+            opts["scheduling_strategy"] = scheduling
+        if resources:                # e.g. worker-node-only pinning
+            opts["resources"] = dict(resources)
         self.shards = [
-            actor.options(num_cpus=0, max_restarts=4).remote(i, capacity, bits_per_key, exact)
+            actor.options(**opts).remote(i, capacity, bits_per_key, exact)
             for i in range(n_shards)
         ]
 
