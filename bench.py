@@ -405,6 +405,79 @@ def run_crawl1m_mode() -> None:
     ray.shutdown()
 
 
+def run_crawl1m_nodes_mode() -> None:
+    """The 1M-page Bloom-only crawl (wide waves — the serial-floor-amortized
+    scale-representative shape) on a REAL multi-node cluster."""
+    import ray
+
+    from scrapy_ray.config import CrawlConfig
+    from scrapy_ray.pipelines.crawl import CrawlEngine
+    from scrapy_ray.sources.corpus import CorpusSpec, generate_corpus
+
+    cluster = _init_cluster(N_NODES, CPUS_PER_NODE)
+    generate_corpus(CRAWL1M_ROOT, CorpusSpec(
+        n_hosts=10_000, total_pages=1_000_000, page_size=120, seed=43,
+        n_buckets=64, max_details_per_host=800))
+    _warm_workers(N_NODES * CPUS_PER_NODE)
+    time.sleep(4)
+    sink = os.path.join(BENCH_ROOT, f"crawl1m_nodes_out_{N_NODES}")
+    if os.path.exists(sink):
+        shutil.rmtree(sink)
+    cfg = CrawlConfig(n_filter_shards=4, n_frontier_shards=4,
+                      per_domain_cap=1 << 20, respect_crawl_delay=False,
+                      exact_urlseen=False, bloom_capacity=2_000_000,
+                      checkpoint_dir=sink, checkpoint_every=1_000_000,
+                      actor_scheduling="SPREAD",
+                      actor_resources={"crawl_node": 1e-3})
+    eng = CrawlEngine(CRAWL1M_ROOT, cfg)
+    eng.warm()
+    t0 = time.time()
+    eng.seed()
+    while eng.run_wave():
+        pass
+    eng._drain_sinks()
+    dt = time.time() - t0
+    print(json.dumps({
+        "metric": "crawl_1m_pages_bloom_only_nodes", "value": round(dt, 3),
+        "unit": "sec", "n_worker_nodes": N_NODES,
+        "cpus_per_node": CPUS_PER_NODE,
+        "pages_fetched": eng.pages_fetched, "waves": len(eng.lineage),
+        "pages_per_sec": round(eng.pages_fetched / dt, 1),
+    }))
+    ray.shutdown()
+    cluster.shutdown()
+
+
+def run_scaling_wide_nodes() -> None:
+    """Wide-wave NODE pair: the 1M-page Bloom-only crawl at 1 vs 4 worker
+    nodes — the shape whose per-wave serial driver floor amortizes over 10x
+    the work, on the real multi-node cluster. Interleaved x3, per-level
+    min, raw samples printed."""
+    _init_ray(NUM_CPUS)
+    from scrapy_ray.sources.corpus import CorpusSpec, generate_corpus
+    generate_corpus(CRAWL1M_ROOT, CorpusSpec(
+        n_hosts=10_000, total_pages=1_000_000, page_size=120, seed=43,
+        n_buckets=64, max_details_per_host=800))
+    import ray
+    ray.shutdown()
+
+    lo_n, hi_n = 1, 4
+    lo_runs, hi_runs = [], []
+    for _ in range(3):
+        lo_runs.append(_sub_nodes("--crawl1m-nodes", lo_n))
+        hi_runs.append(_sub_nodes("--crawl1m-nodes", hi_n))
+    lo = min(r["value"] for r in lo_runs)
+    hi = min(r["value"] for r in hi_runs)
+    print(json.dumps({
+        "lo_nodes": lo_n, "hi_nodes": hi_n, "cpus_per_node": CPUS_PER_NODE,
+        "crawl1m_sec_1node": lo, "crawl1m_sec_4node": hi,
+        "crawl1m_sec_1node_runs": [r["value"] for r in lo_runs],
+        "crawl1m_sec_4node_runs": [r["value"] for r in hi_runs],
+        "crawl1m_node_scaling_efficiency_1_to_4":
+            round(min(1.0, (lo / hi) / (hi_n / lo_n)), 3),
+    }))
+
+
 def run_scaling_wide() -> None:
     """Wide-wave scaling pair (round 4): the 200k-page crawl's 2->8 ratio is
     Amdahl-bounded by its per-wave serial driver floor (~0.55 s/run over 6
@@ -567,8 +640,12 @@ def run_scaling() -> None:
 
 
 if __name__ == "__main__":
-    if "--scaling-wide" in sys.argv:
+    if "--scaling-wide-nodes" in sys.argv:
+        run_scaling_wide_nodes()
+    elif "--scaling-wide" in sys.argv:
         run_scaling_wide()
+    elif "--crawl1m-nodes" in sys.argv:
+        run_crawl1m_nodes_mode()
     elif "--scaling-nodes" in sys.argv:
         run_scaling_nodes()
     elif "--scaling" in sys.argv:

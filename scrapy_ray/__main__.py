@@ -136,6 +136,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="also collapse MinHash-LSH near-duplicates "
                          "(keep-min-url-hash per cluster)")
     tp.add_argument("--neardup-tau", type=float, default=0.5)
+    tp.add_argument("--semdedup", action="store_true",
+                    help="also collapse SEMANTIC near-duplicates (SemDeDup "
+                         "over hashed-trigram embeddings, SRP cells, "
+                         "keep-min-url-hash per cell)")
+    tp.add_argument("--semdedup-tau", type=float, default=0.8)
     tp.add_argument("--num-cpus", type=int, default=None)
 
     v = sub.add_parser("validate", help="check a bucketed corpus's "
@@ -189,7 +194,9 @@ def main(argv: list[str] | None = None) -> int:
                                              n_shards=args.shards,
                                              min_tokens=args.min_tokens,
                                              neardup=args.neardup,
-                                             neardup_tau=args.neardup_tau)
+                                             neardup_tau=args.neardup_tau,
+                                             semdedup=args.semdedup,
+                                             semdedup_tau=args.semdedup_tau)
             manifest["pages_fetched"] = res.metrics["pages_fetched"]
             print(json.dumps(manifest))
         elif args.cmd == "validate":

@@ -494,16 +494,74 @@ def test_build_training_corpus_neardup(ray_session, tmp_path):
     assert not os.path.exists(os.path.join(out, "_stage_dedup"))
 
 
+def test_build_training_corpus_semdedup(ray_session, tmp_path):
+    """Optional SEMANTIC dedup stage (SemDeDup over hashed-trigram
+    embeddings, SRP cells, exact-integer cosine): byte-distinct word-level
+    paraphrases (trigram cosine >= 0.93, validated offline) collapse to the
+    min-url-hash survivor; unrelated docs survive (max solo cosine 0.14 vs
+    the variants, 0.67 solo-solo — both below tau=0.8)."""
+    import pyarrow.parquet as pq
+
+    from scrapy_ray.functions.hashing import hash64
+    from scrapy_ray.pipelines.corpusbuild import build_training_corpus
+
+    base = ("the grand hotel on the corner of elm street offers spacious "
+            "rooms with views over the old harbour and a breakfast served "
+            "daily in the sunlit atrium beside the fountain")
+    variants = [base,
+                base.replace("spacious", "generous"),
+                base.replace("breakfast", "brunch"),
+                base.replace("daily", "each morning")]
+    rows = [{"url": f"https://a.example.com/sem/{i}", "extracted_text": v}
+            for i, v in enumerate(variants)]
+    rows += [{"url": f"https://a.example.com/solo/{i}",
+              "extracted_text": " ".join(f"tok{i}w{j}" for j in range(20))}
+             for i in range(6)]
+    items = pa.table({
+        "url": [r["url"] for r in rows],
+        "extracted_text": [r["extracted_text"] for r in rows],
+    })
+    out = str(tmp_path / "shards_sd")
+    m = build_training_corpus(items, out, n_shards=4, min_tokens=3,
+                              semdedup=True, semdedup_tau=0.8)
+    assert m["rows_in"] == 10
+    assert m["rows_semdedup_dropped"] == 3      # 4 paraphrases -> 1 kept
+    assert m["rows_neardup_dropped"] == 0       # minhash stage was off
+    assert m["rows_kept"] == 7
+    back = pq.read_table(out).to_pandas()
+    assert len(back) == 7
+    sem_urls = [f"https://a.example.com/sem/{i}" for i in range(4)]
+    ids = hash64(sem_urls).view("int64")
+    survivor = sem_urls[int(ids.argmin())]
+    assert [u for u in back["url"] if "/sem/" in u] == [survivor]
+    assert "nid" not in back.columns
+    assert not os.path.exists(os.path.join(out, "_stage_dedup"))
+
+    # sequential-stage semantics: with BOTH stages on, the shingle pass
+    # claims the paraphrase cluster first and the semantic pass must NOT
+    # re-count it (minhash-dropped docs are excluded as representatives,
+    # and already-dropped ids never re-enter the semantic drop set)
+    out2 = str(tmp_path / "shards_both")
+    m2 = build_training_corpus(items, out2, n_shards=4, min_tokens=3,
+                               neardup=True, neardup_tau=0.5,
+                               semdedup=True, semdedup_tau=0.8)
+    assert m2["rows_neardup_dropped"] == 3
+    assert m2["rows_semdedup_dropped"] == 0
+    assert m2["rows_kept"] == 7
+
+
 def test_pipeline_cli(e2e_corpus, tmp_path):
     """One-command crawl -> training shards (subprocess owns its session)."""
     out = str(tmp_path / "train")
     r = subprocess.run(
         [sys.executable, "-m", "scrapy_ray", "pipeline", "--corpus",
-         e2e_corpus, "--out", out, "--shards", "4", "--num-cpus", "2"],
+         e2e_corpus, "--out", out, "--shards", "4", "--num-cpus", "2",
+         "--semdedup"],
         capture_output=True, text=True, cwd="/root/repo")
     assert r.returncode == 0, r.stderr[-2000:]
     m = json.loads(r.stdout.strip().splitlines()[-1])
     assert m["rows_kept"] > 0 and m["tokens"] > 0
+    assert "rows_semdedup_dropped" in m          # semantic stage ran
     assert sorted(os.listdir(out)) == [f"shard={i}" for i in
                                        sorted(int(k) for k in m["shards"])]
 
