@@ -213,14 +213,12 @@ def _encode_block(bw, zz, prev_dc, dct, act) -> int:
     return int(zz[0])
 
 
-def encode_jpeg(rgb: np.ndarray, quality: int = 90,
-                subsampling: str = "444", restart_interval: int = 0) -> bytes:
-    """(h, w, 3) uint8 RGB -> baseline JFIF bytes.
-
-    ``subsampling``: "444" (every component full-resolution, Y h=v=1) or
-    "420" (chroma 2x2 box-averaged, Y h=v=2 — the common web layout).
-    ``restart_interval``: emit DRI + RSTn markers every N MCUs (0 = none)
-    — exercises the decoder's restart resynchronization path."""
+def _coef_grids(rgb: np.ndarray, quality: int, subsampling: str):
+    """Shared encoder front half (baseline AND progressive — both scan
+    organizations carry the SAME quantized coefficients): color transform,
+    optional chroma subsampling, padded MCU-aligned vectorized DCT + quant.
+    Returns (comps, samp, qlum, qchr, h, w, mcux, mcuy); comps[ci] is an
+    (nby, nbx, 8, 8) int64 natural-order coefficient grid."""
     assert rgb.ndim == 3 and rgb.shape[2] == 3 and rgb.dtype == np.uint8
     assert subsampling in ("444", "420")
     h, w, _ = rgb.shape
@@ -256,6 +254,19 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 90,
         blocks = _plane_blocks(p - 128.0)
         coef = np.einsum("ux,byxv,wv->byuw", _C, blocks, _C)
         comps.append(np.round(coef / q).astype(np.int64))
+    return comps, samp, qlum, qchr, h, w, mcux, mcuy
+
+
+def encode_jpeg(rgb: np.ndarray, quality: int = 90,
+                subsampling: str = "444", restart_interval: int = 0) -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline JFIF bytes.
+
+    ``subsampling``: "444" (every component full-resolution, Y h=v=1) or
+    "420" (chroma 2x2 box-averaged, Y h=v=2 — the common web layout).
+    ``restart_interval``: emit DRI + RSTn markers every N MCUs (0 = none)
+    — exercises the decoder's restart resynchronization path."""
+    comps, samp, qlum, qchr, h, w, mcux, mcuy = _coef_grids(
+        rgb, quality, subsampling)
 
     dc_lum = _canonical_codes(*_DC_LUM)
     ac_lum = _canonical_codes(*_AC_LUM)
@@ -401,10 +412,36 @@ def _extend(v: int, cat: int) -> int:
     return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
 
+def _parse_dqt(body: bytes, qtabs: dict) -> None:
+    i = 0
+    while i < len(body):
+        pq, tq = body[i] >> 4, body[i] & 0xF
+        if pq != 0:
+            raise ValueError("16-bit quant tables unsupported")
+        q = np.frombuffer(body[i + 1:i + 65], dtype=np.uint8) \
+              .astype(np.int64)[UNZIGZAG]
+        qtabs[tq] = q.reshape(8, 8)
+        i += 65
+
+
+def _parse_dht(body: bytes, htabs: dict) -> None:
+    i = 0
+    while i < len(body):
+        tc, th = body[i] >> 4, body[i] & 0xF
+        bits = list(body[i + 1:i + 17])
+        nv = sum(bits)
+        values = list(body[i + 17:i + 17 + nv])
+        htabs[(tc, th)] = _decode_tree(bits, values)
+        i += 17 + nv
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> (h, w, 3) uint8 RGB. Supports SOF0 with 1 or
-    3 components, arbitrary (h,v) sampling factors (4:4:4 / 4:2:0 / 4:2:2),
-    DRI restart intervals. Progressive (SOF2) etc. raise ValueError."""
+    """JFIF bytes -> (h, w, 3) uint8 RGB. Supports baseline (SOF0/SOF1)
+    AND progressive (SOF2, ITU T.81 Annex G: spectral selection +
+    successive approximation, DC/AC first + refinement scans, EOB runs)
+    with 1 or 3 components, arbitrary (h,v) sampling factors
+    (4:4:4 / 4:2:0 / 4:2:2), DRI restart intervals. Arithmetic-coded /
+    hierarchical / lossless SOFs raise ValueError."""
     d = payload
     if d[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -414,6 +451,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     comps = None   # list of dicts: id, h, v, qt
     h = w = 0
     dri = 0
+    progressive = False
     while True:
         if d[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -425,39 +463,30 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         body = d[pos + 2:pos + ln]
         pos += ln
         if marker == 0xFFDB:
-            i = 0
-            while i < len(body):
-                pq, tq = body[i] >> 4, body[i] & 0xF
-                if pq != 0:
-                    raise ValueError("16-bit quant tables unsupported")
-                q = np.frombuffer(body[i + 1:i + 65], dtype=np.uint8) \
-                      .astype(np.int64)[UNZIGZAG]
-                qtabs[tq] = q.reshape(8, 8)
-                i += 65
+            _parse_dqt(body, qtabs)
         elif marker == 0xFFC4:
-            i = 0
-            while i < len(body):
-                tc, th = body[i] >> 4, body[i] & 0xF
-                bits = list(body[i + 1:i + 17])
-                nv = sum(bits)
-                values = list(body[i + 17:i + 17 + nv])
-                htabs[(tc, th)] = _decode_tree(bits, values)
-                i += 17 + nv
-        elif marker == 0xFFC0 or marker == 0xFFC1:
+            _parse_dht(body, htabs)
+        elif marker in (0xFFC0, 0xFFC1, 0xFFC2):
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
-                raise ValueError("only 8-bit baseline supported")
+                raise ValueError("only 8-bit precision supported")
+            progressive = marker == 0xFFC2
             comps = []
             for c in range(nc):
                 cid, hv, qt = body[6 + 3 * c:9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
                               "qt": qt})
-        elif marker in (0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+        elif marker in (0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
                         0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
             raise ValueError("non-baseline SOF unsupported")
         elif marker == 0xFFDD:
             dri = struct.unpack(">H", body[:2])[0]
         elif marker == 0xFFDA:
+            if progressive:
+                if comps is None:
+                    raise ValueError("SOS before SOF2")
+                return _decode_progressive(d, pos, body, qtabs, htabs,
+                                           comps, h, w, dri)
             ns = body[0]
             sel = {}
             for c in range(ns):
@@ -535,3 +564,398 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
         return np.repeat(g[:, :, None], 3, axis=2)
     return _ycbcr_to_rgb(full[0], full[1], full[2])
+
+
+# ------------------------------------------- progressive (SOF2, T.81 Annex G)
+
+
+def _ac_first(br, blk, Ss, Se, Al, eobrun, ac):
+    """One block of an AC first scan (Ah=0): run-length + EOB-run decode
+    into zigzag positions Ss..Se, values shifted left by Al. Returns the
+    remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = Ss
+    while k <= Se:
+        rs = _read_symbol(br, ac)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:                  # ZRL: 16 zeros
+                k += 16
+                continue
+            eobrun = (1 << r) - 1        # EOBn: 2^r + extension bits blocks
+            if r:
+                eobrun += br.bits(r)
+            return eobrun
+        k += r
+        if k > Se:
+            raise ValueError("AC run past band end")
+        blk[k] = _extend(br.bits(s), s) << Al
+        k += 1
+    return 0
+
+
+def _ac_refine(br, blk, Ss, Se, Al, eobrun, ac):
+    """One block of an AC refinement scan (Ah=Al+1): G.1.2.3 — correction
+    bits for already-nonzero coefficients, newly-significant +-1<<Al
+    insertions, EOB runs. Returns the remaining EOB run."""
+    p1 = 1 << Al
+    m1 = -1 << Al
+    k = Ss
+    if eobrun == 0:
+        while k <= Se:
+            rs = _read_symbol(br, ac)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r < 15:               # EOBn: 2^r (+ext) blocks INCLUDING
+                    eobrun = 1 << r      # this one — its remaining corr
+                    if r:                # bits ride the EOB branch below
+                        eobrun += br.bits(r)
+                    break
+                val = 0                  # ZRL: 16 zero-history positions
+            else:                        # s == 1 always in refinement
+                val = p1 if br.bit() else m1
+            while k <= Se:
+                if blk[k] != 0:          # history: correction bit
+                    if br.bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] > 0 else m1
+                else:
+                    if r == 0:
+                        if val:
+                            blk[k] = val
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if eobrun > 0:
+        # EOB span: correction bits for the remaining nonzero history
+        while k <= Se:
+            if blk[k] != 0:
+                if br.bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive(d, pos, sos_body, qtabs, htabs, comps, h, w, dri):
+    """Multi-scan progressive entropy decode + final dequant/IDCT.
+
+    Coefficients accumulate per component in zigzag order over the padded
+    MCU block grid; DC scans walk the interleaved MCU layout (or the
+    component's own ceil-grid when single-component), AC scans are always
+    single-component over the ceil-grid (T.81 G.1)."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        cw = -(-w * c["h"] // hmax)      # component width, T.81 A.1.1 ceil
+        ch = -(-h * c["v"] // vmax)      # component height
+        c["bw"] = -(-cw // 8)            # non-interleaved block-grid dims
+        c["bh"] = -(-ch // 8)
+    coefs = [np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
+             for c in comps]
+
+    while True:
+        # ---- parse this scan's header
+        ns = sos_body[0]
+        scomps = []
+        for i in range(ns):
+            cid, tt = sos_body[1 + 2 * i], sos_body[2 + 2 * i]
+            ci = next(j for j, c in enumerate(comps) if c["id"] == cid)
+            scomps.append((ci, tt >> 4, tt & 0xF))
+        Ss, Se = sos_body[1 + 2 * ns], sos_body[2 + 2 * ns]
+        a = sos_body[3 + 2 * ns]
+        Ah, Al = a >> 4, a & 0xF
+        br = _BitReader(d, pos)
+
+        def _expect_restart(br):
+            try:
+                while True:
+                    br.bit()
+            except _Restart:
+                br.sync_restart()
+
+        if Ss == 0:                      # ---- DC scan
+            if Se != 0:
+                raise ValueError("DC scan with Se != 0")
+            prev_dc = [0] * len(scomps)
+            n_units = 0
+            if ns == 1:                  # non-interleaved: component grid
+                ci, td, _ta = scomps[0]
+                c = comps[ci]
+                dc_maps = htabs.get((0, td))
+                for bi in range(c["bh"] * c["bw"]):
+                    if dri and n_units and n_units % dri == 0:
+                        _expect_restart(br)
+                        prev_dc = [0]
+                    n_units += 1
+                    blk = coefs[ci][bi // c["bw"], bi % c["bw"]]
+                    if Ah == 0:
+                        s = _read_symbol(br, dc_maps)
+                        diff = _extend(br.bits(s), s) if s else 0
+                        prev_dc[0] += diff
+                        blk[0] = prev_dc[0] << Al
+                    elif br.bit():
+                        blk[0] |= 1 << Al
+            else:                        # interleaved MCU layout
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        if dri and n_units and n_units % dri == 0:
+                            _expect_restart(br)
+                            prev_dc = [0] * len(scomps)
+                        n_units += 1
+                        for si, (ci, td, _ta) in enumerate(scomps):
+                            c = comps[ci]
+                            dc_maps = htabs.get((0, td))
+                            for byi in range(c["v"]):
+                                for bxi in range(c["h"]):
+                                    blk = coefs[ci][my * c["v"] + byi,
+                                                    mx * c["h"] + bxi]
+                                    if Ah == 0:
+                                        s = _read_symbol(br, dc_maps)
+                                        diff = (_extend(br.bits(s), s)
+                                                if s else 0)
+                                        prev_dc[si] += diff
+                                        blk[0] = prev_dc[si] << Al
+                                    elif br.bit():
+                                        blk[0] |= 1 << Al
+        else:                            # ---- AC scan (single component)
+            if ns != 1:
+                raise ValueError("interleaved AC scan is illegal (G.1)")
+            ci, _td, ta = scomps[0]
+            c = comps[ci]
+            ac = htabs[(1, ta)]
+            eobrun = 0
+            for bi in range(c["bh"] * c["bw"]):
+                if dri and bi and bi % dri == 0:
+                    _expect_restart(br)
+                    eobrun = 0
+                blk = coefs[ci][bi // c["bw"], bi % c["bw"]]
+                if Ah == 0:
+                    eobrun = _ac_first(br, blk, Ss, Se, Al, eobrun, ac)
+                else:
+                    eobrun = _ac_refine(br, blk, Ss, Se, Al, eobrun, ac)
+
+        # ---- resync to the next marker (skip pad bits / stuffing / RSTn)
+        p = br.pos
+        while True:
+            while not (d[p] == 0xFF and d[p + 1] != 0x00):
+                p += 1
+            if 0xD0 <= d[p + 1] <= 0xD7:
+                p += 2
+                continue
+            break
+        pos = p
+        # ---- markers until the next SOS / EOI
+        sos_body = None
+        while True:
+            marker = struct.unpack(">H", d[pos:pos + 2])[0]
+            pos += 2
+            if marker == 0xFFD9:         # EOI: all scans consumed
+                break
+            ln = struct.unpack(">H", d[pos:pos + 2])[0]
+            body = d[pos + 2:pos + ln]
+            pos += ln
+            if marker == 0xFFC4:
+                _parse_dht(body, htabs)
+            elif marker == 0xFFDB:
+                _parse_dqt(body, qtabs)
+            elif marker == 0xFFDD:
+                dri = struct.unpack(">H", body[:2])[0]
+            elif marker == 0xFFDA:
+                sos_body = body
+                break
+            # else: APPn / COM / DNL — skipped
+        if sos_body is None:
+            break
+
+    # ---- dequantize + IDCT (vectorized per component), upsample, crop
+    full = []
+    for c, grid in zip(comps, coefs):
+        q = qtabs[c["qt"]].astype(np.float64)
+        nby, nbx, _ = grid.shape
+        nat = np.zeros((nby, nbx, 64), dtype=np.float64)
+        nat[:, :, ZIGZAG] = grid         # inverse zigzag
+        pix = np.einsum("ux,byuv,vw->byxw", _C,
+                        nat.reshape(nby, nbx, 8, 8) * q, _C) + 128.0
+        p = pix.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    return _ycbcr_to_rgb(full[0], full[1], full[2])
+
+
+def encode_jpeg_progressive(rgb: np.ndarray, quality: int = 90,
+                            subsampling: str = "444") -> bytes:
+    """(h, w, 3) uint8 RGB -> PROGRESSIVE JFIF bytes (SOF2, T.81 Annex G).
+
+    Scan script (exercises every progressive decode path): interleaved DC
+    first scan at Al=1, one AC first scan per component (band 1-63, Al=1,
+    EOB0-only run ends — the Annex K tables carry no EOBn>0 symbols), the
+    DC refinement scan (raw bits, no Huffman), then one AC refinement scan
+    per component (Al=0, G.1.2.3 newly-significant insertions + positional
+    correction bits). The quantized coefficients are IDENTICAL to
+    encode_jpeg at the same settings — progressive is a lossless
+    reorganization of the scan order — so decode_jpeg of this stream is
+    pixel-for-pixel equal to decode_jpeg of the baseline stream (pinned in
+    tests/test_multimodal.py)."""
+    comps, samp, qlum, qchr, h, w, mcux, mcuy = _coef_grids(
+        rgb, quality, subsampling)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    zgrids = []
+    for grid in comps:
+        nby, nbx = grid.shape[:2]
+        zgrids.append(grid.reshape(nby, nbx, 64)[:, :, ZIGZAG])
+    dims = []                       # per-comp non-interleaved block grid
+    for sh, sv in samp:
+        cw = -(-w * sh // hmax)
+        ch = -(-h * sv // vmax)
+        dims.append((-(-ch // 8), -(-cw // 8)))
+    dc_codes = [_canonical_codes(*_DC_LUM), _canonical_codes(*_DC_CHR)]
+    ac_codes = [_canonical_codes(*_AC_LUM), _canonical_codes(*_AC_CHR)]
+
+    def dc_first_scan() -> bytes:   # Ss=Se=0, Ah=0, Al=1
+        bw = _BitWriter()
+        prev = [0] * len(samp)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (sh, sv) in enumerate(samp):
+                    dct = dc_codes[0 if ci == 0 else 1]
+                    for byi in range(sv):
+                        for bxi in range(sh):
+                            dc = int(zgrids[ci][my * sv + byi,
+                                                mx * sh + bxi, 0]) >> 1
+                            cat, bits = _magnitude(dc - prev[ci])
+                            ln, code = dct[cat]
+                            bw.write(code, ln)
+                            if cat:
+                                bw.write(bits, cat)
+                            prev[ci] = dc
+        return bw.flush()
+
+    def dc_refine_scan() -> bytes:  # Ss=Se=0, Ah=1, Al=0 — raw LSBs
+        bw = _BitWriter()
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (sh, sv) in enumerate(samp):
+                    for byi in range(sv):
+                        for bxi in range(sh):
+                            bw.write(int(zgrids[ci][my * sv + byi,
+                                                    mx * sh + bxi, 0]) & 1, 1)
+        return bw.flush()
+
+    def ac_first_scan(ci: int) -> bytes:   # Ss=1, Se=63, Ah=0, Al=1
+        act = ac_codes[0 if ci == 0 else 1]
+        bw = _BitWriter()
+        bh_, bw_ = dims[ci]
+        zg = zgrids[ci]
+        for bi in range(bh_ * bw_):
+            zz = zg[bi // bw_, bi % bw_]
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                v1 = (abs(v) >> 1) if v > 0 else -(abs(v) >> 1)
+                if v1 == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ln, code = act[0xF0]        # ZRL
+                    bw.write(code, ln)
+                    run -= 16
+                cat, bits = _magnitude(v1)
+                ln, code = act[(run << 4) | cat]
+                bw.write(code, ln)
+                bw.write(bits, cat)
+                run = 0
+            if run:
+                ln, code = act[0x00]            # EOB0
+                bw.write(code, ln)
+        return bw.flush()
+
+    def ac_refine_scan(ci: int) -> bytes:  # Ss=1, Se=63, Ah=1, Al=0
+        act = ac_codes[0 if ci == 0 else 1]
+        bw = _BitWriter()
+        bh_, bw_ = dims[ci]
+        zg = zgrids[ci]
+        for bi in range(bh_ * bw_):
+            zz = zg[bi // bw_, bi % bw_]
+            # pending: (zero-history count before this bit within the
+            # current run, correction bit) — a ZRL only flushes the bits
+            # whose positions its 16-slot span actually covers, exactly
+            # mirroring the decoder's positional walk
+            pending: list[tuple[int, int]] = []
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if abs(v) >= 2:                 # nonzero history
+                    pending.append((run, abs(v) & 1))
+                elif v:                         # newly significant (+-1)
+                    while run >= 16:
+                        ln, code = act[0xF0]    # ZRL: first 16 zero-history
+                        bw.write(code, ln)
+                        for t, b in pending:
+                            if t < 16:
+                                bw.write(b, 1)
+                        pending = [(t - 16, b) for t, b in pending
+                                   if t >= 16]
+                        run -= 16
+                    ln, code = act[(run << 4) | 1]
+                    bw.write(code, ln)
+                    bw.write(1 if v > 0 else 0, 1)   # sign bit
+                    for _t, b in pending:
+                        bw.write(b, 1)
+                    pending = []
+                    run = 0
+                else:
+                    run += 1
+            if run or pending:
+                ln, code = act[0x00]            # EOB0 + trailing corrections
+                bw.write(code, ln)
+                for _t, b in pending:
+                    bw.write(b, 1)
+        return bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dht(tc: int, th: int, spec) -> bytes:
+        bits, values = spec
+        return bytes([(tc << 4) | th]) + bytes(bits) + bytes(values)
+
+    def sos(comp_specs, Ss, Se, Ah, Al) -> bytes:
+        body = bytes([len(comp_specs)])
+        for cid, td, ta in comp_specs:
+            body += bytes([cid, (td << 4) | ta])
+        body += bytes([Ss, Se, (Ah << 4) | Al])
+        return seg(0xFFDA, body)
+
+    out = bytearray()
+    out += struct.pack(">H", 0xFFD8)                       # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00" +
+               struct.pack(">HH", 1, 1) + b"\x00\x00")     # APP0
+    out += seg(0xFFDB, b"\x00" + bytes(qlum[ZIGZAG].tolist()))
+    out += seg(0xFFDB, b"\x01" + bytes(qchr[ZIGZAG].tolist()))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for (sh, sv), (cid, qt) in zip(samp, ((1, 0), (2, 1), (3, 1))):
+        sof += bytes([cid, (sh << 4) | sv, qt])
+    out += seg(0xFFC2, sof)                                # SOF2
+    out += seg(0xFFC4, dht(0, 0, _DC_LUM))
+    out += seg(0xFFC4, dht(1, 0, _AC_LUM))
+    out += seg(0xFFC4, dht(0, 1, _DC_CHR))
+    out += seg(0xFFC4, dht(1, 1, _AC_CHR))
+    all_specs = [(1, 0, 0), (2, 1, 1), (3, 1, 1)]
+    out += sos(all_specs, 0, 0, 0, 1) + dc_first_scan()
+    for ci, spec_ in enumerate(all_specs):
+        out += sos([spec_], 1, 63, 0, 1) + ac_first_scan(ci)
+    out += sos(all_specs, 0, 0, 1, 0) + dc_refine_scan()
+    for ci, spec_ in enumerate(all_specs):
+        out += sos([spec_], 1, 63, 1, 0) + ac_refine_scan(ci)
+    out += struct.pack(">H", 0xFFD9)                       # EOI
+    return bytes(out)

@@ -192,7 +192,11 @@ def build_training_corpus(items: pa.Table, out_dir: str,
         shutil.rmtree(stage, ignore_errors=True)
         os.makedirs(stage, exist_ok=True)
         kept.map_batches(with_nid, batch_format="pandas").write_parquet(stage)
-        kept = ray.data.read_parquet(stage)
+        # every column is genuinely needed downstream (url/text/n_tokens for
+        # the shard write, digest for schema stability, nid for the drop
+        # filter) — the explicit list just makes that intent auditable
+        kept = ray.data.read_parquet(
+            stage, columns=["url", "text", "digest", "n_tokens", "nid"])
 
         drop: set[int] = set()
         if neardup:

@@ -47,9 +47,10 @@ class FakeImageDecoder:
     def decode_real(self, payload: bytes):
         """Real decode for every format the repo implements from spec:
         BMP/PPM/PGM (functions/codecs.py), PNG (stdlib-zlib codec, exact)
-        and baseline JPEG (pure-numpy T.81 codec, functions/jpeg.py) —
-        round 4 closed the former PIL gate. Formats beyond these (webp,
-        progressive JPEG, ...) still raise ValueError from the sniff."""
+        and JPEG — baseline AND progressive SOF2 (pure-numpy T.81 codec,
+        functions/jpeg.py; round 4 closed the PIL gate, round 5 the
+        progressive one). Formats beyond these (webp, ...) still raise
+        ValueError from the sniff."""
         from scrapy_ray.functions.codecs import decode_image
 
         return decode_image(payload)

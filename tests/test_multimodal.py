@@ -201,12 +201,38 @@ def test_jpeg_roundtrip_bounded_error():
     assert decode_image(encode_jpeg(flat)).shape == (16, 16, 3)
     with pytest.raises(ValueError):
         decode_jpeg(b"\x00\x01garbage")
-    # a progressive SOF2 skeleton must be rejected, not mis-decoded
-    import struct
-    prog = (b"\xff\xd8" + struct.pack(">HH", 0xFFC2, 8)
-            + b"\x08\x00\x10\x00\x10\x01")
-    with pytest.raises(ValueError):
-        decode_jpeg(prog)
+
+
+def test_jpeg_progressive_equals_baseline():
+    """Progressive JPEG (SOF2, T.81 Annex G — round 5): the progressive
+    scan script carries the SAME quantized coefficients as baseline, so
+    decode(progressive) must equal decode(baseline) PIXEL-FOR-PIXEL at
+    every quality/subsampling — this pins the DC first/refine scans, the
+    AC first scans (EOB runs, ZRL) and the AC refinement scans
+    (newly-significant insertions + positional correction bits) against
+    the independently-written encoder."""
+    from scrapy_ray.functions.codecs import decode_image
+    from scrapy_ray.functions.jpeg import (decode_jpeg, encode_jpeg,
+                                           encode_jpeg_progressive)
+
+    rng = np.random.default_rng(11)
+    imgs = [
+        rng.integers(0, 256, (33, 47, 3), dtype=np.uint8),     # noise
+        np.full((16, 16, 3), 77, np.uint8),                    # flat
+        np.clip(np.cumsum(rng.standard_normal((65, 81, 3)), axis=0) * 9
+                + 120, 0, 255).astype(np.uint8),               # smooth walk
+    ]
+    stripes = np.zeros((24, 25, 3), np.uint8)
+    stripes[::2] = 255                                         # high detail
+    imgs.append(stripes)
+    for img in imgs:
+        for q in (35, 75, 95):
+            for sub in ("444", "420"):
+                base = decode_jpeg(encode_jpeg(img, q, sub))
+                prog = decode_jpeg(encode_jpeg_progressive(img, q, sub))
+                assert np.array_equal(base, prog), (img.shape, q, sub)
+    # the magic sniff dispatches progressive streams too (same JPEG magic)
+    assert decode_image(encode_jpeg_progressive(imgs[1])).shape == (16, 16, 3)
 
 
 def test_image_phash_dedup_collapses_noisy_copies(ray_session):
