@@ -218,9 +218,10 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Magic-sniffed image decode (BMP / PPM / PGM / PNG / baseline JPEG)
-    -> (h, w, 3) uint8 RGB (grayscale expands to 3 identical channels) —
-    the dispatch a media pipeline's downloader applies per content type."""
+    """Magic-sniffed image decode (BMP / PPM / PGM / PNG / JPEG incl.
+    progressive / lossless WebP) -> (h, w, 3) uint8 RGB (grayscale expands
+    to 3 identical channels) — the dispatch a media pipeline's downloader
+    applies per content type."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
@@ -233,6 +234,9 @@ def decode_image(payload: bytes) -> np.ndarray:
     if payload[:2] == b"\xff\xd8":
         from scrapy_ray.functions.jpeg import decode_jpeg
         return decode_jpeg(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from scrapy_ray.functions.webp import decode_webp
+        return decode_webp(payload)
     raise ValueError(f"unknown image magic {payload[:2]!r}")
 
 

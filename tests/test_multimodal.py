@@ -235,6 +235,45 @@ def test_jpeg_progressive_equals_baseline():
     assert decode_image(encode_jpeg_progressive(imgs[1])).shape == (16, 16, 3)
 
 
+def test_webp_lossless_roundtrip():
+    """Lossless WebP (VP8L, RFC 9649 — round 5 closes the last named media
+    gate): decode(encode(img)) must be EXACT for every image x transform x
+    backref combination — this pins the LSB-first bitstream, simple and
+    code-length-coded Huffman codes (incl. the max-symbol device), LZ77
+    length/distance prefix coding with overlapping dist=1 copies, and the
+    subtract-green inverse transform against the independently written
+    encoder. Decoder-only paths (predictor/color transforms, palette,
+    color cache, meta groups) are implemented from spec but have no
+    encoder here — documented in functions/webp.py."""
+    import pytest
+
+    from scrapy_ray.functions.codecs import decode_image
+    from scrapy_ray.functions.webp import decode_webp, encode_webp
+
+    rng = np.random.default_rng(3)
+    cases = [
+        rng.integers(0, 256, (21, 17, 3), dtype=np.uint8),     # noise
+        np.full((9, 30, 3), 123, np.uint8),                    # flat
+        np.repeat(rng.integers(0, 256, (8, 5, 3), dtype=np.uint8),
+                  7, axis=1),                                  # runs
+        (rng.integers(0, 4, (19, 23, 3)) * 80).astype(np.uint8),
+        rng.integers(0, 256, (1, 1, 3), dtype=np.uint8),       # 1x1
+    ]
+    for img in cases:
+        for sg in (False, True):
+            for bref in (False, True):
+                out = decode_webp(encode_webp(img, subtract_green=sg,
+                                              use_backrefs=bref))
+                np.testing.assert_array_equal(out, img)
+    # sniff dispatch + rejection of non-VP8L WebP
+    assert decode_image(encode_webp(cases[0])).shape == cases[0].shape
+    import struct
+    lossy = (b"RIFF" + struct.pack("<I", 12) + b"WEBP"
+             + b"VP8 " + struct.pack("<I", 0))
+    with pytest.raises(ValueError):
+        decode_webp(lossy)
+
+
 def test_image_phash_dedup_collapses_noisy_copies(ray_session):
     """Perceptual dedup: 500 byte-DISTINCT noisy payloads (md5 would keep
     ~500 groups) collapse to the 50 base patterns — the group assignment
