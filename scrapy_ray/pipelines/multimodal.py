@@ -186,7 +186,10 @@ def q_image_decode_stats(sf_dir: str):
     """Encode a deterministic image per document — format rotates
     BMP / PPM / PNG / PGM by doc_id so the actor's magic-sniff dispatch is
     exercised (all four lossless, so the pinned stats are format-free;
-    the lossy JPEG codec is pinned separately with error bounds) —
+    the lossy JPEG codec is pinned separately with error bounds; the
+    bit-serial WebP/progressive-JPEG codecs run in the BOUNDED-sample
+    q_webp_decode_stats below — a full-corpus rotation would make this
+    driver-visible query entropy-decode-bound) —
     decode in an actor pool, emit real pixel statistics.
     Rows-only (pixel math is not SQL); byte-exact codec round-trips +
     stats vs a numpy reference are pytest-pinned."""
@@ -207,6 +210,38 @@ def q_image_decode_stats(sf_dir: str):
     out = ds.map_batches(ImageDecoder, batch_format="pyarrow",
                          batch_size=256, concurrency=2)
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).replace_schema_metadata(None)
+
+
+def q_webp_decode_stats(sf_dir: str):
+    """Round 5: the VP8L WebP codec as a first-class actor-pool stage over
+    a BOUNDED document sample (doc_id < 512 via a pruned filter) — the
+    entropy coding is bit-serial by design (spec-faithful, like JPEG/PNG
+    here), so the sample bound keeps this queries() entry scale-safe at
+    ANY corpus size instead of becoming entropy-decode-bound at sf0.1+.
+    Per doc: encode synth_image (subtract-green for even ids, dist=1 run
+    backrefs for ids % 3 == 0 — both encoder paths exercised), decode in
+    the shared ImageDecoder actor pool via the magic sniff, emit the same
+    exact pixel stats as q_image_decode_stats. Rows-only (pixel math is
+    not SQL); exact round-trip is pytest-pinned."""
+    from scrapy_ray.functions.webp import encode_webp
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id"])
+
+    def gen(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = ids[ids < 512]          # vectorized in-batch sample bound
+        payloads = [encode_webp(synth_image(int(i)),
+                                subtract_green=(i % 2 == 0),
+                                use_backrefs=(i % 3 == 0))
+                    for i in ids]
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "payload": pa.array(payloads, type=pa.binary())})
+
+    out = ds.map_batches(gen, batch_format="pyarrow") \
+            .map_batches(ImageDecoder, batch_format="pyarrow",
+                         batch_size=128, concurrency=2)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False) \
+        .replace_schema_metadata(None)
 
 
 def q_audio_decode_stats(sf_dir: str):
@@ -549,6 +584,7 @@ def q_audio_spectral_features(sf_dir: str):
 MULTIMODAL_QUERIES = {
     "multimodal_decode_meta": (q_multimodal_decode_meta, SQL_MULTIMODAL),
     "image_decode_stats": (q_image_decode_stats, None),
+    "webp_decode_stats": (q_webp_decode_stats, None),
     "audio_decode_stats": (q_audio_decode_stats, None),
     "media_checksum_dedup": (q_media_checksum_dedup, None),
     "image_phash_dedup": (q_image_phash_dedup, None),

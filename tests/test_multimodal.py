@@ -274,6 +274,26 @@ def test_webp_lossless_roundtrip():
         decode_webp(lossy)
 
 
+def test_webp_decode_stats_match_reference(ray_session):
+    """webp_decode_stats (bounded-sample VP8L pipeline query): every row's
+    dims + exact channel-0 mean must match the synth_image reference —
+    lossless, so the stats are identical to what any other codec yields."""
+    from scrapy_ray.pipelines.multimodal import (q_webp_decode_stats,
+                                                 synth_image)
+
+    t = q_webp_decode_stats(SF)
+    assert len(t) > 0
+    assert max(t["doc_id"].to_pylist()) < 512     # the scale-safety bound
+    by_id = {d: (w, h, m) for d, w, h, m in zip(
+        t["doc_id"].to_pylist(), t["width"].to_pylist(),
+        t["height"].to_pylist(), t["mean_r"].to_pylist())}
+    for doc_id in list(by_id)[:25]:
+        img = synth_image(doc_id)
+        h, w, _ = img.shape
+        ref = round(float(img[:, :, 0].astype(np.int64).sum()) / (h * w), 4)
+        assert by_id[doc_id] == (w, h, ref), doc_id
+
+
 def test_image_phash_dedup_collapses_noisy_copies(ray_session):
     """Perceptual dedup: 500 byte-DISTINCT noisy payloads (md5 would keep
     ~500 groups) collapse to the 50 base patterns — the group assignment
