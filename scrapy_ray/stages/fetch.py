@@ -15,6 +15,8 @@ object-store broadcast. Nothing here materializes the corpus.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -481,6 +483,21 @@ def _corpus_has_metarefresh(corpus_root: str) -> bool:
     return ans
 
 
+_CPU_CACHE: int | None = None
+
+
+def _cluster_cpus() -> int:
+    """Total cluster CPUs, memoized per process (cluster size is fixed for
+    a crawl's lifetime; ray.cluster_resources() is a GCS round-trip)."""
+    global _CPU_CACHE
+    if _CPU_CACHE is None:
+        try:
+            _CPU_CACHE = max(1, int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            _CPU_CACHE = 8
+    return _CPU_CACHE
+
+
 def fetch_parse_wave(corpus_root: str, wave: pa.Table, n_buckets: int,
                      cache: "BucketCache | None" = None, registry_ref=None,
                      want_stats: bool = False, retry_cfg=None,
@@ -524,11 +541,20 @@ def fetch_parse_wave(corpus_root: str, wave: pa.Table, n_buckets: int,
     ubs, starts = np.unique(bsorted, return_index=True)
     bounds = np.append(starts, len(bsorted))
     futs = []
-    # Oversized per-bucket tasks straggle the wave barrier (measured: at 8
-    # CPUs the barrier waits ~35% past ideal on skewed waves) — split a
-    # bucket's slice into <=chunk-row tasks; the wave tail is then one
-    # ~30ms task, not one ~150ms task.
-    chunk = 256
+    # Task granularity (re-tuned round 5): the round-2 fixed 256-row chunk
+    # optimized straggler balance, but per-task overhead (dispatch, arg
+    # serialization, result transfer — and cross-raylet hops on a real
+    # multi-node cluster) now dominates at today's engine speed: measured
+    # same-window, chunk 2048 beats 256 by 10-13% at EVERY level (flat
+    # 2-CPU 9.06->8.01, flat 8-CPU 2.86->2.52, 4-node wide 12.7->11.2,
+    # 1-node wide 36.1->28.3). Adaptive: ~2 task waves per CPU, clamped to
+    # [256, 4096] so tiny waves stay balanced and huge waves stay bounded;
+    # SCRAPY_RAY_WAVE_CHUNK overrides for tuning runs.
+    chunk_env = os.environ.get("SCRAPY_RAY_WAVE_CHUNK")
+    if chunk_env:
+        chunk = int(chunk_env)
+    else:
+        chunk = min(4096, max(256, len(wave) // (2 * _cluster_cpus())))
     for k, b in enumerate(ubs):
         if int(b) not in paths:
             continue  # bucket never written (empty at ingest) -> fetch miss
